@@ -1,0 +1,75 @@
+"""Engine-portable integer hashing for dedup / fingerprint operators.
+
+Spark's built-in ``hash``/``xxhash64`` have no DuckDB equivalent, so the
+dedup family (MinHash, SimHash, fingerprints) is built on an explicit
+polynomial rolling hash over code points:
+
+    h = fold(chars, 0, (acc, c) -> (acc * MULT + codepoint(c)) % MOD)
+
+All arithmetic stays in BIGINT (Spark 4 runs ANSI mode: int overflow
+raises), is exact, and therefore hash-comparable against a DuckDB
+oracle computing the same fold — which is what makes MinHash-LSH a
+*correctness-gated* operator here rather than a trust-me one.
+
+MOD = 2^31 - 1 (Mersenne prime): keeps a*h + b products under 2^62, no
+BIGINT overflow for any multiplier < 2^31.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+MOD = 2_147_483_647  # 2^31 - 1
+MULT = 31
+
+
+def char_fold_hash(col: Column, mult: int = MULT, mod: int = MOD) -> Column:
+    """Polynomial hash of a string column, computed as a sequential
+    fold — identical left-to-right order in any engine."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(mult) + c) % F.lit(mod),
+    )
+
+
+def sql_char_fold_hash(expr: str, mult: int = MULT, mod: int = MOD) -> str:
+    """DuckDB twin of :func:`char_fold_hash`."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c_ -> CAST(unicode(c_) AS BIGINT))), "
+        f"(acc_, c_) -> (acc_ * {mult} + c_) % {mod})"
+    )
+
+
+def token_hash_array(tokens: Column, mult: int = MULT, mod: int = MOD) -> Column:
+    """Hash every token of an array column (nested HOF — still no UDF)."""
+    return F.transform(tokens, lambda t: char_fold_hash(t, mult, mod))
+
+
+def sql_token_hash_array(tokens_expr: str, mult: int = MULT, mod: int = MOD) -> str:
+    return f"list_transform({tokens_expr}, t_ -> {sql_char_fold_hash('t_', mult, mod)})"
+
+
+# Deterministic MinHash permutation parameters (a, b): h_i(x) = (a*x + b) % MOD.
+# Fixed constants (NOT runtime-random) so signatures are reproducible and
+# oracle-checkable. Generated once from a seeded PRNG.
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (1203114875, 313271125), (586051417, 1334709013), (927339815, 661025455),
+    (1723272425, 1211247084), (394017903, 1790285155), (805280921, 446701739),
+    (1677512451, 541007709), (239686741, 1094953913), (1454158265, 1719577103),
+    (676943413, 320617327), (1851981399, 1252716025), (113917025, 1790055257),
+    (1549515967, 849514053), (482105297, 1285211813), (1941871225, 206090445),
+    (866745923, 1634032507),
+)
+
+
+def minhash_value(hashes: Column, a: int, b: int, mod: int = MOD) -> Column:
+    """min over the token-hash array of one affine permutation."""
+    return F.array_min(
+        F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(mod))
+    )
+
+
+def sql_minhash_value(hashes_expr: str, a: int, b: int, mod: int = MOD) -> str:
+    return f"list_min(list_transform({hashes_expr}, h_ -> ({a} * h_ + {b}) % {mod}))"

@@ -1,0 +1,64 @@
+"""Vector expressions over array<float|double> embedding columns.
+
+Similarity search primitives (north-star extension; the reference has no
+vector ops — its nearest analogue is mllib sparse vectors,
+``nlp/PrepData.scala:60``). Dot products are computed as SEQUENTIAL
+folds (``zip_with`` + ``aggregate``), not exploded group-sums: a fold
+adds left-to-right, so the result is bit-identical across engines and
+partitionings, which makes cosine similarity oracle-checkable without
+tolerance hacks. 16-dim vectors make the fold cheap; for very wide
+vectors swap in a pandas_udf without changing call sites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """array<float> → array<double>; per-element widening is exact."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(to_double(a), to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sql_to_double(expr: str) -> str:
+    return f"list_transform({expr}, x_ -> CAST(x_ AS DOUBLE))"
+
+
+def sql_dot(a: str, b: str) -> str:
+    # zip via index: DuckDB lists are 1-based like Spark's element_at.
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i_ -> CAST({a}[i_] AS DOUBLE) * CAST({b}[i_] AS DOUBLE))), "
+        f"(acc_, v_) -> acc_ + v_)"
+    )
+
+
+def sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x_ -> CAST(x_ AS DOUBLE) * CAST(x_ AS DOUBLE))), "
+        f"(acc_, v_) -> acc_ + v_))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)}) / (({sql_norm(a)}) * ({sql_norm(b)}))"

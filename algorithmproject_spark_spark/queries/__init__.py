@@ -1,0 +1,22 @@
+"""Named query registry — the correctness surface of the engine.
+
+Every operator family from SURVEY.md §2 is exercised by at least one
+named query here; each query has a Spark callable ``(spark, sf_dir) ->
+DataFrame`` and (when SQL-expressible) a DuckDB oracle SQL string whose
+output is hash-identical. ``__spark_entry__.py`` re-exports this
+registry to the driver.
+"""
+
+from __future__ import annotations
+
+from algorithmproject_spark_spark.queries.base import REGISTRY, QuerySpec, register  # noqa: F401
+
+# Importing the modules populates REGISTRY.
+from algorithmproject_spark_spark.queries import (  # noqa: F401,E402
+    relational,
+    windows,
+    events,
+    text,
+    dedup,
+    similarity,
+)

@@ -1,0 +1,212 @@
+"""Near-duplicate detection — the one capability the reference
+OUTSOURCES (SURVEY.md §2.7 E4: ``ArticleInfoProcess.scala:184-191``
+exports ``article_id, content`` JSON for an external dedup tool, then
+anti-joins the returned ids). Here it is native, deterministic, and —
+unusually for MinHash — oracle-checked: signatures use fixed affine
+permutations over an explicit polynomial token hash, so DuckDB computes
+bit-identical integers.
+
+Scale design: the LSH self-join is a shuffle on (band_idx, band_key) —
+candidate generation is linear in docs × bands, never O(n²); the exact
+Jaccard verify runs only on LSH candidates. At 100 TB the same plan
+holds: band keys partition evenly because they are hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.hashing import (
+    MINHASH_PARAMS,
+    MOD,
+    minhash_value,
+    sql_minhash_value,
+    sql_token_hash_array,
+    token_hash_array,
+)
+from algorithmproject_spark_spark.functions.text import ngrams, sql_ngrams
+from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+N_HASHES = 8  # first 8 of MINHASH_PARAMS
+BAND_ROWS = 2  # 4 bands × 2 rows
+SHINGLE_N = 3
+
+
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + array of distinct 3-shingle hashes (exact integers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(ngrams(toks, SHINGLE_N))
+    return docs.select("doc_id", token_hash_array(shingles).alias("sh"))
+
+
+def _sql_shingle_hashes() -> str:
+    sh = f"list_distinct({sql_ngrams('string_split(text, chr(32))', SHINGLE_N)})"
+    return f"SELECT doc_id, {sql_token_hash_array(sh)} AS sh FROM documents"
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh AS ({_sql_shingle_hashes()})
+    SELECT doc_id, {", ".join(f"{sql_minhash_value('sh', a, b)} AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES]))}
+    FROM sh
+    """,
+    doc="MinHash signatures (8 fixed affine permutations over 3-shingles)",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_hashes(spark, sf_dir)
+    cols = [
+        minhash_value(F.col("sh"), a, b).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES])
+    ]
+    return sh.select("doc_id", *cols)
+
+
+def _band_key_sql(band: int) -> str:
+    """Combine BAND_ROWS signature values into one band key (exact)."""
+    lo, hi = band * BAND_ROWS, band * BAND_ROWS + 1
+    return f"(mh{lo} * 2147483659 + mh{hi})"
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH sh AS ({_sql_shingle_hashes()}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{sql_minhash_value('sh', a, b)} AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES]))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_HASHES // BAND_ROWS))}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: band → bucket-join (linear, no O(n²))",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    n_bands = N_HASHES // BAND_ROWS
+    band_frames = []
+    for b in range(n_bands):
+        lo, hi = b * BAND_ROWS, b * BAND_ROWS + 1
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_idx"),
+                (F.col(f"mh{lo}") * F.lit(2147483659) + F.col(f"mh{hi}")).alias("band_key"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "jaccard_verified_pairs",
+    oracle=f"""
+    WITH sh AS ({_sql_shingle_hashes()}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{sql_minhash_value('sh', a, b)} AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES]))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_HASHES // BAND_ROWS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(x.sh, y.sh)) AS n_common,
+           len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS n_union,
+           CAST(floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) * 1000000.0 + 0.5) AS BIGINT)
+               AS jaccard_e6
+    FROM cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id
+    WHERE len(list_intersect(x.sh, y.sh)) * 2 >= (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+    """,
+    doc="n-gram Jaccard ≥ 0.5 verification of LSH candidates (full near-dup pipeline)",
+)
+def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    sh = _shingle_hashes(spark, sf_dir)
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(x, "doc_a").join(y, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.floor(inter.cast("double") / union * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            union.alias("n_union"),
+            jac.alias("jaccard_e6"),
+        )
+        .filter(F.col("n_common") * 2 >= F.col("n_union"))
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_token_hash_array("string_split(text, chr(32))")} AS th
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, b.bit AS bit,
+               sum(CASE WHEN (t.h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        FROM (SELECT doc_id, unnest(th) AS h FROM tok) t
+        CROSS JOIN (SELECT unnest(range(0, 31)) AS bit) b
+        GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash-31 fingerprints from token hashes (bit-vote aggregation)",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    th = docs.select("doc_id", F.explode(token_hash_array(toks)).alias("h"))
+    bits = spark.range(0, 31).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        th.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            # shiftright() the builtin takes a literal count — with a
+            # column count the SQL expression form is required.
+            F.sum(
+                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

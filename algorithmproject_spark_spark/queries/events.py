@@ -1,0 +1,99 @@
+"""Event-log queries — JSON extraction (F3) and time-bucketed
+aggregation, the batch twins of the streaming facade.
+
+The reference addresses JSON-in-string event fields with
+``get_json_object(event, '$.2')``
+(``label/driver/URLandSearchwordExtractorDriver.scala:40``,
+``article/ReadPushClickData.scala:41-42``); its streaming library has
+sources/sinks but no event-time windows (SURVEY.md §3.4) — the
+tumbling-window aggregate here is the extension, and
+``streaming/windows.py`` runs the same logical plan incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import scaled_long
+from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1
+    """,
+    doc="F3: get_json_object on a JSON-string column + group agg",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            scaled_long("value", 100).alias("value_cents_row"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents_row").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1h event-time window agg (streaming twin in streaming/windows.py)",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled_long("value", 100)).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "events_type_funnel",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'view') AS views,
+           count(*) FILTER (WHERE event_type = 'click') AS clicks,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="conditional aggregation (push/click join stats — article/ReadPushClickData.scala)",
+)
+def events_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> Column:
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return ev.groupBy("user_id").agg(
+        cnt("view").alias("views"),
+        cnt("click").alias("clicks"),
+        cnt("purchase").alias("purchases"),
+    )

@@ -1,0 +1,136 @@
+"""Window-function queries — SURVEY.md §2.5 W1-W3.
+
+The reference has ZERO ``Window.partitionBy`` usage and emulates every
+windowed computation imperatively: global row ids via
+``rdd.zipWithIndex`` + schema rebuild copied 4× (W1,
+``ArticleInfoProcess.scala:17-36``), per-entity top-N by sorting Scala
+lists inside UDFs (W2, ``TextRank.scala:90``), and per-class quotas via
+``filter(class).limit(n)`` repeated per class then unioned (W3,
+``mark/NewsMarchSubCategoryTrainProcess.scala:67-73``). Real window
+functions replace all three — one shuffle, no driver involvement, and
+deterministic because every ORDER BY ends in a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import scaled_long
+from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+
+@register(
+    "window_global_rownum",
+    oracle="""
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+    FROM documents
+    """,
+    doc="W1: dfZipWithIndex replacement — row_number over global order",
+)
+def window_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: a global (unpartitioned) window funnels all rows through a
+    # single task — acceptable for id-assignment on dimension-sized
+    # data; for fact-scale ids use monotonically_increasing_id or
+    # zipWithIndex-free sharded ids (see operators.ids).
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").withColumn(
+        "rn", F.row_number().over(W.orderBy("doc_id"))
+    )
+
+
+@register(
+    "window_topk_orders_per_cust",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    doc="W2: top-N per entity via row_number (reference sorts inside UDFs)",
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        scaled_long("o_totalprice", 100).desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+@register(
+    "window_quota_per_class",
+    oracle="""
+    SELECT * FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber
+               ) AS rk
+        FROM lineitem
+    ) WHERE rk <= 500
+    """,
+    doc="W3: per-class quota sampling in ONE pass (reference: filter+limit per class, unioned)",
+)
+def window_quota_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 500)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "rk")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_cents
+    FROM orders
+    """,
+    doc="running total per customer (exact integer frame sum)",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(scaled_long("o_totalprice", 100)).over(w).alias("running_cents"),
+    )
+
+
+@register(
+    "window_lag_session_gap",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+    """,
+    doc="sessionization primitive: per-user lag(ts) gap in microseconds",
+)
+def window_lag_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros_ts = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (micros_ts - F.lag(micros_ts).over(w)).alias("gap_us"),
+    )

@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query timing includes full plan execution (count-style action that
+materializes every row) but not session startup. Queries run twice
+warm-up-free is intentional: the driver records cold numbers,
+comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from algorithmproject_spark_spark.queries import REGISTRY
+from algorithmproject_spark_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# plans where scale behavior matters.
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_outer_coalesce_order_status",
+    "window_topk_orders_per_cust",
+    "window_running_total",
+    "events_tumbling_hourly",
+    "doc_wordcount_topk",
+    "tfidf_top_terms",
+    "minhash_lsh_candidates",
+    "jaccard_verified_pairs",
+    "simhash_fingerprints",
+    "knn_bruteforce_cosine",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        # Materialize every row without driver-side transfer.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
