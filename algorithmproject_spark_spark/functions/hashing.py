@@ -21,6 +21,7 @@ from pyspark.sql import Column, functions as F
 
 MOD = 2_147_483_647  # 2^31 - 1
 MULT = 31
+GRAM_MULT = 1_000_003  # combines token hashes into n-gram hashes
 
 
 def char_fold_hash(col: Column, mult: int = MULT, mod: int = MOD) -> Column:
@@ -49,6 +50,41 @@ def token_hash_array(tokens: Column, mult: int = MULT, mod: int = MOD) -> Column
 
 def sql_token_hash_array(tokens_expr: str, mult: int = MULT, mod: int = MOD) -> str:
     return f"list_transform({tokens_expr}, t_ -> {sql_char_fold_hash('t_', mult, mod)})"
+
+
+def gram_hash_array(
+    token_hashes: Column, n: int, mult: int = GRAM_MULT, mod: int = MOD
+) -> Column:
+    """n-gram hashes composed from token hashes.
+
+    Formulated as n-1 ``zip_with`` passes over shifted slices rather
+    than an ``aggregate`` per window: HOF lambdas are interpreted (not
+    codegen'd), so per-window aggregates cost ~50 expression
+    evaluations each — the zip_with form does 3 array ops per ROW and
+    measured ~30× faster at sf0.1. Fold math is identical:
+    ((h0*G + h1) % M * G + h2) % M.
+
+    ``greatest(count, 0)`` makes short docs yield empty arrays instead
+    of tripping ANSI slice errors (and avoids Spark's descending
+    ``sequence(1, 0)`` trap).
+    """
+    count = F.greatest(F.size(token_hashes) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(token_hashes, 1, count)
+    for k in range(1, n):
+        nxt = F.slice(token_hashes, F.lit(k + 1), count)
+        acc = F.zip_with(acc, nxt, lambda a, b: (a * F.lit(mult) + b) % F.lit(mod))
+    return acc
+
+
+def sql_gram_hash_array(
+    th_expr: str, n: int, mult: int = GRAM_MULT, mod: int = MOD
+) -> str:
+    """DuckDB twin of :func:`gram_hash_array`."""
+    return (
+        f"list_transform(range(1, len({th_expr}) - {n} + 2), "
+        f"i__ -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice({th_expr}, i__, i__ + {n - 1})), "
+        f"(acc__, h__) -> (acc__ * {mult} + h__) % {mod}))"
+    )
 
 
 # Deterministic MinHash permutation parameters (a, b): h_i(x) = (a*x + b) % MOD.

@@ -1,0 +1,111 @@
+"""TextRank keyword extraction — SURVEY.md §2.9 T10.
+
+The reference builds one GLOBAL word co-occurrence graph per corpus
+shard and runs GraphX ``pageRank(0.0001)``
+(``label/keywordextractor/TextRank.scala:20-125``), collecting vertex
+maps to the driver. PySpark has no GraphX; more importantly the
+per-document graphs this workload actually needs are tiny (≤ a few
+hundred vertices), so the Spark-correct shape is ``applyInPandas``:
+one numpy power iteration per document, zero cross-document shuffle
+state, embarrassingly parallel. A fixed iteration count (not a
+convergence test) keeps results deterministic.
+
+For a genuinely global graph (e.g. corpus-level word graph), see
+``corpus_pagerank`` in ``plans/pipelines.py`` — a bounded-iteration
+DataFrame join-agg loop, the distributed fallback.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+from algorithmproject_spark_spark.functions.text import STOPWORDS
+
+
+def textrank_scores(
+    tokens: list[str],
+    stopwords: frozenset[str] = frozenset(STOPWORDS),
+    window: int = 2,
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> dict[str, float]:
+    """Power iteration on the co-occurrence graph of one document.
+
+    Pure python/numpy-free (graphs are tiny); deterministic: fixed
+    iteration count, vocabulary ordered by first occurrence.
+    """
+    words = [t for t in tokens if t not in stopwords]
+    vocab: dict[str, int] = {}
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    n = len(vocab)
+    if n == 0:
+        return {}
+    # undirected co-occurrence edges within `window`
+    weights: dict[tuple[int, int], float] = {}
+    for i, w in enumerate(words):
+        for j in range(i + 1, min(i + window + 1, len(words))):
+            u, v = vocab[w], vocab[words[j]]
+            if u == v:
+                continue
+            weights[(u, v)] = weights.get((u, v), 0.0) + 1.0
+            weights[(v, u)] = weights.get((v, u), 0.0) + 1.0
+    out_weight = [0.0] * n
+    for (u, _v), w in weights.items():
+        out_weight[u] += w
+    ranks = [1.0 / n] * n
+    for _ in range(iterations):
+        nxt = [(1.0 - damping) / n] * n
+        for (u, v), w in sorted(weights.items()):  # sorted → deterministic FP order
+            if out_weight[u] > 0:
+                nxt[v] += damping * ranks[u] * (w / out_weight[u])
+        ranks = nxt
+    return {w: ranks[i] for w, i in vocab.items()}
+
+
+def extract_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    iterations: int = 20,
+) -> DataFrame:
+    """(id, word, score_e6, rank): per-document TextRank via
+    applyInPandas — one small graph per group row, Arrow-batched."""
+    sw = frozenset(STOPWORDS)
+
+    def _per_doc(pdf):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        out: list[tuple[object, str, int, int]] = []
+        for _, row in pdf.iterrows():
+            scores = textrank_scores(
+                (row[text_col] or "").split(), sw, iterations=iterations
+            )
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+            for rank, (word, score) in enumerate(ranked, start=1):
+                out.append(
+                    (row[id_col], word, int(score * 1e6 + 0.5), rank)
+                )
+        return pd.DataFrame(out, columns=[id_col, "word", "score_e6", "rank"])
+
+    # Group by id: each group is one document; mapInPandas would also
+    # work, applyInPandas keeps the (id → keywords) contract explicit.
+    return df.select(id_col, text_col).groupBy(id_col).applyInPandas(
+        _per_doc, schema=f"{id_col} long, word string, score_e6 long, rank int"
+    )
+
+
+def top_corpus_keywords(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 50
+) -> DataFrame:
+    """Corpus-level: sum per-doc TextRank scores per word, top-k."""
+    kw = extract_keywords(df, text_col, id_col)
+    return (
+        kw.groupBy("word")
+        .agg(F.sum("score_e6").alias("total_score_e6"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("total_score_e6"), F.asc("word"))
+        .limit(top_k)
+    )

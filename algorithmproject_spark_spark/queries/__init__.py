@@ -19,4 +19,5 @@ from algorithmproject_spark_spark.queries import (  # noqa: F401,E402
     text,
     dedup,
     similarity,
+    advanced,
 )

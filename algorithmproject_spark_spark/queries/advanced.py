@@ -1,0 +1,209 @@
+"""Advanced operators beyond the reference's inventory: as-of join,
+rollup/cube/pivot (SURVEY.md §2.4 notes the reference has none), plus
+the HTML kernels T1/T13 exercised as oracle-checked queries.
+
+The as-of join is the canonical "operator Spark lacks natively"
+(pyspark guide: bucketize or merge_asof); implemented here as the
+union-and-carry-forward window trick — one shuffle, no Python — and
+oracle-checked against DuckDB's NATIVE ``ASOF JOIN``, which is the
+strongest parity evidence available for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from algorithmproject_spark_spark.functions.htmlops import (
+    html_to_text,
+    sql_html_to_text,
+    sql_tag_entity_words,
+    tag_entity_words,
+)
+from algorithmproject_spark_spark.functions.numeric import scaled_long
+from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# As-of join: for every click, the most recent view by the same user at
+# or before it. Union trick: tag views 0 / clicks 1, order by (ts, tag,
+# event_id), carry the last view timestamp forward per user.
+# --------------------------------------------------------------------------
+@register(
+    "asof_click_to_view",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    doc="as-of join via union + carry-forward window; oracle uses DuckDB native ASOF JOIN",
+)
+def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    # Views sort before clicks at equal ts (tag 0 < 1) → "at or before"
+    # semantics match ASOF's >=.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = views.unionByName(clicks).withColumn(
+        "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("last_view_ts")).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP / CUBE — hierarchical and full grouping-set aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP aggregate (reference has no grouping sets at all)",
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled_long("l_quantity", 1)).alias("sum_qty"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregate over two dimensions",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT — wide conditional aggregation (portable oracle via CASE sums).
+# --------------------------------------------------------------------------
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_full,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot with pinned value set (Catalyst rewrites to one-pass conditional agg)",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Pinned pivot values: with an unpinned pivot Spark runs an extra
+    # distinct-scan job to discover them — never do that at scale.
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_full"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T1: html → text, exercised by wrapping the corpus in markup in-plan
+# (the testdata has no html column) and stripping it back.
+# --------------------------------------------------------------------------
+_HTML_WRAP_SPARK = (
+    "concat('<html><body><div id=\"a\">', text, "
+    "'</div><script>var x=1;</script><a href=\"http://e.com\">link &amp; more</a></body></html>')"
+)
+_HTML_WRAP_DUCK = (
+    "'<html><body><div id=\"a\">' || text || "
+    "'</div><script>var x=1;</script><a href=\"http://e.com\">link &amp; more</a></body></html>'"
+)
+
+
+@register(
+    "html_strip_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_html_to_text(_HTML_WRAP_DUCK)} AS stripped,
+           CASE WHEN {sql_html_to_text(_HTML_WRAP_DUCK)} = text || ' link & more' THEN 1 ELSE 0 END AS clean_roundtrip
+    FROM documents
+    """,
+    doc="T1: html→text as a Catalyst regexp chain (reference: Jsoup UDF)",
+)
+def html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.expr(_HTML_WRAP_SPARK)
+    stripped = html_to_text(wrapped)
+    return docs.select(
+        "doc_id",
+        stripped.alias("stripped"),
+        F.when(stripped == F.concat(F.col("text"), F.lit(" link & more")), 1)
+        .otherwise(0)
+        .alias("clean_roundtrip"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T13: entity-keyword tagging.
+# --------------------------------------------------------------------------
+_TAG_WORDS = ("spark", "shuffle", "join")
+_TAG_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _TAG_WORDS) + "]"
+
+
+@register(
+    "entity_word_tagging",
+    oracle=f"""
+    SELECT doc_id,
+           length({sql_tag_entity_words("text", _TAG_LIST_SQL)}) AS tagged_len,
+           (length({sql_tag_entity_words("text", _TAG_LIST_SQL)}) - length(text))
+               / length('<i class="apus-entity-words"></i>') AS n_tags
+    FROM documents
+    """,
+    doc="T13: wrap entity keywords in <i class=\"apus-entity-words\"> (ArticleInfoProcess.scala:130-164)",
+)
+def entity_word_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kw = F.array(*[F.lit(w) for w in _TAG_WORDS])
+    tagged = tag_entity_words(F.col("text"), kw)
+    marker_len = len('<i class="apus-entity-words"></i>')
+    return docs.select(
+        "doc_id",
+        F.length(tagged).alias("tagged_len"),
+        ((F.length(tagged) - F.length("text")) / F.lit(marker_len)).alias("n_tags"),
+    )

@@ -19,12 +19,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from algorithmproject_spark_spark.functions.hashing import (
     MINHASH_PARAMS,
     MOD,
+    gram_hash_array,
     minhash_value,
+    sql_gram_hash_array,
     sql_minhash_value,
     sql_token_hash_array,
     token_hash_array,
 )
-from algorithmproject_spark_spark.functions.text import ngrams, sql_ngrams
 from algorithmproject_spark_spark.queries.base import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -34,16 +35,32 @@ SHINGLE_N = 3
 
 
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + array of distinct 3-shingle hashes (exact integers)."""
+    """doc_id + array of distinct 3-shingle hashes (exact integers).
+
+    Tokens are char-folded ONCE, then shingle hashes are integer folds
+    over token-hash windows — O(chars + tokens) instead of O(chars ×
+    shingle_width) per doc.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(ngrams(toks, SHINGLE_N))
-    return docs.select("doc_id", token_hash_array(shingles).alias("sh"))
+    th = token_hash_array(F.split(F.col("text"), " "))
+    sh = docs.select(
+        "doc_id", F.array_distinct(gram_hash_array(th, SHINGLE_N)).alias("sh")
+    )
+    # The shingle table is the compact derived representation every
+    # near-dup query builds on (~8 B × shingles per doc, far smaller
+    # than the text). cache() keys on the canonicalized plan, so the
+    # signature/band/verify stages — and sibling queries in the same
+    # session — all reuse one materialization instead of re-folding
+    # the corpus.
+    return sh.cache()
 
 
 def _sql_shingle_hashes() -> str:
-    sh = f"list_distinct({sql_ngrams('string_split(text, chr(32))', SHINGLE_N)})"
-    return f"SELECT doc_id, {sql_token_hash_array(sh)} AS sh FROM documents"
+    th = sql_token_hash_array("string_split(text, chr(32))")
+    return (
+        f"SELECT doc_id, list_distinct({sql_gram_hash_array('th', SHINGLE_N)}) AS sh "
+        f"FROM (SELECT doc_id, {th} AS th FROM documents)"
+    )
 
 
 @register(
@@ -90,19 +107,18 @@ def _band_key_sql(band: int) -> str:
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
     n_bands = N_HASHES // BAND_ROWS
-    band_frames = []
-    for b in range(n_bands):
-        lo, hi = b * BAND_ROWS, b * BAND_ROWS + 1
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_idx"),
-                (F.col(f"mh{lo}") * F.lit(2147483659) + F.col(f"mh{hi}")).alias("band_key"),
-            )
-        )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    # One pass: posexplode an array of band keys instead of unioning
+    # n_bands re-reads of the signature relation (a union would
+    # recompute the whole signature lineage per band).
+    band_keys = F.array(
+        *[
+            (F.col(f"mh{b * BAND_ROWS}") * F.lit(2147483659) + F.col(f"mh{b * BAND_ROWS + 1}"))
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -1,0 +1,136 @@
+"""Batch writer facade — SURVEY.md §2.1 S2/S4/S5/S12 + the LDA-corpus
+interchange formats (T16: UCI triples, libsvm text, vocab dict).
+
+Scale posture: the reference controls output file counts with
+``coalesce(1)``/``repartition(1)`` (ReadMongodb.scala:47,
+ReadDitingData.scala:69) — a single-writer bottleneck at scale. Here
+``max_records_per_file`` + optional ``partition_by`` shape files
+without collapsing parallelism; callers that truly need one file pass
+``single_file=True`` explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _shape(df: DataFrame, single_file: bool) -> DataFrame:
+    return df.coalesce(1) if single_file else df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+    single_file: bool = False,
+) -> None:
+    """S4: partitioned parquet write. ``partitionBy('dt')`` replaces the
+    reference's hand-built ``path + '/dt=%s'`` strings
+    (ArticleInfoProcess.scala:182)."""
+    writer = _shape(df, single_file).write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(
+    df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False
+) -> None:
+    """S5 (dedup-export JSON, ArticleInfoProcess.scala:185 coalesce(1))."""
+    _shape(df, single_file).write.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    sep: str = ",",
+    single_file: bool = False,
+) -> None:
+    _shape(df, single_file).write.mode(mode).option(
+        "header", str(header).lower()
+    ).option("sep", sep).csv(path)
+
+
+def write_text(
+    df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False
+) -> None:
+    """S12: single string column → text lines (vocab files,
+    PrepData.scala:131,159,221)."""
+    _shape(df, single_file).write.mode(mode).text(path)
+
+
+def write_uci_triples(
+    df: DataFrame,
+    path: str,
+    doc_col: str = "doc_id",
+    word_col: str = "word_id",
+    tf_col: str = "tf",
+    mode: str = "overwrite",
+) -> None:
+    """T16: UCI bag-of-words `docID|wordID|tf` lines, the LightLDA
+    interchange format (LightldaPreProcess.scala:119-127). Sorted by
+    (doc, word) via range partitioning so files are globally ordered
+    without a single-task sort."""
+    (
+        df.repartitionByRange(F.col(doc_col), F.col(word_col))
+        .sortWithinPartitions(doc_col, word_col)
+        .select(
+            F.concat_ws(
+                "|",
+                F.col(doc_col).cast("string"),
+                F.col(word_col).cast("string"),
+                F.col(tf_col).cast("string"),
+            ).alias("value")
+        )
+        .write.mode(mode)
+        .text(path)
+    )
+
+
+def write_libsvm_text(
+    df: DataFrame,
+    path: str,
+    label_col: str,
+    pairs_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """T16: libsvm lines ``label idx:val idx:val ...`` from a column of
+    pre-sorted (idx, val) structs — pure column expressions, no UDF."""
+    line = F.concat_ws(
+        " ",
+        F.col(label_col).cast("string"),
+        F.array_join(
+            F.transform(
+                F.col(pairs_col),
+                lambda p: F.concat_ws(
+                    ":", p["idx"].cast("string"), p["val"].cast("string")
+                ),
+            ),
+            " ",
+        ),
+    )
+    df.select(line.alias("value")).write.mode(mode).text(path)
+
+
+def write_mongo(df: DataFrame, uri: str, database: str, collection: str) -> None:
+    """S2: append-mode Mongo write (WriteMongodb.scala:39-43). Connector
+    not present here — raises with the production shape documented."""
+    try:
+        (
+            df.write.format("mongodb")
+            .mode("append")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+            .save()
+        )
+    except Exception as exc:  # pragma: no cover - connector not installed
+        raise NotImplementedError(
+            "MongoDB connector jar not available; write parquet and bulk-load instead"
+        ) from exc

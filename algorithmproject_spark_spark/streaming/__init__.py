@@ -1,0 +1,14 @@
+from algorithmproject_spark_spark.streaming.facade import (  # noqa: F401
+    stream_read_kafka,
+    stream_read_parquet,
+    stream_read_rate,
+    stream_read_socket,
+    stream_write_console,
+    stream_write_kafka,
+    stream_write_memory,
+    stream_write_parquet,
+)
+from algorithmproject_spark_spark.streaming.windows import (  # noqa: F401
+    sessionized_counts,
+    windowed_value_agg,
+)

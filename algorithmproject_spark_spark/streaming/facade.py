@@ -1,0 +1,126 @@
+"""Structured Streaming source/sink facade — SURVEY.md §2.1 S13-S17,
+mirroring ``label/DataLoader.scala:96-253`` (the reference's streaming
+library: socket/kafka in, memory/console/parquet/kafka out, processing-
+time triggers, checkpointing — but no watermarks or event-time windows;
+those live in ``streaming/windows.py`` as the extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def stream_read_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S13 (DataLoader.scala:96-99)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+
+
+def stream_read_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe: str,
+    starting_offsets: str = "latest",
+    min_partitions: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """S14 (DataLoader.scala:118-131): key/value cast to string."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", subscribe)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if min_partitions is not None:
+        reader = reader.option("minPartitions", str(min_partitions))
+    return reader.load().selectExpr(
+        "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value"
+    )
+
+
+def stream_read_parquet(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """File-stream source (schema mandatory for streams)."""
+    return spark.readStream.format("parquet").schema(schema).load(path)
+
+
+def stream_read_rate(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Built-in rate source — deterministic local testing."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def stream_write_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """S15 memory sink (DataLoader.scala:140-150) — test/debug only:
+    the sink collects to the driver."""
+    writer = df.writeStream.format("memory").queryName(query_name).outputMode(output_mode)
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_write_console(
+    df: DataFrame,
+    output_mode: str = "append",
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """S15 console sink (DataLoader.scala:152-162)."""
+    writer = df.writeStream.format("console").outputMode(output_mode)
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_write_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = (),
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """S16 (DataLoader.scala:225-240): append-mode parquet files with
+    exactly-once via checkpointed file-sink log."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_write_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """S17 (DataLoader.scala:242-253): expects ``key``/``value`` string
+    columns, like the reference's ``(key, value)`` dataset contract."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,102 @@
+"""Round-trip tests for the reader/writer facade (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from algorithmproject_spark_spark.sources import readers, writers
+
+IO_DIR = Path(__file__).resolve().parent.parent / ".scratch" / "io_tests"
+
+
+@pytest.fixture()
+def io_dir():
+    IO_DIR.mkdir(parents=True, exist_ok=True)
+    yield IO_DIR
+    shutil.rmtree(IO_DIR, ignore_errors=True)
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [Row(k=i, name=f"n{i}", dt=f"2024-01-0{1 + i % 3}") for i in range(30)]
+    )
+
+
+def test_parquet_partitioned_roundtrip(spark, io_dir):
+    path = str(io_dir / "p")
+    writers.write_parquet(_sample(spark), path, partition_by=("dt",))
+    back = readers.read_parquet(spark, path)
+    assert back.count() == 30
+    # partition pruning: only one dt directory read
+    pruned = back.filter(F.col("dt") == "2024-01-01")
+    assert "dt=2024-01-01" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() == 10
+
+
+def test_json_csv_text_roundtrip(spark, io_dir):
+    df = _sample(spark)
+    writers.write_json(df, str(io_dir / "j"))
+    assert readers.read_json(spark, str(io_dir / "j")).count() == 30
+
+    writers.write_csv(df, str(io_dir / "c"))
+    back = readers.read_csv(spark, str(io_dir / "c"))
+    assert back.count() == 30 and set(back.columns) == {"k", "name", "dt"}
+
+    writers.write_text(df.select(F.col("name").alias("value")), str(io_dir / "t"))
+    assert readers.read_text(spark, str(io_dir / "t")).count() == 30
+
+
+def test_orc_roundtrip(spark, io_dir):
+    _sample(spark).write.mode("overwrite").orc(str(io_dir / "o"))
+    assert readers.read_orc(spark, str(io_dir / "o")).count() == 30
+
+
+def test_delimited_positional(spark, io_dir):
+    """S6: \\u0001-separated positional log lines."""
+    lines = spark.createDataFrame(
+        [Row(value="".join([str(i), f"title{i}", f"content{i}", "news"])) for i in range(5)]
+    )
+    writers.write_text(lines, str(io_dir / "d"))
+    back = readers.read_delimited(
+        spark, str(io_dir / "d"), fields=["id", "title", "content", "rtype"], sep=""
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows["3"]["title"] == "title3" and rows["3"]["rtype"] == "news"
+
+
+def test_uci_triples_writer(spark, io_dir):
+    df = spark.createDataFrame(
+        [Row(doc_id=d, word_id=w, tf=d + w) for d in range(3) for w in range(4)]
+    )
+    writers.write_uci_triples(df, str(io_dir / "uci"))
+    lines = [r["value"] for r in spark.read.text(str(io_dir / "uci")).collect()]
+    assert "0|0|0" in lines and "2|3|5" in lines and len(lines) == 12
+
+
+def test_libsvm_text_writer_and_reader(spark, io_dir):
+    df = spark.createDataFrame(
+        [
+            Row(label=1, pairs=[Row(idx=1, val=2.0), Row(idx=3, val=0.5)]),
+            Row(label=0, pairs=[Row(idx=2, val=1.0)]),
+        ]
+    )
+    writers.write_libsvm_text(df, str(io_dir / "svm"), "label", "pairs")
+    lines = sorted(r["value"] for r in spark.read.text(str(io_dir / "svm")).collect())
+    assert lines == ["0 2:1.0", "1 1:2.0 3:0.5"]
+    back = readers.read_libsvm(spark, str(io_dir / "svm"), num_features=4)
+    assert back.count() == 2 and set(back.columns) == {"label", "features"}
+
+
+def test_read_sql(spark):
+    from algorithmproject_spark_spark.sources.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", tables=("nation",))
+    assert readers.read_sql(spark, "SELECT count(*) AS n FROM nation").first()["n"] == 25
+
+
+def test_mongo_raises_without_connector(spark):
+    with pytest.raises(NotImplementedError):
+        readers.read_mongo(spark, "mongodb://x", "db", "coll")

@@ -1,0 +1,76 @@
+"""Streaming facade tests: file-stream → watermarked window agg →
+memory sink, asserting batch/stream plan equivalence (SURVEY.md §3.4
+extension)."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from algorithmproject_spark_spark.sources.catalog import load_table
+from algorithmproject_spark_spark.streaming import (
+    stream_read_parquet,
+    stream_write_memory,
+    stream_write_parquet,
+    windowed_value_agg,
+)
+
+SCRATCH = Path(__file__).resolve().parent.parent / ".scratch" / "stream_tests"
+
+
+@pytest.fixture()
+def scratch():
+    SCRATCH.mkdir(parents=True, exist_ok=True)
+    yield SCRATCH
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+@pytest.fixture()
+def events_dir(spark, scratch):
+    """Materialize events (micros timestamps) as a file-stream source dir."""
+    path = scratch / "events_in"
+    load_table(spark, "/root/testdata/sf0.001", "events").write.mode("overwrite").parquet(
+        str(path)
+    )
+    return path
+
+
+def test_windowed_agg_stream_equals_batch(spark, events_dir):
+    batch_events = spark.read.parquet(str(events_dir))
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in windowed_value_agg(batch_events).collect()
+    }
+
+    stream = stream_read_parquet(spark, str(events_dir), batch_events.schema)
+    assert stream.isStreaming
+    q = stream_write_memory(
+        windowed_value_agg(stream), "win_agg", output_mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["value_cents"])
+            for r in spark.sql("SELECT * FROM win_agg").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_stream_parquet_sink_checkpointed(spark, events_dir, scratch):
+    stream = stream_read_parquet(
+        spark, str(events_dir), spark.read.parquet(str(events_dir)).schema
+    )
+    out, ckpt = scratch / "out", scratch / "ckpt"
+    q = stream_write_parquet(
+        stream.select("event_id", "event_type"), str(out), str(ckpt)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(str(out)).count() == 1000
+    assert (ckpt / "offsets").exists()  # exactly-once bookkeeping present
