@@ -1,0 +1,258 @@
+"""Composed pipelines — SURVEY.md §3 topologies as single logical plans.
+
+The reference runs its flagship article flow as 3 separate
+spark-submit jobs with parquet handoffs between them
+(``mongodb/ReadMongodb.scala`` → ``ArticleInfoProcess.scala`` →
+``WriteMongodb.scala``) and OUTSOURCES near-dup to an external tool
+(``ArticleInfoProcess.scala:184-191``). Here the whole §3.1 topology is
+one Catalyst plan: dedup → near-dup anti-join → quality filter →
+per-class quota — so the optimizer sees all stages at once (shared
+scans, pushed filters, one shuffle per logical re-key) and nothing
+round-trips through disk between stages.
+
+Also hosts the distributed bounded-iteration PageRank
+(``corpus_pagerank``) that replaces GraphX
+(``label/keywordextractor/TextRank.scala:44-50``) for corpus-scale
+graphs, and the T16 LDA corpus prep
+(``nlp/LightldaPreProcess.scala:136-279``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+from algorithmproject_spark_spark.functions.hashing import (
+    MINHASH_PARAMS,
+    sql_minhash_value,
+)
+from algorithmproject_spark_spark.functions.text import (
+    sql_stopword_list,
+    stopword_array,
+    tokenize,
+)
+from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.queries.dedup import (
+    BAND_ROWS,
+    N_HASHES,
+    _band_key_sql,
+    _shingle_hashes,
+    _sql_shingle_hashes,
+    jaccard_verified_pairs,
+)
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+QUALITY_MIN_CHARS = 120
+QUOTA_PER_CLASS = 150
+
+
+def _sql_dup_pairs() -> str:
+    """CTE chain producing near-dup pairs (doc_a < doc_b, jaccard ≥ 0.5)."""
+    sig_cols = ", ".join(
+        f"{sql_minhash_value('sh', a, b)} AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES])
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+    sh AS ({_sql_shingle_hashes()}),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    dup_pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh)) * 2
+              >= (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+    )
+    """
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    {_sql_dup_pairs()},
+    near_keep AS (
+        SELECT e.doc_id FROM exact_keep e
+        WHERE e.doc_id NOT IN (SELECT doc_b FROM dup_pairs)
+    )
+    SELECT doc_id, lang, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               row_number() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rk
+        FROM documents d JOIN near_keep k ON d.doc_id = k.doc_id
+        WHERE d.n_chars >= {QUALITY_MIN_CHARS}
+    ) WHERE rk <= {QUOTA_PER_CLASS}
+    """,
+    doc="§3.1 flagship: exact dedup → MinHash near-dup anti-join → quality "
+    "filter → per-lang quota window, all one Catalyst plan",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # exact dedup: deterministic survivor = min doc_id per text (the
+    # reference's dropDuplicates keeps an arbitrary row — fine in prod,
+    # not oracle-checkable; min() costs the same single shuffle).
+    exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # near-dup: drop the higher-id side of each verified pair (E4 made
+    # native — the reference anti-joined ids from an external tool).
+    dup_b = jaccard_verified_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    keep = exact_keep.select("doc_id").join(dup_b, "doc_id", "left_anti")
+    quota = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.join(keep, "doc_id")  # ids only → broadcast-able semi filter
+        .filter(F.col("n_chars") >= QUALITY_MIN_CHARS)
+        .withColumn("rk", F.row_number().over(quota))
+        .filter(F.col("rk") <= QUOTA_PER_CLASS)
+        .select("doc_id", "lang", "source", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# T16: LDA corpus prep — vocab build + rare-word filter + UCI triples
+# (LightldaPreProcess.scala:136-279 writes doc|word|tf text files for an
+# external LightLDA trainer; the same triples feed pyspark.ml LDA here).
+# --------------------------------------------------------------------------
+MIN_DF = 5  # reference uses df ≥ 10 at 5M docs (LightldaPreProcess.scala:158)
+MIN_DOC_GRAMS = 3  # reference: 20 < grams < 200 (PrepData.scala:184-188)
+MAX_DOC_GRAMS = 200
+
+
+@register(
+    "lda_corpus_uci",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE NOT list_contains({sql_stopword_list()}, word)
+        GROUP BY doc_id, word
+    ),
+    vocab AS (
+        SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS word_id
+        FROM (SELECT word FROM tf GROUP BY word HAVING count(*) >= {MIN_DF})
+    ),
+    doc_ok AS (
+        SELECT doc_id FROM tf JOIN vocab USING (word)
+        GROUP BY doc_id
+        HAVING count(*) > {MIN_DOC_GRAMS} AND count(*) < {MAX_DOC_GRAMS}
+    )
+    SELECT t.doc_id, v.word_id, t.tf
+    FROM tf t JOIN vocab v USING (word) JOIN doc_ok d USING (doc_id)
+    """,
+    doc="T16: LDA corpus prep — vocab (df≥5, ids dense by word), doc-size "
+    "filter, UCI (doc, word_id, tf) triples",
+)
+def lda_corpus_uci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
+        .filter(~F.array_contains(stopword_array(), F.col("word")))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # vocab is df-filtered → small; the global row_number window is a
+    # single-partition sort over vocab only (not the corpus), after
+    # which it broadcasts into both joins.
+    vocab = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= MIN_DF)
+        .withColumn(
+            "word_id",
+            (F.row_number().over(W.orderBy("word")) - 1).cast("long"),
+        )
+        .select("word", "word_id")
+    )
+    with_ids = tf.join(F.broadcast(vocab), "word")
+    doc_ok = (
+        with_ids.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .filter(
+            (F.col("n_grams") > MIN_DOC_GRAMS) & (F.col("n_grams") < MAX_DOC_GRAMS)
+        )
+        .select("doc_id")
+    )
+    return with_ids.join(doc_ok, "doc_id").select("doc_id", "word_id", "tf")
+
+
+# --------------------------------------------------------------------------
+# T10 at corpus scale: bounded-iteration PageRank as a DataFrame loop —
+# the distributed replacement for GraphX pageRank (TextRank.scala:44-50
+# collects the whole vertex map to the driver; this never does).
+# --------------------------------------------------------------------------
+def corpus_word_graph(docs: DataFrame) -> DataFrame:
+    """Symmetric adjacent-token co-occurrence edges (src, dst, w)."""
+    toks = docs.select(F.posexplode(tokenize("text")).alias("pos", "word"), "doc_id")
+    nxt = toks.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("word").alias("next_word")
+    )
+    pairs = toks.join(nxt, ["doc_id", "pos"]).filter(F.col("word") != F.col("next_word"))
+    directed = pairs.select(F.col("word").alias("src"), F.col("next_word").alias("dst"))
+    sym = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double").alias("w"))
+
+
+def corpus_pagerank(
+    docs: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """(word, rank): fixed-iteration weighted PageRank, fully distributed.
+
+    Each iteration is one join + one agg on (edges ⋈ ranks); edges are
+    cached once. Each iteration ends in ``localCheckpoint`` — persist
+    alone is NOT enough for iterative DataFrames: it truncates
+    re-execution but the logical plan still nests one level per
+    iteration, and Catalyst re-analyzes the whole tower every loop
+    (measured 70s → 13s for 10 iterations on a 31-node graph).
+    localCheckpoint cuts the plan itself to the materialized RDD.
+    """
+    edges = corpus_word_graph(docs).cache()
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges_n = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    ).cache()
+    nodes = edges.select(F.col("src").alias("word")).distinct().cache()
+    n = nodes.count()
+    ranks = nodes.select("word", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            edges_n.join(ranks, edges_n.src == ranks.word)
+            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        # symmetric graph → no dangling nodes, but keep rank mass for
+        # isolated vocabulary via the left join + coalesce.
+        ranks = nodes.join(contrib, nodes.word == contrib.dst, "left").select(
+            "word",
+            (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+        ).localCheckpoint(eager=True)
+    return ranks
+
+
+@register(
+    "corpus_pagerank_topk",
+    oracle=None,  # iterative distributed FP — rows-only (exact tests cover the per-doc kernel)
+    doc="T10 corpus-scale: 10-iteration DataFrame PageRank over the word "
+    "co-occurrence graph, top-20 words",
+)
+def corpus_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ranks = corpus_pagerank(docs, iterations=10)
+    return (
+        ranks.select("word", F.floor(F.col("rank") * 1e6 + F.lit(0.5)).cast("long").alias("rank_e6"))
+        .orderBy(F.desc("rank_e6"), F.asc("word"))
+        .limit(20)
+    )

@@ -1,0 +1,176 @@
+"""Keyword-extraction queries — SURVEY.md §2.9 T10/T11/T12.
+
+- ``rake_topk`` runs the pandas-UDF RAKE kernel (``ml/rake.py``,
+  reference ``label/searchword/SearchwordLabelRake.scala:14-124``) and
+  checks it against a full DuckDB SQL re-derivation of the same
+  closed-form algorithm — the strongest kind of oracle: two independent
+  implementations, bit-exact integer outputs.
+- ``textrank_topk`` is the per-document power-iteration TextRank
+  (``ml/textrank.py``, reference ``label/keywordextractor/
+  TextRank.scala:20-125``). 20 FP iterations are not reasonably
+  SQL-expressible, so it is registered rows-only (driver records the
+  weaker check); exact-value coverage lives in
+  ``tests/test_keywords.py`` against hand-computed fixtures.
+- ``label_combine_keywords`` is the T12 combiner
+  (``label/keywordextractor/LabelCombine.scala:18-106``): full outer
+  join of two extractor outputs with key coalescing (J4) — integer
+  score domain keeps the combination oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.text import sql_stopword_list
+from algorithmproject_spark_spark.ml import rake, textrank
+from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.queries.text import tfidf_top_terms
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+# DuckDB twin of ml/rake.py: sentences → stopword-delimited runs
+# truncated to 3 tokens → word freq/degree → phrase score = left-fold
+# sum of degree/freq (list_reduce matches Python's sum() order, so the
+# doubles are bit-identical) → top-10 per doc by (score desc, phrase).
+_RAKE_ORACLE = f"""
+WITH sent AS (
+    SELECT doc_id, unnest(ss) AS sent, generate_subscripts(ss, 1) AS sidx
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(text), '[.!?,;:\\t\\n\\r"()\\[\\]]+') AS ss
+          FROM documents)
+),
+tok AS (
+    SELECT doc_id, sidx, unnest(ts) AS tok, generate_subscripts(ts, 1) AS tidx
+    FROM (SELECT doc_id, sidx,
+                 list_filter(regexp_split_to_array(sent, '\\s+'), t_ -> t_ <> '') AS ts
+          FROM sent)
+),
+runs AS (
+    SELECT *, sum(CASE WHEN sw THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id, sidx ORDER BY tidx) AS run_id
+    FROM (SELECT *, list_contains({sql_stopword_list()}, tok) AS sw FROM tok)
+),
+phrases AS (
+    SELECT doc_id, sidx, run_id,
+           list_slice(list(tok ORDER BY tidx), 1, 3) AS ph
+    FROM runs WHERE NOT sw
+    GROUP BY doc_id, sidx, run_id
+),
+words AS (SELECT doc_id, unnest(ph) AS w, len(ph) AS plen FROM phrases),
+stats AS (
+    SELECT doc_id, w, count(*) AS freq, sum(plen) AS degree
+    FROM words GROUP BY doc_id, w
+),
+ph_tok AS (
+    SELECT doc_id, ph, unnest(ph) AS w, generate_subscripts(ph, 1) AS pidx
+    FROM (SELECT DISTINCT doc_id, ph FROM phrases)
+),
+scored AS (
+    SELECT doc_id, array_to_string(ph, ' ') AS phrase,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(CAST(degree AS DOUBLE) / freq ORDER BY pidx)),
+               (a_, b_) -> a_ + b_) AS score
+    FROM ph_tok JOIN stats USING (doc_id, w)
+    GROUP BY doc_id, ph
+)
+SELECT doc_id, phrase,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
+@register(
+    "rake_topk",
+    oracle=_RAKE_ORACLE,
+    doc="T11: RAKE keywords via Arrow pandas_udf, top-10 per doc, "
+    "oracle = independent SQL re-derivation",
+)
+def rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return rake.extract_keywords(docs, top_k=10)
+
+
+@register(
+    "textrank_topk",
+    oracle=None,  # 20 FP power iterations: not SQL-expressible; exact tests in tests/test_keywords.py
+    doc="T10: per-doc TextRank via applyInPandas, top-10 words per doc",
+)
+def textrank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank.extract_keywords(docs, top_k=10)
+
+
+# T12 LabelCombine: outer-join extractor outputs, coalesce the term key
+# (LabelCombine.scala:19-36 does exactly this across tfidf/textrank/rake
+# with a 2-arg coalescing UDF — here F.coalesce is native). Scores stay
+# in the integer e6 domain so addition is exact for the oracle.
+_TFIDF_CTE = """
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE NOT list_contains({stoplist}, word)
+        GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tfidf AS (
+        SELECT doc_id, word,
+               CAST(floor(tf * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                                  / (CAST(df.df AS DOUBLE) + 1.0)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS score_e6
+        FROM tf JOIN df USING (word) CROSS JOIN n
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, word) <= 5
+    )
+"""
+
+
+@register(
+    "label_combine_keywords",
+    oracle=f"""
+    WITH rk AS ({_RAKE_ORACLE.replace("rank <= 10", "rank <= 10 AND len(string_split(phrase, ' ')) = 1")}),
+    {_TFIDF_CTE.format(stoplist=sql_stopword_list())}
+    SELECT COALESCE(t.doc_id, r.doc_id) AS doc_id,
+           COALESCE(t.word, r.phrase) AS term,
+           COALESCE(t.score_e6, 0) + COALESCE(r.score_e6, 0) AS combined_e6,
+           (t.word IS NOT NULL) AS from_tfidf,
+           (r.phrase IS NOT NULL) AS from_rake
+    FROM tfidf t
+    FULL OUTER JOIN rk r ON t.doc_id = r.doc_id AND t.word = r.phrase
+    """,
+    doc="T12/J4: full outer join of TF-IDF and RAKE-unigram outputs with "
+    "coalesced keys; integer score combine",
+)
+def label_combine_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tfidf = tfidf_top_terms(spark, sf_dir).select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("word").alias("t_term"),
+        F.col("score_e6").alias("t_score"),
+    )
+    rk = (
+        rake_topk(spark, sf_dir)
+        .filter(~F.col("phrase").contains(" "))  # unigrams join on the word key
+        .select(
+            F.col("doc_id").alias("r_doc"),
+            F.col("phrase").alias("r_term"),
+            F.col("score_e6").alias("r_score"),
+        )
+    )
+    joined = tfidf.join(
+        rk,
+        (F.col("t_doc") == F.col("r_doc")) & (F.col("t_term") == F.col("r_term")),
+        "outer",
+    )
+    return joined.select(
+        F.coalesce("t_doc", "r_doc").alias("doc_id"),
+        F.coalesce("t_term", "r_term").alias("term"),
+        (
+            F.coalesce(F.col("t_score"), F.lit(0))
+            + F.coalesce(F.col("r_score"), F.lit(0))
+        ).alias("combined_e6"),
+        F.col("t_term").isNotNull().alias("from_tfidf"),
+        F.col("r_term").isNotNull().alias("from_rake"),
+    )

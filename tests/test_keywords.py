@@ -1,0 +1,65 @@
+"""Exact-value unit tests for the RAKE and TextRank kernels
+(SURVEY.md §5 item 2: closed-form fixtures for non-SQL kernels)."""
+
+from __future__ import annotations
+
+import math
+
+from algorithmproject_spark_spark.ml.rake import rake_phrases, rake_scores
+from algorithmproject_spark_spark.ml.textrank import textrank_scores
+
+SW = frozenset({"of", "the", "a", "and", "to", "in", "is"})
+
+
+def test_rake_phrases_runs_and_truncation():
+    # runs break at stopwords; a 4-token run truncates to 3 (max_phrase_len)
+    text = "deep learning of the deep net. one two three four"
+    assert rake_phrases(text, SW) == [
+        ("deep", "learning"),
+        ("deep", "net"),
+        ("one", "two", "three"),
+    ]
+
+
+def test_rake_scores_closed_form():
+    # freq: deep=2, learning=1, net=1 ; degree: deep=4, learning=2, net=2
+    # score(deep learning) = 4/2 + 2/1 = 4.0 = score(deep net) → tie
+    # broken by phrase text ascending.
+    out = rake_scores("deep learning of the deep net", SW)
+    assert out == [("deep learning", 4.0), ("deep net", 4.0)]
+
+
+def test_rake_single_word_degree_includes_self():
+    # one phrase ("spark",): freq=1, degree=1 → score 1.0
+    assert rake_scores("the spark", SW) == [("spark", 1.0)]
+
+
+def test_rake_empty_and_all_stopwords():
+    assert rake_scores("", SW) == []
+    assert rake_scores("the of and", SW) == []
+
+
+def test_textrank_symmetric_pair():
+    # two words, one symmetric edge → equal ranks summing to 1
+    scores = textrank_scores(["x", "y"], frozenset(), window=2, iterations=20)
+    assert scores["x"] == scores["y"]
+    assert math.isclose(scores["x"] + scores["y"], 1.0, rel_tol=1e-9)
+
+
+def test_textrank_hub_outranks_leaf():
+    # star graph: center co-occurs with every leaf → highest rank
+    toks = ["hub", "l1", "hub", "l2", "hub", "l3"]
+    scores = textrank_scores(toks, frozenset(), window=1, iterations=30)
+    assert max(scores, key=scores.get) == "hub"
+
+
+def test_textrank_deterministic():
+    toks = "spark flink spark beam trino flink".split()
+    a = textrank_scores(toks, frozenset(), iterations=20)
+    b = textrank_scores(toks, frozenset(), iterations=20)
+    assert a == b  # bit-identical across runs (fixed fold order)
+
+
+def test_textrank_stopwords_excluded():
+    scores = textrank_scores(["the", "spark", "of", "flink"], SW)
+    assert set(scores) == {"spark", "flink"}

@@ -1,0 +1,57 @@
+"""Shape/validity invariants for the seeded-but-nondeterministic ML ops
+(SURVEY.md §5 item 3): LDA topic distributions and Word2Vec synonyms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmproject_spark_spark.ml.topics import (
+    _doc_tokens,
+    fit_lda,
+    lda_doc_topics,
+    word2vec_neighbors,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    return _doc_tokens(spark, SF_DIR).cache()
+
+
+def test_lda_topic_distribution_sums_to_one(spark, tokens):
+    _cv, lda_model, vectors = fit_lda(tokens, k=3, max_iter=5)
+    from pyspark.ml.functions import vector_to_array
+
+    dist = lda_model.transform(vectors).select(
+        F.aggregate(
+            vector_to_array("topicDistribution"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s")
+    )
+    rows = dist.collect()
+    assert all(abs(r.s - 1.0) < 1e-6 for r in rows)
+
+
+def test_lda_vocab_and_topics_shape(spark, tokens):
+    cv_model, lda_model, _ = fit_lda(tokens, k=3, max_iter=5)
+    assert 0 < len(cv_model.vocabulary) <= 2048
+    topics = lda_model.describeTopics(5)
+    assert topics.count() == 3
+
+
+def test_lda_doc_topics_one_row_per_doc(spark):
+    out = lda_doc_topics(spark, SF_DIR)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert out.count() == n_docs
+    topics = [r.topic for r in out.select("topic").distinct().collect()]
+    assert all(0 <= t < 5 for t in topics)
+
+
+def test_word2vec_neighbors_shape(spark):
+    out = word2vec_neighbors(spark, SF_DIR).collect()
+    assert len(out) == 5
+    assert all(-1.0 - 1e-9 <= r.similarity <= 1.0 + 1e-9 for r in out)
