@@ -1,0 +1,58 @@
+"""Multimodal plumbing tests: Arrow batch shapes, byte preservation
+through frame chunking, and the explicit codec stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmproject_spark_spark.operators.multimodal import (
+    FRAME_BYTES,
+    decode_image,
+    extract_media_meta,
+    fake_decode_meta,
+    media_table,
+    sample_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_decode_image_is_a_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_fake_decode_meta_deterministic():
+    assert fake_decode_meta(b"x" * 300) == (300 % 640 + 16, (300 * 7) % 480 + 16, 2)
+    assert fake_decode_meta(b"") == (16, 16, 0)
+
+
+def test_media_meta_matches_payload(spark):
+    media = media_table(spark, SF_DIR)
+    meta = extract_media_meta(media)
+    row = meta.orderBy("doc_id").first()
+    src = media.orderBy("doc_id").first()
+    w, h, nf = fake_decode_meta(bytes(src.payload))
+    assert (row.n_bytes, row.width, row.height, row.n_frames) == (
+        len(src.payload), w, h, nf,
+    )
+
+
+def test_frames_preserve_every_byte(spark):
+    media = media_table(spark, SF_DIR).limit(20)
+    frames = sample_frames(media)
+    # reassemble: concat frames in idx order == original payload
+    re = (
+        frames.groupBy("doc_id")
+        .agg(
+            F.sum("frame_len").alias("total"),
+            F.max("frame_len").alias("max_len"),
+        )
+    )
+    orig = media.select("doc_id", F.length("payload").alias("n"))
+    joined = re.join(orig, "doc_id").collect()
+    assert len(joined) == 20
+    for r in joined:
+        assert r.total == r.n
+        assert r.max_len <= FRAME_BYTES
