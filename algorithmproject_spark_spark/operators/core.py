@@ -1,0 +1,188 @@
+"""Composable relational operators — the reusable library behind the
+registered queries (SURVEY.md §7: "composable operator functions,
+DataFrame → DataFrame, one module per §2 family" replacing the
+reference's 79 copy-pasted mains).
+
+Each function names a reference idiom and implements it the
+Spark-native way; the registered queries and pipelines call these, and
+external users compose them directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def anti_join_ids(df: DataFrame, ids: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """J3: remove rows whose key appears in ``ids``.
+
+    The reference's dominant pattern is ``join(dup, key, "left")
+    .filter("dupmark is null")`` (``ArticleInfoProcess.scala:191``,
+    ``mark/NewsMarchMarkPreProcess.scala:46-56``); native ``left_anti``
+    skips materializing the marker column and lets Catalyst pick
+    broadcast-anti when ``ids`` is small.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.join(ids.select(*keys).distinct(), keys, "left_anti")
+
+
+def semi_join_ids(df: DataFrame, ids: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """Keep only rows whose key appears in ``ids`` (left_semi)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.join(ids.select(*keys).distinct(), keys, "left_semi")
+
+
+def zip_with_index(
+    df: DataFrame, order_by: str | Column, index_col: str = "idx"
+) -> DataFrame:
+    """W1: global 0-based row index, deterministic via explicit ordering.
+
+    Replaces the reference's 20-line ``dfZipWithIndex`` RDD rebuild
+    (copied 4×: ``ArticleInfoProcess.scala:17-36`` et al). NOTE: a
+    global ``row_number`` funnels through ONE partition — correct but a
+    scale bottleneck; when ids only need uniqueness (not density), use
+    ``monotonically_increasing_id`` instead (same caveat the reference's
+    zipWithIndex has re: extra job).
+    """
+    w = W.orderBy(order_by)
+    return df.withColumn(index_col, (F.row_number().over(w) - 1).cast("long"))
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition: str | Sequence[str],
+    order: Column | Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """W2: per-entity top-N — the window form of the reference's
+    sort-and-``take(N)`` inside UDFs (``TextRank.scala:90``,
+    ``UserTextLabelCalc.scala:80-81``)."""
+    parts = [partition] if isinstance(partition, str) else list(partition)
+    orders = [order] if isinstance(order, Column) else list(order)
+    w = W.partitionBy(*parts).orderBy(*orders)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def quota_per_class(
+    df: DataFrame, cls: str, order_by: str | Column, quota: int
+) -> DataFrame:
+    """W3: per-class quota sampling in ONE pass — replaces the
+    reference's filter(class).limit(q) repeated per class then unioned
+    (``NewsMarchSubCategoryTrainProcess.scala:67-73``), which scans the
+    input once per class and is nondeterministic under limit()."""
+    w = W.partitionBy(cls).orderBy(order_by)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
+def dedup_exact(
+    df: DataFrame, subset: str | Sequence[str], keep_min_of: str | None = None
+) -> DataFrame:
+    """E3: exact dedup. With ``keep_min_of`` the survivor is
+    deterministic (min of that column per group) — dropDuplicates keeps
+    an arbitrary row, which is fine operationally
+    (``ArticleInfoProcess.scala:66,68``) but unreproducible."""
+    keys = [subset] if isinstance(subset, str) else list(subset)
+    if keep_min_of is None:
+        return df.dropDuplicates(keys)
+    w = W.partitionBy(*keys).orderBy(F.asc(keep_min_of))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def outer_coalesce_join(
+    a: DataFrame, b: DataFrame, keys: Sequence[str], how: str = "outer"
+) -> DataFrame:
+    """J4: outer join where the key columns are coalesced into single
+    output columns (``keywordextractor/LabelCombine.scala:19-36`` does
+    this with a 2-arg UDF; ``F.coalesce`` is native). Non-key columns
+    pass through from both sides."""
+    al, bl = a.alias("__a"), b.alias("__b")
+    cond = None
+    for k in keys:
+        c = F.col(f"__a.{k}") == F.col(f"__b.{k}")
+        cond = c if cond is None else (cond & c)
+    joined = al.join(bl, cond, how)
+    coalesced = [
+        F.coalesce(F.col(f"__a.{k}"), F.col(f"__b.{k}")).alias(k) for k in keys
+    ]
+    rest = [
+        F.col(f"__a.{c}") for c in a.columns if c not in keys
+    ] + [F.col(f"__b.{c}") for c in b.columns if c not in keys]
+    return joined.select(*coalesced, *rest)
+
+
+def union_all(frames: Sequence[DataFrame]) -> DataFrame:
+    """E1: n-way union by name (the reference chains up to 8 unionAll
+    calls — ``NewsSubCategoryTrainCheck.scala:67``)."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def approx_percentile_threshold(
+    df: DataFrame, col: str, p: float
+) -> float:
+    """A6: scalar percentile threshold (``TFIDF.scala:177-191`` runs a
+    Percentile_approx SQL then collects). Returns a driver-side float —
+    bounded size, legitimate collect."""
+    return df.agg(F.percentile_approx(col, p).alias("t")).first()["t"]
+
+
+def frequency_topk(
+    df: DataFrame, col: str, k: int, count_col: str = "count"
+) -> DataFrame:
+    """A2: frequency histogram top-k, deterministic tie-break on the
+    value (``YoutubeTimeStat.scala:47-53`` sorts desc and show()s)."""
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .orderBy(F.desc(count_col), F.asc(col))
+        .limit(k)
+    )
+
+
+def positional_split(
+    df: DataFrame,
+    value_col: str,
+    names: Sequence[str],
+    sep: str = "",
+) -> DataFrame:
+    """S6: delimited-line parsing — ``split(value, sep).getItem(i)``
+    per field (``article/ReadPushData.scala:18-32`` up to item 181)."""
+    parts = F.split(F.col(value_col), sep)
+    return df.select(
+        *[parts.getItem(i).alias(n) for i, n in enumerate(names)]
+    )
+
+
+def min_max_normalize(df: DataFrame, col: str, out_col: str) -> DataFrame:
+    """F10: corpus-wide min-max normalization via a broadcast 1-row
+    bounds join (``UserTextLabelCalc.scala:148-159`` collects min/max
+    to the driver; this keeps it in-plan)."""
+    bounds = df.agg(
+        F.min(col).alias("__mn"), F.max(col).alias("__mx")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(1.0)).otherwise(
+                (F.col(col).cast("double") - F.col("__mn"))
+                / (F.col("__mx") - F.col("__mn"))
+            ),
+        )
+        .drop("__mn", "__mx")
+    )

@@ -1,0 +1,293 @@
+"""Second text-operator batch — SURVEY.md §2.9 T4/T5/T7/T9/T19, §2.4 A10.
+
+All native column expressions (no UDFs): the reference implements these
+as Scala RDD maps / 36-120-line UDF bodies; every one reduces to
+explode + window + regexp once expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from algorithmproject_spark_spark.functions.text import (
+    sql_stopword_list,
+    stopword_array,
+    tokenize,
+)
+from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+
+@register(
+    "stopword_masked_bigrams",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE NOT list_contains({sql_stopword_list()}, a.w)
+          AND NOT list_contains({sql_stopword_list()}, b.w)
+    )
+    SELECT bigram, count(*) AS n FROM pairs GROUP BY bigram
+    HAVING count(*) >= 20
+    """,
+    doc="T4: stopword-aware bigrams — windows break at stopword positions "
+    "(AppsTextCoreNLPTokens.scala:180-216's 36-line mask loop as one "
+    "filter over adjacent pairs)",
+)
+def stopword_masked_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "w")
+    )
+    sw = stopword_array()
+    nxt = tok.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    pairs = (
+        tok.join(nxt, ["doc_id", "pos"])
+        .filter(
+            ~F.array_contains(sw, F.col("w")) & ~F.array_contains(sw, F.col("w2"))
+        )
+        .select(F.concat_ws(" ", "w", "w2").alias("bigram"))
+    )
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+# T5/T7: the reference's candidate-phrase regex battery
+# (NewsNgrams.scala:220-309) mines quoted spans, ALL-CAPS abbreviations,
+# and parentheticals; T7 (SearchWordCoreNLPTokens.scala:224-253) flags
+# capitalized tokens as potential NEs. The corpus is lowercase prose, so
+# the query first derives a marked-up rendering from real columns (the
+# regexes then have genuine structure to hit), keeping every value
+# oracle-derivable.
+@register(
+    "candidate_phrase_mining",
+    oracle="""
+    WITH marked AS (
+        SELECT doc_id,
+               '"' || source || '" says ' || upper(lang) || ' (' ||
+               CAST(n_chars AS VARCHAR) || ' chars): ' || text AS mt
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(mt, '"([^"]+)"', 1) AS quoted,
+           regexp_extract(mt, '\\(([^)]+)\\)', 1) AS parenthetical,
+           COALESCE(regexp_extract_all(mt, '\\b[A-Z]{2,}\\b')[1], '') AS abbrev,
+           len(regexp_extract_all(mt, '\\b[A-Z][a-z]*\\b')) AS n_capitalized
+    FROM marked
+    """,
+    doc="T5/T7: candidate-phrase regex battery — quoted spans, "
+    "parentheticals, ALL-CAPS abbreviations, capitalized-token NER "
+    "heuristic, all native regexp exprs",
+)
+def candidate_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mt = F.concat(
+        F.lit('"'), F.col("source"), F.lit('" says '), F.upper("lang"),
+        F.lit(" ("), F.col("n_chars").cast("string"), F.lit(" chars): "),
+        F.col("text"),
+    )
+    marked = docs.select("doc_id", mt.alias("mt"))
+    caps = F.regexp_extract_all(F.col("mt"), F.lit(r"\b[A-Z]{2,}\b"), 0)
+    return marked.select(
+        "doc_id",
+        F.regexp_extract("mt", r'"([^"]+)"', 1).alias("quoted"),
+        F.regexp_extract("mt", r"\(([^)]+)\)", 1).alias("parenthetical"),
+        F.coalesce(F.try_element_at(caps, F.lit(1)), F.lit("")).alias("abbrev"),
+        F.size(
+            F.regexp_extract_all(F.col("mt"), F.lit(r"\b[A-Z][a-z]*\b"), 0)
+        ).alias("n_capitalized"),
+    )
+
+
+# T9: per-user tag TF-IDF with min-max normalized tf and idf
+# (UserTextLabelCalc.scala:42-159 — HashingTF + manual min-max loops).
+# Events stand in for the user→tag bag: tags = event types per user.
+@register(
+    "user_tag_tfidf_norm",
+    oracle="""
+    WITH tf AS (
+        SELECT user_id, event_type AS tag, count(*) AS tf
+        FROM events GROUP BY user_id, event_type
+    ),
+    idf AS (
+        SELECT tag, ln((CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE) + 1.0)
+                      / (CAST(count(*) AS DOUBLE) + 1.0)) AS idf
+        FROM tf GROUP BY tag
+    ),
+    bounds AS (
+        SELECT min(tf) AS tf_min, max(tf) AS tf_max FROM tf
+    ),
+    ibounds AS (
+        SELECT min(idf) AS i_min, max(idf) AS i_max FROM idf
+    ),
+    scored AS (
+        SELECT t.user_id, t.tag,
+               CAST(floor(
+                   (CASE WHEN b.tf_max = b.tf_min THEN 1.0
+                         ELSE (CAST(t.tf AS DOUBLE) - b.tf_min) / (b.tf_max - b.tf_min) END)
+                 * (CASE WHEN ib.i_max = ib.i_min THEN 1.0
+                         ELSE (i.idf - ib.i_min) / (ib.i_max - ib.i_min) END)
+                 * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+        FROM tf t JOIN idf i USING (tag)
+        CROSS JOIN bounds b CROSS JOIN ibounds ib
+    )
+    SELECT user_id, tag, score_e6, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY score_e6 DESC, tag) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="T9: user tag tf·idf, each factor min-max normalized corpus-wide, "
+    "top-3 tags per user (window replaces the reference's driver loops)",
+)
+def user_tag_tfidf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tf = ev.groupBy("user_id", F.col("event_type").alias("tag")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_users = ev.select("user_id").distinct().count()
+    idf = tf.groupBy("tag").agg(
+        F.log(
+            (F.lit(float(n_users)) + 1.0)
+            / (F.count(F.lit(1)).cast("double") + 1.0)
+        ).alias("idf")
+    )
+    bounds = tf.agg(
+        F.min("tf").alias("tf_min"), F.max("tf").alias("tf_max")
+    )
+    ibounds = idf.agg(F.min("idf").alias("i_min"), F.max("idf").alias("i_max"))
+    tf_n = F.when(F.col("tf_max") == F.col("tf_min"), F.lit(1.0)).otherwise(
+        (F.col("tf").cast("double") - F.col("tf_min"))
+        / (F.col("tf_max") - F.col("tf_min"))
+    )
+    idf_n = F.when(F.col("i_max") == F.col("i_min"), F.lit(1.0)).otherwise(
+        (F.col("idf") - F.col("i_min")) / (F.col("i_max") - F.col("i_min"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tag")
+        .crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(ibounds))
+        .select(
+            "user_id",
+            "tag",
+            F.floor(tf_n * idf_n * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("score_e6"), F.asc("tag"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# T19: classifier-feedback corpus cleaning
+# (NewsSubCategoryTrainCheck.scala:102-118): drop rows the classifier
+# disagrees with confidently or agrees with unconfidently. pred/proba
+# are derived deterministically from data columns (no model here — the
+# operator under test is the union + anti-join cleanup).
+@register(
+    "train_check_clean",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               doc_id % 5 AS label,
+               n_chars % 5 AS pred,
+               CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0 AS proba
+        FROM documents
+    ),
+    bad AS (
+        SELECT doc_id FROM scored WHERE pred = label AND proba < 0.7
+        UNION ALL
+        SELECT doc_id FROM scored WHERE pred <> label AND proba > 0.5
+    )
+    SELECT s.doc_id, s.label, s.pred FROM scored s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    doc="T19: feedback cleaning — union of low-confidence-agree + "
+    "high-confidence-disagree ids, removed via native left_anti (the "
+    "reference emulates anti-join with left join + null filter, J3)",
+)
+def train_check_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 5).alias("label"),
+        (F.col("n_chars") % 5).alias("pred"),
+        ((F.col("doc_id") * 37) % 100).cast("double").alias("proba100"),
+    ).withColumn("proba", F.col("proba100") / 100.0)
+    bad = scored.filter(
+        (F.col("pred") == F.col("label")) & (F.col("proba") < 0.7)
+    ).unionByName(
+        scored.filter((F.col("pred") != F.col("label")) & (F.col("proba") > 0.5))
+    ).select("doc_id")
+    return scored.join(bad, "doc_id", "left_anti").select("doc_id", "label", "pred")
+
+
+# A10: product-of-counts scoring (LabelCombine.scala:59-77 folds a
+# HashMap with seqop/combop on the driver). Π counts = exp(Σ ln count),
+# but a float Σ is partition-order dependent — so each ln is snapped to
+# 1e6 fixed-point FIRST and summed as integers, which is associative
+# and therefore deterministic under any partitioning. The score stays
+# monotonic in the true product, which is all ranking needs.
+@register(
+    "product_score_per_class",
+    oracle=f"""
+    WITH tf AS (
+        SELECT lang, word, count(*) AS c
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE NOT list_contains({sql_stopword_list()}, word)
+        GROUP BY lang, word
+    )
+    SELECT lang,
+           count(*) AS n_words,
+           sum(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS log_product_e6
+    FROM tf GROUP BY lang
+    """,
+    doc="A10: product-of-counts via integer-snapped Σln — associative, "
+    "deterministic under any partitioning (raw FP Σ is not)",
+)
+def product_score_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(tokenize("text")).alias("word"))
+        .filter(~F.array_contains(stopword_array(), F.col("word")))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(
+            F.floor(F.log(F.col("c").cast("double")) * F.lit(1000000.0)).cast("long")
+        ).alias("log_product_e6"),
+    )
+
+
+# O4: sampling — the reference's sample(false, 0.1) is seed-dependent
+# and not reproducible across engines; the scale-correct substitute is
+# a deterministic hash-mod filter (stable under re-runs, re-partitioning
+# and engine changes — what you actually want for training splits).
+@register(
+    "deterministic_sample_10pct",
+    oracle="""
+    SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 10 = 3
+    """,
+    doc="O4: deterministic 10% sample via multiplicative hash-mod on the "
+    "key (reproducible train/holdout splits; sample() is not)",
+)
+def deterministic_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter((F.col("doc_id") * 2654435761) % 10 == 3).select(
+        "doc_id", "lang"
+    )

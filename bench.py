@@ -37,6 +37,12 @@ HEADLINE = (
     "jaccard_verified_pairs",
     "simhash_fingerprints",
     "knn_bruteforce_cosine",
+    "rake_topk",
+    "curation_pipeline",
+    "lda_corpus_uci",
+    "user_tag_tfidf_norm",
+    "ann_lsh_topk",
+    "media_meta_stats",
 )
 
 

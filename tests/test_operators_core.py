@@ -1,0 +1,96 @@
+"""Unit tests for the composable operator library (operators/core.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from algorithmproject_spark_spark.operators.core import (
+    anti_join_ids,
+    approx_percentile_threshold,
+    dedup_exact,
+    frequency_topk,
+    min_max_normalize,
+    outer_coalesce_join,
+    positional_split,
+    quota_per_class,
+    semi_join_ids,
+    topk_per_group,
+    union_all,
+    zip_with_index,
+)
+
+
+def test_anti_and_semi_join(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    ids = spark.createDataFrame([(2,), (3,), (3,)], ["id"])
+    assert [r.id for r in anti_join_ids(df, ids, "id").collect()] == [1]
+    assert sorted(r.id for r in semi_join_ids(df, ids, "id").collect()) == [2, 3]
+
+
+def test_zip_with_index_dense_and_ordered(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], ["v"])
+    out = {r.v: r.idx for r in zip_with_index(df, "v").collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("x", 3), ("x", 1), ("x", 2), ("y", 9)], ["g", "s"]
+    )
+    out = topk_per_group(df, "g", F.desc("s"), 2)
+    got = sorted((r.g, r.s, r.rk) for r in out.collect())
+    assert got == [("x", 2, 2), ("x", 3, 1), ("y", 9, 1)]
+
+
+def test_quota_per_class_one_pass(spark):
+    df = spark.createDataFrame([("a", i) for i in range(5)] + [("b", 9)], ["c", "i"])
+    out = quota_per_class(df, "c", "i", 3)
+    assert out.filter(F.col("c") == "a").count() == 3
+    assert out.filter(F.col("c") == "b").count() == 1
+    assert "__rk" not in out.columns
+
+
+def test_dedup_exact_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("t", 5), ("t", 2), ("u", 1)], ["text", "id"]
+    )
+    out = dedup_exact(df, "text", keep_min_of="id")
+    assert {(r.text, r.id) for r in out.collect()} == {("t", 2), ("u", 1)}
+
+
+def test_outer_coalesce_join(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "av"])
+    b = spark.createDataFrame([(2, "y")], ["k", "bv"])
+    out = outer_coalesce_join(a, b, ["k"]).orderBy("k").collect()
+    assert [(r.k, r.av, r.bv) for r in out] == [(1, "x", None), (2, None, "y")]
+
+
+def test_union_all(spark):
+    fs = [spark.createDataFrame([(i,)], ["x"]) for i in range(4)]
+    assert union_all(fs).count() == 4
+
+
+def test_percentile_threshold(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+    t = approx_percentile_threshold(df, "v", 0.5)
+    assert 45.0 <= t <= 55.0
+
+
+def test_frequency_topk_deterministic_ties(spark):
+    df = spark.createDataFrame([("b",), ("b",), ("a",), ("a",), ("c",)], ["w"])
+    out = frequency_topk(df, "w", 2).collect()
+    assert [(r.w, r["count"]) for r in out] == [("a", 2), ("b", 2)]
+
+
+def test_positional_split(spark):
+    df = spark.createDataFrame([("a\x01b\x01c",)], ["value"])
+    out = positional_split(df, "value", ["f1", "f2", "f3"], "\x01").collect()[0]
+    assert (out.f1, out.f2, out.f3) == ("a", "b", "c")
+
+
+def test_min_max_normalize(spark):
+    df = spark.createDataFrame([(0,), (5,), (10,)], ["v"])
+    out = {r.v: r.n for r in min_max_normalize(df, "v", "n").collect()}
+    assert out == {0: 0.0, 5: 0.5, 10: 1.0}
+    const = spark.createDataFrame([(3,), (3,)], ["v"])
+    assert all(r.n == 1.0 for r in min_max_normalize(const, "v", "n").collect())
