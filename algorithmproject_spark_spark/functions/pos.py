@@ -1,0 +1,244 @@
+"""T6 — lemmatize + POS-tag + POS-pattern n-gram filter.
+
+The reference runs CoreNLP's ``FastNLPProcessor`` once per partition
+(``nlp/NewsNgrams.scala:110-130``, ``label/AppsTextCoreNLPTokens.scala:
+56-178``, ``label/PrepProcess.scala:137-152``) to lemmatize, POS-tag,
+keep NN/JJ/VB tokens, and admit only noun-ish n-gram patterns
+(NN+NN, VB+NN, JJ+NN …). CoreNLP/spaCy are not available here, so the
+engine ships a **deterministic rule-based tagger** (suffix heuristics +
+closed-class list) with two interchangeable implementations:
+
+1. :func:`lemmatize_token` / :func:`pos_tag_token` — pure Catalyst
+   column expressions usable inside ``F.transform`` lambdas: stays in
+   whole-stage codegen, no Python worker, exactly oracle-checkable via
+   the ``sql_*`` DuckDB twins.
+2. :func:`lemma_pos_map_in_pandas` — the Arrow path showing the
+   per-worker lazy-singleton pattern the reference needed
+   ``mapPartitions`` for (one heavyweight NLP object per executor,
+   never per row — the per-row construction in
+   ``PrepProcess.scala:137-139`` is the anti-pattern SURVEY.md §4
+   flags). If spaCy ever lands in the image it is picked up behind an
+   import-try; otherwise the same suffix rules run vectorized, so both
+   paths agree bit-for-bit today.
+
+At 100 TB the Catalyst path is the default: tagging is per-row narrow
+work, so it scales with input partitions and never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from algorithmproject_spark_spark.functions.text import (
+    STOPWORDS,
+    sql_stopword_list,
+    stopword_array,
+)
+
+# POS bigram patterns the reference admits (NewsNgrams.scala:110-130).
+ALLOWED_POS_PAIRS: tuple[str, ...] = ("NN+NN", "JJ+NN", "VB+NN")
+
+# Suffix rule battery — ordered; first match wins. Kept deliberately
+# regex-dialect-neutral (anchored suffix classes only) so the Java and
+# RE2 engines agree.
+_RB_SUFFIX = "ly$"
+_VB_SUFFIX = "[a-z]{2}(ing|ed)$"
+_JJ_SUFFIX = "(ous|ful|ive|able|ible|al|ic)$"
+
+
+def lemmatize_token(tok: Column) -> Column:
+    """Rule-based lemma: lowercase, drop possessive ``'s``,
+    ``-ies → -y``, strip plural ``-s`` (guarded so ``class``/``bus``/
+    ``this`` survive). Pure Catalyst regexp chain."""
+    c = F.lower(tok)
+    c = F.regexp_replace(c, "'s$", "")
+    c = F.regexp_replace(c, "([a-z]{2})ies$", "$1y")
+    c = F.regexp_replace(c, "([a-z]{2}[^sui])s$", "$1")
+    return c
+
+
+def sql_lemmatize_token(tok_expr: str) -> str:
+    """DuckDB twin of :func:`lemmatize_token` (RE2 ``\\1`` backrefs)."""
+    c = f"lower({tok_expr})"
+    c = f"regexp_replace({c}, '''s$', '')"
+    c = f"regexp_replace({c}, '([a-z]{{2}})ies$', '\\1y')"
+    c = f"regexp_replace({c}, '([a-z]{{2}}[^sui])s$', '\\1')"
+    return c
+
+
+def pos_tag_token(lemma: Column) -> Column:
+    """Heuristic POS tag of a lemma: closed-class → XX (dropped), else
+    RB / VB / JJ by suffix, default NN — the reference keeps only
+    NN/JJ/VB content words (AppsTextCoreNLPTokens.scala:56-178)."""
+    return (
+        F.when(F.array_contains(stopword_array(), lemma), F.lit("XX"))
+        .when(lemma.rlike(_RB_SUFFIX), F.lit("RB"))
+        .when(lemma.rlike(_VB_SUFFIX), F.lit("VB"))
+        .when(lemma.rlike(_JJ_SUFFIX), F.lit("JJ"))
+        .otherwise(F.lit("NN"))
+    )
+
+
+def sql_pos_tag_token(lemma_expr: str) -> str:
+    """DuckDB twin of :func:`pos_tag_token`."""
+    return (
+        "CASE "
+        f"WHEN list_contains({sql_stopword_list()}, {lemma_expr}) THEN 'XX' "
+        f"WHEN regexp_matches({lemma_expr}, '{_RB_SUFFIX}') THEN 'RB' "
+        f"WHEN regexp_matches({lemma_expr}, '{_VB_SUFFIX}') THEN 'VB' "
+        f"WHEN regexp_matches({lemma_expr}, '{_JJ_SUFFIX}') THEN 'JJ' "
+        "ELSE 'NN' END"
+    )
+
+
+def lemmas(tokens: Column) -> Column:
+    """array<string> of lemmas for a token array."""
+    return F.transform(tokens, lemmatize_token)
+
+
+def pos_tags(lemma_arr: Column) -> Column:
+    """array<string> of POS tags, aligned with the lemma array."""
+    return F.transform(lemma_arr, pos_tag_token)
+
+
+def pos_pattern_bigrams(lemma_arr: Column, tag_arr: Column) -> Column:
+    """Bigrams whose tag pair is in :data:`ALLOWED_POS_PAIRS` —
+    the POS-pattern n-gram admission filter (NewsNgrams.scala:110-130)
+    as pure HOFs: build (gram, pattern) pairs, filter, project."""
+    n = F.size(lemma_arr) - F.lit(1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.element_at(lemma_arr, i), F.element_at(lemma_arr, i + 1)
+            ).alias("gram"),
+            F.concat_ws(
+                "+", F.element_at(tag_arr, i), F.element_at(tag_arr, i + 1)
+            ).alias("pat"),
+        ),
+    )
+    allowed = F.array(*[F.lit(p) for p in ALLOWED_POS_PAIRS])
+    return F.transform(
+        F.filter(pairs, lambda p: F.array_contains(allowed, p["pat"])),
+        lambda p: p["gram"],
+    )
+
+
+def sql_pos_bigram_cte(table: str, text_col: str = "text") -> str:
+    """DuckDB CTE producing (doc_id, gram) rows of admitted POS bigrams
+    — mirrors tokenize → lemmas → pos_tags → pos_pattern_bigrams."""
+    lem_list = (
+        f"list_transform(string_split({text_col}, ' '), "
+        f"t -> {sql_lemmatize_token('t')})"
+    )
+    allowed = "[" + ", ".join(f"'{p}'" for p in ALLOWED_POS_PAIRS) + "]"
+    return f"""
+    WITH lemmed AS (
+        SELECT doc_id, {lem_list} AS lem FROM {table}
+    ),
+    tagged AS (
+        SELECT doc_id, lem,
+               list_transform(lem, t -> {sql_pos_tag_token('t')}) AS tag
+        FROM lemmed
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(list_filter(
+                   list_transform(range(1, len(lem)), i -> struct_pack(
+                       gram := lem[i] || ' ' || lem[i + 1],
+                       pat  := tag[i] || '+' || tag[i + 1])),
+                   p -> list_contains({allowed}, p.pat)), p -> p.gram)) AS gram
+        FROM tagged
+    )
+    """
+
+
+# --------------------------------------------------------------------------
+# Arrow path — the mapPartitions/heavy-singleton pattern.
+# --------------------------------------------------------------------------
+_NLP_SINGLETON = None
+
+
+def _get_nlp():
+    """One tagger object per Python worker process (NOT per row/batch) —
+    the fix for the reference's per-row FastNLPProcessor construction
+    (PrepProcess.scala:137-139). spaCy is used when importable; the
+    deterministic rule fallback matches the Catalyst path exactly."""
+    global _NLP_SINGLETON
+    if _NLP_SINGLETON is None:
+        try:  # pragma: no cover - spaCy absent in this image
+            import spacy
+
+            _NLP_SINGLETON = ("spacy", spacy.load("en_core_web_sm"))
+        except Exception:
+            _NLP_SINGLETON = ("rules", None)
+    return _NLP_SINGLETON
+
+
+_STOPSET = frozenset(STOPWORDS)
+
+
+def _rule_lemma(tok: str) -> str:
+    import re
+
+    t = tok.lower()
+    t = re.sub("'s$", "", t)
+    t = re.sub("([a-z]{2})ies$", r"\1y", t)
+    t = re.sub("([a-z]{2}[^sui])s$", r"\1", t)
+    return t
+
+
+def _rule_tag(lemma: str) -> str:
+    import re
+
+    if lemma in _STOPSET:
+        return "XX"
+    if re.search(_RB_SUFFIX, lemma):
+        return "RB"
+    if re.search(_VB_SUFFIX, lemma):
+        return "VB"
+    if re.search(_JJ_SUFFIX, lemma):
+        return "JJ"
+    return "NN"
+
+
+LEMMA_POS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("lemmas", ArrayType(StringType())),
+        StructField("tags", ArrayType(StringType())),
+    ]
+)
+
+
+def lemma_pos_map_in_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``mapInPandas`` lemma+POS pass: Arrow batches in, one lazy tagger
+    per worker. Input needs (doc_id, ``text_col``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kind, nlp = _get_nlp()
+        for pdf in batches:
+            lem_col, tag_col = [], []
+            for text in pdf[text_col].astype(str):
+                toks = text.split(" ")
+                if kind == "spacy":  # pragma: no cover - not in image
+                    doc = nlp(" ".join(toks))
+                    lems = [w.lemma_.lower() for w in doc]
+                    tags = [w.tag_[:2] for w in doc]
+                else:
+                    lems = [_rule_lemma(t) for t in toks]
+                    tags = [_rule_tag(l) for l in lems]
+                lem_col.append(lems)
+                tag_col.append(tags)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lemmas": lem_col, "tags": tag_col}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, schema=LEMMA_POS_SCHEMA)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 
 def anti_join_ids(df: DataFrame, ids: DataFrame, key: str | Sequence[str]) -> DataFrame:
@@ -48,6 +48,76 @@ def zip_with_index(
     """
     w = W.orderBy(order_by)
     return df.withColumn(index_col, (F.row_number().over(w) - 1).cast("long"))
+
+
+def zip_with_global_index(
+    df: DataFrame,
+    order_by: str | Column | Sequence[str | Column],
+    index_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W1 at scale: dense 0-based global index WITHOUT the
+    all-rows-to-one-task funnel of an unpartitioned window
+    (``WindowExec: No Partition Defined`` → single partition).
+
+    Same two-phase shape as RDD ``zipWithIndex`` (the reference's
+    ``dfZipWithIndex``, ``ArticleInfoProcess.scala:17-36``), but
+    DataFrame/Arrow-native:
+
+    1. range-partition + sort by the key — the global sort any dense
+       index needs, kept N-way parallel (range exchange, not a funnel);
+    2. per-partition row counts → driver (one long per partition — a
+       bounded collect, fine at any scale) → prefix-sum offsets;
+    3. one narrow Arrow pass adds ``offset + local position``. No
+       second shuffle, no Python-per-row cost.
+
+    Deterministic when ``order_by`` is a unique key (ties spanning a
+    range boundary are partition-dependent — the same caveat
+    zipWithIndex has). Use :func:`zip_with_index` only for
+    dimension-sized inputs where a single-task sort is cheaper than two
+    jobs.
+    """
+    spark = df.sparkSession
+    cols = (
+        [order_by]
+        if isinstance(order_by, (str, Column))
+        else list(order_by)
+    )
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    sdf = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in sdf.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(index_col, T.LongType(), False)]
+    )
+
+    def attach(batches):
+        import numpy as np
+
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            out = pdf.drop(columns="__pid")
+            out[index_col] = np.arange(pos, pos + len(pdf), dtype="int64")
+            pos += len(pdf)
+            yield out
+
+    return sdf.mapInPandas(attach, schema=out_schema)
 
 
 def topk_per_group(

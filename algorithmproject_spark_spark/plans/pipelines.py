@@ -160,9 +160,12 @@ def lda_corpus_uci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # vocab is df-filtered → small; the global row_number window is a
-    # single-partition sort over vocab only (not the corpus), after
-    # which it broadcasts into both joins.
+    # vocab is df-filtered → orders of magnitude smaller than the
+    # corpus (≤ tens of millions of words even at 100 TB, ~100 MB);
+    # a single-task row_number sort over vocab-only is cheaper than
+    # zip_with_global_index's second corpus scan, and it then
+    # broadcasts into both joins. Fact-scale dense ids use
+    # operators.core.zip_with_global_index instead.
     vocab = (
         tf.groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))

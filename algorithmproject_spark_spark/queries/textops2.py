@@ -291,3 +291,59 @@ def deterministic_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter((F.col("doc_id") * 2654435761) % 10 == 3).select(
         "doc_id", "lang"
     )
+
+
+# T6: lemmatize + POS tag + POS-pattern n-gram admission. The reference
+# needs a per-partition CoreNLP processor (NewsNgrams.scala:110-130);
+# here the deterministic rule tagger is a pure Catalyst transform, so
+# the whole pass is narrow per-row work inside codegen — at 100 TB it
+# scales with input splits and the only shuffle is the final count.
+@register(
+    "doc_pos_bigrams",
+    oracle=None,  # set below after import to avoid circular fstring clutter
+    doc="T6: rule-based lemma+POS tagging, NN+NN/JJ+NN/VB+NN bigram "
+    "admission (NewsNgrams.scala:110-130), corpus top-40",
+)
+def doc_pos_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.functions.pos import (
+        lemmas,
+        pos_pattern_bigrams,
+        pos_tags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lemmed = docs.select(
+        "doc_id", lemmas(tokenize("text")).alias("lem")
+    ).withColumn("tag", pos_tags(F.col("lem")))
+    grams = lemmed.select(
+        F.explode(pos_pattern_bigrams(F.col("lem"), F.col("tag"))).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(40)
+    )
+
+
+def _install_pos_oracle() -> None:
+    from algorithmproject_spark_spark.functions.pos import sql_pos_bigram_cte
+    from algorithmproject_spark_spark.queries.base import REGISTRY, QuerySpec
+
+    spec = REGISTRY["doc_pos_bigrams"]
+    sql = (
+        sql_pos_bigram_cte("documents")
+        + """
+    SELECT gram, n FROM (
+        SELECT gram, count(*) AS n FROM grams GROUP BY gram
+    )
+    ORDER BY n DESC, gram
+    LIMIT 40
+    """
+    )
+    REGISTRY["doc_pos_bigrams"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+    )
+
+
+_install_pos_oracle()

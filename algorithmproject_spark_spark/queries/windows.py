@@ -29,13 +29,15 @@ from algorithmproject_spark_spark.sources.catalog import load_table
     doc="W1: dfZipWithIndex replacement — row_number over global order",
 )
 def window_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOTE: a global (unpartitioned) window funnels all rows through a
-    # single task — acceptable for id-assignment on dimension-sized
-    # data; for fact-scale ids use monotonically_increasing_id or
-    # zipWithIndex-free sharded ids (see operators.ids).
+    # Scalable W1: an unpartitioned row_number window funnels ALL rows
+    # through one task; zip_with_global_index keeps the sort range-
+    # partitioned and assigns offsets from per-partition counts instead
+    # (operators/core.py) — identical result for the unique doc_id key.
+    from algorithmproject_spark_spark.operators.core import zip_with_global_index
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").withColumn(
-        "rn", F.row_number().over(W.orderBy("doc_id"))
+    return zip_with_global_index(docs.select("doc_id"), "doc_id", "rn0").select(
+        "doc_id", (F.col("rn0") + 1).cast("int").alias("rn")
     )
 
 
