@@ -12,3 +12,6 @@ from algorithmproject_spark_spark.streaming.windows import (  # noqa: F401
     sessionized_counts,
     windowed_value_agg,
 )
+from algorithmproject_spark_spark.streaming.stateful import (  # noqa: F401
+    user_profile_stateful,
+)

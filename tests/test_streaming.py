@@ -74,3 +74,44 @@ def test_stream_parquet_sink_checkpointed(spark, events_dir, scratch):
         q.stop()
     assert spark.read.parquet(str(out)).count() == 1000
     assert (ckpt / "offsets").exists()  # exactly-once bookkeeping present
+
+def test_stateful_user_profile_stream(spark, events_dir):
+    """applyInPandasWithState: final per-user profile equals the batch
+    aggregate (after the stream drains, the last update per key wins)."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.streaming import user_profile_stateful
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+
+    batch = spark.read.parquet(str(events_dir))
+    expected = {
+        r["user_id"]: (r["n"], r["cents"], r["nt"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+
+    stream = stream_read_parquet(spark, str(events_dir), batch.schema)
+    q = stream_write_memory(
+        user_profile_stateful(stream), "user_profiles", output_mode="update"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n_events"], r["value_cents"], r["n_types"])
+            for r in spark.sql(
+                "SELECT * FROM user_profiles ORDER BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
