@@ -1,0 +1,98 @@
+"""Skew-aware aggregation — salting for heavy-hitter keys.
+
+SURVEY.md §7 flags "salted aggregation fallback for skewed word
+counts" as part of the 100 TB posture. Plain ``groupBy(key).count()``
+is already safe at scale (hash aggregation partial-aggregates map-side
+before the shuffle), but aggregations whose buffers grow with group
+size — ``collect_list``/``collect_set``, exact distinct — funnel the
+ENTIRE group through one reducer task. With a skewed key (a language
+column where one value is 90 % of a 100 TB corpus) that task OOMs.
+
+The fix is classic two-phase salting, expressed relationally so
+Catalyst/AQE still optimize around it:
+
+1. phase 1 groups by ``(key, salt)`` — the heavy key's rows spread over
+   ``buckets`` reducers, each building a bounded partial buffer;
+2. phase 2 groups by ``key`` over the ``buckets`` partial results and
+   merges them.
+
+The salt is derived deterministically from the VALUE column
+(``xxhash64 % buckets``), not from randomness or partition ids, so
+plans stay reproducible run-to-run and the final merged result is
+bit-stable. Ordering introduced by salting is erased with a canonical
+``array_sort`` merge, which is what makes the operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_collect_sorted_list(
+    df: DataFrame,
+    key: str,
+    value: str,
+    buckets: int = 16,
+    out_col: str = "vals",
+) -> DataFrame:
+    """Per-key sorted list of values, skew-safe.
+
+    Equivalent to ``groupBy(key).agg(array_sort(collect_list(value)))``
+    but no single task ever materializes a whole heavy group: phase-1
+    buffers are ~group_size/buckets, and phase 2 merges ``buckets``
+    pre-built arrays per key.
+    """
+    salt = F.pmod(F.xxhash64(F.col(value)), F.lit(buckets)).alias("__salt")
+    partial = df.groupBy(F.col(key), salt).agg(
+        F.collect_list(F.col(value)).alias("__part")
+    )
+    return partial.groupBy(key).agg(
+        F.array_sort(F.flatten(F.collect_list("__part"))).alias(out_col)
+    )
+
+
+def two_phase_count_distinct(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct count per key: dedup on (key, value) first — that
+    shuffle hash-partitions on BOTH columns, spreading a heavy key
+    across reducers — then a cheap count per key.
+
+    Note: Catalyst's distinct-aggregate rewrite produces this same
+    two-exchange shape for a single ``countDistinct`` (verified on the
+    physical plan), so this helper adds nothing there; it exists for
+    composability (combine with other aggregates without triggering
+    expand-based multi-distinct plans) and as the documented skew-safe
+    spelling.
+    """
+    deduped = df.select(key, value).dropDuplicates([key, value])
+    return deduped.groupBy(key).agg(F.count(F.lit(1)).alias(out_col))
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked demo on the most skewed key in the testdata: lang on
+# documents (a handful of values over the whole corpus). Result equals
+# the naive groupBy exactly — the salt only changes the physical shape.
+# --------------------------------------------------------------------------
+from pyspark.sql import DataFrame as _DF, SparkSession as _SS  # noqa: E402
+
+from algorithmproject_spark_spark.queries.base import register  # noqa: E402
+from algorithmproject_spark_spark.sources.catalog import load_table  # noqa: E402
+
+
+@register(
+    "lang_doc_ids_salted",
+    oracle="""
+    SELECT lang, list_sort(list(doc_id)) AS doc_ids, count(*) AS n
+    FROM documents GROUP BY lang
+    """,
+    doc="skew-safe salted collect_list over the heavy lang key; merged "
+    "result identical to the naive groupBy (oracle-verified)",
+)
+def lang_doc_ids_salted(spark: _SS, sf_dir: str) -> _DF:
+    docs = load_table(spark, sf_dir, "documents")
+    out = salted_collect_sorted_list(docs, "lang", "doc_id", buckets=16, out_col="doc_ids")
+    return out.withColumn("n", F.size("doc_ids").cast("long"))

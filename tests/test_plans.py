@@ -1,0 +1,102 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+Correctness tests say the operators compute the right answer; these say
+Catalyst compiles them to the plans we designed for scale: pushed
+filters, pruned scans, broadcast/anti joins where intended, partial
+aggregation, no Python nodes in relational paths, shuffle-free
+bucketed joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmproject_spark_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_and_column_pruning_q1(spark):
+    p = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # projection reaches the parquet scan: a 7-column read, not SELECT *
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema
+
+
+def test_broadcast_join_chosen_for_dimensions(spark):
+    p = plan_of(REGISTRY["q5_local_supplier_volume"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_native_anti_join(spark):
+    p = plan_of(REGISTRY["join_anti_customers_without_orders"].fn(spark, SF))
+    assert "LeftAnti" in p  # native anti-join, not left+null-filter
+
+
+def test_wordcount_partial_aggregation_no_python(spark):
+    p = plan_of(REGISTRY["doc_wordcount_topk"].fn(spark, SF))
+    # map-side partial agg before the exchange, final agg after
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_relational_queries_have_no_python_nodes(spark):
+    """Every oracle-checked relational/text query must stay JVM-side —
+    Python appears only in declared Arrow kernels (multimodal, global
+    index)."""
+    # declared Arrow kernels (pandas_udf/mapInPandas by design): RAKE,
+    # multimodal decode, two-phase global index
+    for name in [
+        "q3_shipping_priority",
+        "tfidf_top_terms",
+        "doc_pos_bigrams",
+        "minhash_lsh_candidates",
+        "ann_ivf_topk",
+        "lang_doc_ids_salted",
+        "curation_pipeline",
+    ]:
+        p = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "EvalPython" not in p, f"{name} fell off the JVM path"
+
+
+def test_salted_collect_list_two_phase(spark):
+    p = plan_of(REGISTRY["lang_doc_ids_salted"].fn(spark, SF))
+    # phase 1 groups on (lang, salt), phase 2 on lang → two exchanges
+    assert p.count("Exchange") >= 2
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from algorithmproject_spark_spark.sources.writers import write_bucketed_table
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed_table(left, "bk_left", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed_table(right, "bk_right", ["k"], n_buckets=8, sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in p  # co-located: no shuffle
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
