@@ -337,3 +337,34 @@ def doc_sensitive_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (training-data extension): a GPT-2-style
+# pre-tokenizer regex — contraction suffixes, space-prefixed letter
+# runs, digit runs, punctuation runs — as the budget-estimation
+# tokenizer a 100 TB pipeline runs before the real BPE. Pure
+# regexp_extract_all: JVM-side, per-row narrow, no shuffle besides the
+# final projection.
+# --------------------------------------------------------------------------
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+@register(
+    "doc_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenizer token counts (GPT-2-style regex) vs "
+    "whitespace counts — training-budget estimation per doc",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.size(tokenize("text")).alias("n_ws_tokens"),
+    )

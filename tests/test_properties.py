@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) — the upgrade over the
+reference's assertion-free smoke mains (SURVEY.md §5): distributed
+operators must agree with single-threaded Python models on arbitrary
+inputs, not just fixtures.
+
+Each property materializes ONE Spark job per example; examples are
+capped low because correctness here is about shapes (empty arrays,
+duplicate keys, skewed groups, unicode), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from algorithmproject_spark_spark.functions.text import ngrams
+from algorithmproject_spark_spark.operators.core import zip_with_global_index
+from algorithmproject_spark_spark.operators.skew import salted_collect_sorted_list
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=st.lists(st.lists(token, max_size=12), min_size=1, max_size=8))
+@SLOW
+def test_ngrams_match_python_model(spark, docs):
+    def model(toks, n):
+        return [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, toks array<string>"
+    )
+    for n in (2, 3):
+        got = {
+            r.i: r.g
+            for r in df.select("i", ngrams(F.col("toks"), n).alias("g")).collect()
+        }
+        assert got == {i: model(d, n) for i, d in enumerate(docs)}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SLOW
+def test_salted_collect_equals_naive(spark, rows):
+    """Skewed-by-construction keys (only 3 distinct): the salted
+    two-phase merge must equal the naive groupBy exactly."""
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(5)
+    naive = {
+        r.k: r.vals
+        for r in df.groupBy("k")
+        .agg(F.array_sort(F.collect_list("v")).alias("vals"))
+        .collect()
+    }
+    salted = {
+        r.k: r.vals
+        for r in salted_collect_sorted_list(df, "k", "v", buckets=4).collect()
+    }
+    assert salted == naive
+
+
+@given(keys=st.sets(st.integers(-(10**6), 10**6), min_size=1, max_size=80))
+@SLOW
+def test_global_index_is_dense_rank(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(7)
+    out = {r.k: r.idx for r in zip_with_global_index(df, "k", num_partitions=4).collect()}
+    expected = {k: i for i, k in enumerate(sorted(keys))}
+    assert out == expected
