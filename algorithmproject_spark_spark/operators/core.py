@@ -83,7 +83,18 @@ def zip_with_global_index(
         if isinstance(order_by, (str, Column))
         else list(order_by)
     )
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    # Default width follows the INPUT's partitioning (≈ bytes /
+    # maxPartitionBytes, so it grows with data volume) capped at 4×
+    # cluster parallelism — a small table gets 2 partitions instead of
+    # paying 2×N Python-worker spin-ups, a 100 TB table still sorts
+    # wide. Callers with better knowledge pass num_partitions.
+    n = num_partitions or max(
+        2,
+        min(
+            df.rdd.getNumPartitions(),
+            spark.sparkContext.defaultParallelism * 4,
+        ),
+    )
     sdf = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)

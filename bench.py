@@ -42,7 +42,12 @@ HEADLINE = (
     "lda_corpus_uci",
     "user_tag_tfidf_norm",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "media_meta_stats",
+    "doc_pos_bigrams",
+    "doc_bpe_token_stats",
+    "lang_doc_ids_salted",
+    "window_global_rownum",
 )
 
 
