@@ -94,3 +94,29 @@ def test_min_max_normalize(spark):
     assert out == {0: 0.0, 5: 0.5, 10: 1.0}
     const = spark.createDataFrame([(3,), (3,)], ["v"])
     assert all(r.n == 1.0 for r in min_max_normalize(const, "v", "n").collect())
+
+
+def test_bucketed_interval_join_half_open_boundaries(spark):
+    import datetime as dt
+
+    from algorithmproject_spark_spark.operators.rangejoin import (
+        bucketed_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    points = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(59)), (3, ts(60)), (4, ts(200))], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [("w", ts(0), ts(60))], ["name", "s", "e"]
+    )
+    got = sorted(
+        r.pid
+        for r in bucketed_interval_join(points, intervals, "ts", "s", "e").collect()
+    )
+    # start inclusive, end exclusive; far point excluded by bucket join
+    assert got == [1, 2]

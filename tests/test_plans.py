@@ -100,3 +100,9 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    p = plan_of(REGISTRY["range_join_type_windows"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p  # bucketed equi-join shape
+    assert "Join" in p

@@ -55,7 +55,16 @@ def main() -> int:
     names = args[1:] if args and os.path.isdir(args[0]) else args
     targets = {n: REGISTRY[n] for n in names} if names else REGISTRY
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_CHECK_VANILLA"):
+        # Driver-parity mode: a bare session with none of session.py's
+        # confs, exactly like the external correctness gate builds it.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "oracle-check-vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
