@@ -97,3 +97,42 @@ def events_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("click").alias("clicks"),
         cnt("purchase").alias("purchases"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup (north-star extension): one
+# pass computes hour-level, day-level and day-total aggregates via
+# GROUPING SETS — the batch twin of a timeseries store's continuous
+# aggregate ladder. Expressed through the SQL frontend (S10) over a
+# registered view; Catalyst plans a single Expand + partial/final
+# aggregate, so the corpus is scanned ONCE for all three resolutions —
+# at 100 TB that's the difference between one shuffle and three jobs.
+# Exact cents math keeps it oracle-checkable.
+# --------------------------------------------------------------------------
+@register(
+    "events_multires_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           date_trunc('hour', ts) AS h,
+           event_type,
+           count(*) AS n,
+           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (d))
+    """,
+    doc="hypertable rollup: hour/day/day-total aggregates in ONE scan "
+    "via GROUPING SETS (single Expand+aggregate plan)",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS d,
+               date_trunc('hour', ts) AS h,
+               event_type,
+               count(*) AS n,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+        FROM events_v
+        GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (d))
+        """
+    )
