@@ -204,13 +204,27 @@ def corpus_word_graph(docs: DataFrame) -> DataFrame:
     sym = directed.unionByName(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return sym.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    return sym.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+PR_SCALE = 10**12  # rank fixed-point unit; rank*w must stay < 2^63 —
+# at 100 TB edge weights (~1e9) drop this to 1e9 and results stay exact.
+PR_ITERS = 5
 
 
 def corpus_pagerank(
-    docs: DataFrame, iterations: int = 10, damping: float = 0.85
+    docs: DataFrame, iterations: int = PR_ITERS, scale: int = PR_SCALE
 ) -> DataFrame:
-    """(word, rank): fixed-iteration weighted PageRank, fully distributed.
+    """(word, rank): fixed-iteration weighted PageRank in EXACT integer
+    arithmetic — fully distributed AND oracle-checkable (float PageRank
+    never is: shuffle-order float sums diverge across engines).
+
+    Fixed-point update (damping 0.85 = 17/20, truncating integer div —
+    identical in Spark ``DIV`` and DuckDB ``//`` for non-negatives):
+
+        contrib(u→v) = rank_u * w_uv DIV out_w_u
+        rank'_v      = base + (Σ contrib) * 17 DIV 20,
+        base         = (scale * 3 DIV 20) DIV n
 
     Each iteration is one join + one agg on (edges ⋈ ranks); edges are
     cached once. Each iteration ends in ``localCheckpoint`` — persist
@@ -222,40 +236,89 @@ def corpus_pagerank(
     """
     edges = corpus_word_graph(docs).cache()
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    edges_n = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
-    ).cache()
+    edges_n = edges.join(out_w, "src").select("src", "dst", "w", "out_w").cache()
     nodes = edges.select(F.col("src").alias("word")).distinct().cache()
     n = nodes.count()
-    ranks = nodes.select("word", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    base = (scale * 3 // 20) // n
+    ranks = nodes.select("word", F.lit(scale // n).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (
             edges_n.join(ranks, edges_n.src == ranks.word)
-            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            .select("dst", F.expr("rank * w DIV out_w").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
         # symmetric graph → no dangling nodes, but keep rank mass for
         # isolated vocabulary via the left join + coalesce.
-        ranks = nodes.join(contrib, nodes.word == contrib.dst, "left").select(
-            "word",
-            (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
-        ).localCheckpoint(eager=True)
+        ranks = (
+            nodes.join(contrib, nodes.word == contrib.dst, "left")
+            .select(
+                "word",
+                (
+                    F.lit(base)
+                    + F.expr("coalesce(c, CAST(0 AS BIGINT)) * 17 DIV 20")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
     return ranks
+
+
+def _sql_pagerank_ctes(iterations: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """DuckDB twin: the same integer power iteration, loop unrolled into
+    one CTE per step (recursive CTEs can't aggregate in the recursive
+    term; unrolling is mechanical because the count is fixed)."""
+    head = f"""
+    toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    adj AS (
+        SELECT e.src AS src, e.dst AS dst FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(src := t[i], dst := t[i + 1]))) AS e
+            FROM toks
+        ) WHERE e.src <> e.dst
+    ),
+    sym AS (SELECT src, dst FROM adj UNION ALL SELECT dst, src FROM adj),
+    edges AS (SELECT src, dst, count(*) AS w FROM sym GROUP BY src, dst),
+    outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    en AS (SELECT e.src, e.dst, e.w, o.out_w FROM edges e JOIN outw o USING (src)),
+    nodes AS (SELECT DISTINCT src AS word FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT word, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank
+           FROM nodes)
+    """
+    steps = []
+    for i in range(iterations):
+        steps.append(f"""
+    c{i} AS (
+        SELECT en.dst, sum(r.rank * en.w // en.out_w) AS c
+        FROM en JOIN r{i} r ON en.src = r.word GROUP BY en.dst
+    ),
+    r{i + 1} AS (
+        SELECT nodes.word,
+               CAST((({scale} * 3 // 20) // (SELECT n FROM nn))
+                    + coalesce(c{i}.c, 0) * 17 // 20 AS BIGINT) AS rank
+        FROM nodes LEFT JOIN c{i} ON nodes.word = c{i}.dst
+    )""")
+    return head + "," + ",".join(steps)
 
 
 @register(
     "corpus_pagerank_topk",
-    oracle=None,  # iterative distributed FP — rows-only (exact tests cover the per-doc kernel)
-    doc="T10 corpus-scale: 10-iteration DataFrame PageRank over the word "
-    "co-occurrence graph, top-20 words",
+    oracle=f"""
+    WITH {_sql_pagerank_ctes()}
+    SELECT word, rank FROM r{PR_ITERS}
+    ORDER BY rank DESC, word
+    LIMIT 20
+    """,
+    doc="T10 corpus-scale: fixed-iteration integer PageRank over the word "
+    "co-occurrence graph, top-20 — oracle-checked (exact fixed-point "
+    "arithmetic makes the distributed iteration bit-identical to DuckDB)",
 )
 def corpus_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ranks = corpus_pagerank(docs, iterations=10)
+    ranks = corpus_pagerank(docs)
     return (
-        ranks.select("word", F.floor(F.col("rank") * 1e6 + F.lit(0.5)).cast("long").alias("rank_e6"))
-        .orderBy(F.desc("rank_e6"), F.asc("word"))
+        ranks.select("word", "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
         .limit(20)
     )
