@@ -56,6 +56,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Steady-state warmup: one trivial job + one tiny parquet read
+    # (region, ~5 rows) amortizes JVM/codegen/parquet-footer init that a
+    # long-running cluster pays once, not per query. No benchmarked
+    # fact table is touched.
+    spark.range(100).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
