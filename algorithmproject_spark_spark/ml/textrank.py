@@ -109,3 +109,83 @@ def top_corpus_keywords(
         .orderBy(F.desc("total_score_e6"), F.asc("word"))
         .limit(top_k)
     )
+
+
+# --------------------------------------------------------------------------
+# Integer-exact variant — same fixed-point scheme as corpus_pagerank
+# (plans/pipelines.py): damping 17/20, truncating integer division.
+# Python bigint arithmetic is exact, so the applyInPandas kernel is
+# bit-identical to a DuckDB BIGINT re-derivation — which upgrades the
+# per-doc TextRank query from rows-only to fully oracle-checked.
+# --------------------------------------------------------------------------
+TR_SCALE = 10**12
+TR_ITERS = 5
+TR_WINDOW = 2
+
+
+def textrank_scores_exact(
+    tokens: list[str],
+    stopwords: frozenset[str] = frozenset(STOPWORDS),
+    window: int = TR_WINDOW,
+    iterations: int = TR_ITERS,
+    scale: int = TR_SCALE,
+) -> dict[str, int]:
+    """Fixed-point TextRank: all-integer update
+
+        contrib(u→v) = rank_u * w_uv // out_w_u
+        rank'_v      = base + (Σ contrib) * 17 // 20
+        base         = (scale * 3 // 20) // n
+    """
+    words = [t for t in tokens if t not in stopwords]
+    vocab: dict[str, int] = {}
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    n = len(vocab)
+    if n == 0:
+        return {}
+    weights: dict[tuple[int, int], int] = {}
+    for i, w in enumerate(words):
+        for j in range(i + 1, min(i + window + 1, len(words))):
+            u, v = vocab[w], vocab[words[j]]
+            if u == v:
+                continue
+            weights[(u, v)] = weights.get((u, v), 0) + 1
+            weights[(v, u)] = weights.get((v, u), 0) + 1
+    out_w = [0] * n
+    for (u, _v), w in weights.items():
+        out_w[u] += w
+    base = (scale * 3 // 20) // n
+    ranks = [scale // n] * n
+    for _ in range(iterations):
+        acc = [0] * n
+        for (u, v), w in weights.items():  # integer sums: order-free
+            acc[v] += ranks[u] * w // out_w[u]
+        ranks = [base + a * 17 // 20 for a in acc]
+    return {w: ranks[i] for w, i in vocab.items()}
+
+
+def extract_keywords_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """(id, word, rank_fp, rk): integer-exact per-document TextRank via
+    applyInPandas — embarrassingly parallel, zero cross-doc state, and
+    every output value reproducible bit-for-bit by any engine."""
+    sw = frozenset(STOPWORDS)
+
+    def _per_doc(pdf):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        out: list[tuple[object, str, int, int]] = []
+        for _, row in pdf.iterrows():
+            scores = textrank_scores_exact((row[text_col] or "").split(), sw)
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+            for rk, (word, rank_fp) in enumerate(ranked, start=1):
+                out.append((row[id_col], word, rank_fp, rk))
+        return pd.DataFrame(out, columns=[id_col, "word", "rank_fp", "rk"])
+
+    return df.select(id_col, text_col).groupBy(id_col).applyInPandas(
+        _per_doc, schema=f"{id_col} long, word string, rank_fp long, rk int"
+    )

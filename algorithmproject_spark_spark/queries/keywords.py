@@ -7,10 +7,11 @@
   implementations, bit-exact integer outputs.
 - ``textrank_topk`` is the per-document power-iteration TextRank
   (``ml/textrank.py``, reference ``label/keywordextractor/
-  TextRank.scala:20-125``). 20 FP iterations are not reasonably
-  SQL-expressible, so it is registered rows-only (driver records the
-  weaker check); exact-value coverage lives in
-  ``tests/test_keywords.py`` against hand-computed fixtures.
+  TextRank.scala:20-125``) in exact fixed-point integer arithmetic
+  (damping 17/20, truncating division — same scheme as
+  ``corpus_pagerank``), oracle-checked against an unrolled DuckDB CTE
+  re-derivation; the float kernel keeps closed-form unit tests in
+  ``tests/test_keywords.py``.
 - ``label_combine_keywords`` is the T12 combiner
   (``label/keywordextractor/LabelCombine.scala:18-106``): full outer
   join of two extractor outputs with key coalescing (J4) — integer
@@ -94,14 +95,84 @@ def rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake.extract_keywords(docs, top_k=10)
 
 
+def _sql_textrank(iterations: int, scale: int, window: int, top_k: int) -> str:
+    """DuckDB twin of the integer-exact per-doc TextRank: same
+    fixed-point update as the applyInPandas kernel (Python bigints ==
+    BIGINT), loop unrolled one CTE per iteration, keys (doc_id, word)."""
+    assert window == 2, "oracle hardcodes the window-2 distance set"
+    stoplist = sql_stopword_list()
+    head = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pw AS (
+        SELECT doc_id, e.i AS pos0, e.w AS word FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+                   i -> struct_pack(i := i, w := t[i]))) AS e
+            FROM toks
+        )
+    ),
+    words AS (
+        SELECT doc_id, word,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS p
+        FROM pw WHERE NOT list_contains({stoplist}, word)
+    ),
+    adj AS (
+        SELECT a.doc_id, a.word AS src, b.word AS dst
+        FROM words a JOIN words b
+          ON a.doc_id = b.doc_id AND b.p - a.p IN (1, 2) AND a.word <> b.word
+    ),
+    sym AS (SELECT doc_id, src, dst FROM adj
+            UNION ALL SELECT doc_id, dst, src FROM adj),
+    edges AS (SELECT doc_id, src, dst, count(*) AS w
+              FROM sym GROUP BY doc_id, src, dst),
+    outw AS (SELECT doc_id, src, sum(w) AS out_w
+             FROM edges GROUP BY doc_id, src),
+    en AS (SELECT e.doc_id, e.src, e.dst, e.w, o.out_w
+           FROM edges e JOIN outw o ON e.doc_id = o.doc_id AND e.src = o.src),
+    nodes AS (SELECT DISTINCT doc_id, word FROM words),
+    nn AS (SELECT doc_id, count(*) AS n FROM nodes GROUP BY doc_id),
+    r0 AS (SELECT nodes.doc_id, nodes.word,
+                  CAST({scale} // nn.n AS BIGINT) AS rank
+           FROM nodes JOIN nn ON nodes.doc_id = nn.doc_id)
+    """
+    steps = []
+    for i in range(iterations):
+        steps.append(f"""
+    c{i} AS (
+        SELECT en.doc_id, en.dst, sum(r.rank * en.w // en.out_w) AS c
+        FROM en JOIN r{i} r ON en.doc_id = r.doc_id AND en.src = r.word
+        GROUP BY en.doc_id, en.dst
+    ),
+    r{i + 1} AS (
+        SELECT nodes.doc_id, nodes.word,
+               CAST((({scale} * 3 // 20) // nn.n)
+                    + coalesce(c{i}.c, 0) * 17 // 20 AS BIGINT) AS rank
+        FROM nodes JOIN nn ON nodes.doc_id = nn.doc_id
+        LEFT JOIN c{i} ON nodes.doc_id = c{i}.doc_id
+                      AND nodes.word = c{i}.dst
+    )""")
+    return f"""
+    WITH {head},{",".join(steps)}
+    SELECT doc_id, word, rank AS rank_fp, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY rank DESC, word
+        ) AS rk FROM r{iterations}
+    ) WHERE rk <= {top_k}
+    """
+
+
 @register(
     "textrank_topk",
-    oracle=None,  # 20 FP power iterations: not SQL-expressible; exact tests in tests/test_keywords.py
-    doc="T10: per-doc TextRank via applyInPandas, top-10 words per doc",
+    oracle=_sql_textrank(
+        textrank.TR_ITERS, textrank.TR_SCALE, textrank.TR_WINDOW, 10
+    ),
+    doc="T10: per-doc TextRank via applyInPandas in exact fixed-point "
+    "integer arithmetic — top-10 words per doc, oracle-checked against "
+    "an unrolled DuckDB CTE re-derivation (float TextRank kernel kept "
+    "in ml/textrank.py with closed-form unit tests)",
 )
 def textrank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return textrank.extract_keywords(docs, top_k=10)
+    return textrank.extract_keywords_exact(docs, top_k=10)
 
 
 # T12 LabelCombine: outer-join extractor outputs, coalesce the term key

@@ -63,3 +63,27 @@ def test_textrank_deterministic():
 def test_textrank_stopwords_excluded():
     scores = textrank_scores(["the", "spark", "of", "flink"], SW)
     assert set(scores) == {"spark", "flink"}
+
+
+def test_textrank_exact_symmetric_pair():
+    from algorithmproject_spark_spark.ml.textrank import (
+        TR_SCALE,
+        textrank_scores_exact,
+    )
+
+    scores = textrank_scores_exact(["x", "y"], frozenset())
+    # symmetric 2-node graph: ranks stay equal at the fixed point
+    assert scores["x"] == scores["y"]
+    assert 0 < scores["x"] <= TR_SCALE
+
+
+def test_textrank_exact_hub_and_isolated():
+    from algorithmproject_spark_spark.ml.textrank import textrank_scores_exact
+
+    # a and b are graph-symmetric (both: weight-2 edge to each other,
+    # weight-1 edge to c); c is the periphery and must rank lower
+    scores = textrank_scores_exact(["a", "b", "a", "c"], frozenset())
+    assert scores["a"] == scores["b"] > scores["c"]
+    solo = textrank_scores_exact(["only"], frozenset())
+    # single-node doc: rank collapses to the teleport base
+    assert solo == {"only": (10**12 * 3 // 20)}
