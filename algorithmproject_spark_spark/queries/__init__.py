@@ -31,3 +31,4 @@ from algorithmproject_spark_spark.operators import annlsh  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import annivf  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import skew  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import rangejoin  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import annrecall  # noqa: F401,E402
