@@ -50,3 +50,38 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("lsh_neighbor").alias("n_hits"),
         F.count(F.lit(1)).alias("k"),
     )
+
+
+_IVF_SQL = REGISTRY["ann_ivf_topk"].oracle
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH ivf AS ({_IVF_SQL}),
+    bf AS ({_BF_SQL})
+    SELECT bf.q_id, count(ivf.neighbor_id) AS n_hits,
+           count(*) AS k
+    FROM bf LEFT JOIN ivf
+      ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.q_id
+    """,
+    doc="recall@k of the IVF ANN path vs exact brute-force top-k, per "
+    "query vector",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = REGISTRY["ann_ivf_topk"].fn(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    bf = REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    )
+    hit = bf.join(
+        ivf,
+        (bf.q_id == ivf.q_id) & (bf.neighbor_id == ivf.ivf_neighbor),
+        "left",
+    ).select(bf.q_id, ivf.ivf_neighbor)
+    return hit.groupBy("q_id").agg(
+        F.count("ivf_neighbor").alias("n_hits"),
+        F.count(F.lit(1)).alias("k"),
+    )
