@@ -115,3 +115,32 @@ def test_stateful_user_profile_stream(spark, events_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_session_window_stream_equals_batch(spark, events_dir):
+    from algorithmproject_spark_spark.streaming import (
+        sessionized_counts,
+        stream_read_parquet,
+        stream_write_memory,
+    )
+
+    batch_events = spark.read.parquet(str(events_dir))
+    expected = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+        for r in sessionized_counts(batch_events).collect()
+    }
+    assert expected  # non-degenerate fixture
+
+    stream = stream_read_parquet(spark, str(events_dir), batch_events.schema)
+    q = stream_write_memory(
+        sessionized_counts(stream), "sess_counts", output_mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
