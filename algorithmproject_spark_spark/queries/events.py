@@ -116,7 +116,7 @@ def events_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('hour', ts) AS h,
            event_type,
            count(*) AS n,
-           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (d))
     """,

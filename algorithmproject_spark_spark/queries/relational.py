@@ -26,7 +26,7 @@ from algorithmproject_spark_spark.sources.catalog import load_table
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT))                                      AS sum_qty,
+           CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT)                       AS sum_qty,
            CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)               AS sum_base_cents,
            CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
                                                                                                    AS sum_disc_price_e4,

@@ -94,10 +94,10 @@ def window_quota_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_cents
+           ) AS BIGINT) AS running_cents
     FROM orders
     """,
     doc="running total per customer (exact integer frame sum)",
