@@ -9,6 +9,9 @@ twin for each SQL-expressible query. The real registry lives in
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,11 +24,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["doc_wordcount_topk"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _ordered_names() -> list[str]:
+    """Registry names, queries still lacking a green driver row first.
+
+    The correctness pass may cap how many queries it checks per round, so
+    anything never yet confirmed green by a past ``CORRECTNESS_r*.json``
+    (new queries, previously-unchecked ones, past hash mismatches) sorts
+    to the front; already-green queries rotate to the back for re-checks.
+    """
+    green: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            ):
+                green.add(name)
+    names = list(REGISTRY)
+    return [n for n in names if n not in green] + [n for n in names if n in green]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
