@@ -201,28 +201,25 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
-    doc="SimHash-31 fingerprints from token hashes (bit-vote aggregation)",
+    doc="SimHash-31 fingerprints from token hashes (map-only per-doc bit vote)",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole bit-vote is per-doc arithmetic, so it stays inside one
+    row: for each bit 0..30 fold the token-hash array into a ±1 vote
+    sum, then fold the set bits into the fingerprint. Zero shuffles —
+    an explode + 31-bit crossJoin + two groupBys would move 31× the
+    token count through two wide exchanges for what is a map-only job.
+    Integer votes are order-independent, so the fold matches the
+    oracle's group-sum exactly.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    th = docs.select("doc_id", F.explode(token_hash_array(toks)).alias("h"))
-    bits = spark.range(0, 31).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        th.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
-            # shiftright() the builtin takes a literal count — with a
-            # column count the SQL expression form is required.
-            F.sum(
-                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
-            ).alias("w")
-        )
+    fp = F.expr(
+        "aggregate(sequence(0, 30), cast(0 as bigint), (acc, bit) -> acc + "
+        "if(aggregate(th, cast(0 as bigint), "
+        "(a, h) -> a + if((shiftright(h, bit) & 1) = 1, 1, -1)) > 0, "
+        "shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))"
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("w") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    return docs.select("doc_id", token_hash_array(toks).alias("th")).select(
+        "doc_id", fp.alias("simhash")
     )
