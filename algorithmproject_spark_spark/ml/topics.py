@@ -16,7 +16,7 @@ from pyspark.ml.feature import CountVectorizer, Word2Vec
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from algorithmproject_spark_spark.functions.text import stopword_array, tokenize
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 SEED = 42

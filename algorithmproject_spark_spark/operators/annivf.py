@@ -31,7 +31,7 @@ from algorithmproject_spark_spark.functions.vectors import (
     sql_cosine,
     to_double,
 )
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 K_CELLS = 8

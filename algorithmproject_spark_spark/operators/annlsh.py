@@ -17,13 +17,14 @@ agrees bit-for-bit cross-engine.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
 from algorithmproject_spark_spark.functions.vectors import cosine, sql_cosine, to_double
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 N_PLANES = 6  # 64 buckets
@@ -128,29 +129,154 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-    WITH b AS ({_SQL_BUCKETED.format(b=sql_bucket('embedding'))})
-    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-           {sql_micros(sql_cosine("x.embedding", "y.embedding"))} AS cosine_e6
-    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-    WHERE {sql_micros(sql_cosine("x.embedding", "y.embedding"))} >= {NEAR_DUP_E6}
-    """,
-    doc="embedding-cosine near-dup: LSH-bucket-blocked pairs ≥ 0.40 cosine "
-    "(linear candidate generation, never O(n²))",
+# --------------------------------------------------------------------------
+# Near-dup pairs: BANDED hyperplane signatures, mirroring the MinHash
+# band structure (queries/dedup.py minhash_lsh_candidates). A single
+# fixed-width signature keeps the bucket count constant forever, which
+# makes the within-bucket self-join O(n²/buckets) — quadratic at corpus
+# scale. Banding fixes recall (OR over bands) and the derived
+# planes-per-band fixes the asymptotics: R ≈ log2(n / target_bucket)
+# keeps E[bucket size] ~constant, so candidate pairs grow O(n · bands ·
+# target_bucket), never O(n²). Exact cosine verifies only candidates.
+# --------------------------------------------------------------------------
+NEAR_DUP_BANDS = 4
+NEAR_DUP_TARGET_BUCKET = 16
+# sf0.01 setting: planes_per_band_for(500) == 5 → 32 buckets/band. The
+# registered query pins it so the DuckDB oracle (a static SQL string)
+# computes the identical plane set.
+NEAR_DUP_ROWS = 5
+
+_nd_rng = random.Random(13)
+_ND_PLANE_POOL: tuple[tuple[float, ...], ...] = tuple(
+    tuple(round(_nd_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM))
+    for _ in range(NEAR_DUP_BANDS * 12)  # enough for corpora up to 2^12× target
 )
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = bucketed(spark, sf_dir)
-    x = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket")
-    y = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket")
+
+
+def planes_per_band_for(n_vectors: int, target_bucket: int = NEAR_DUP_TARGET_BUCKET) -> int:
+    """Signature width that keeps the expected bucket size ~constant.
+
+    With R = ceil(log2(n / target)), each band has ≥ n/target buckets,
+    so the self-join inside a bucket touches O(target²) pairs and the
+    total candidate count stays linear in n as the corpus grows.
+    """
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
+
+
+def _band_planes(band: int, rows: int) -> tuple[tuple[float, ...], ...]:
+    return _ND_PLANE_POOL[band * rows : band * rows + rows]
+
+
+def _band_bucket_col(v: Column, band: int, rows: int) -> Column:
+    acc = F.lit(0)
+    for j, plane in enumerate(_band_planes(band, rows)):
+        pl = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, pl, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        )
+        acc = acc + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def _sql_band_bucket(emb: str, band: int, rows: int) -> str:
+    terms = []
+    for j, plane in enumerate(_band_planes(band, rows)):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        d = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {DIM} + 1), "
+            f"i_ -> CAST({emb}[i_] AS DOUBLE) * ({lit})[i_])), "
+            f"(a_, b_) -> a_ + b_)"
+        )
+        terms.append(f"CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def near_dup_candidates(
+    df: DataFrame,
+    n_bands: int = NEAR_DUP_BANDS,
+    planes_per_band: int | None = None,
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs sharing a band bucket.
+
+    ``planes_per_band=None`` derives the signature width from the corpus
+    size (one metadata-only count at plan-build time — a parameter
+    derivation like AQE's, not a mid-plan data action), keeping the
+    candidate volume linear at any scale.
+    """
+    if planes_per_band is None:
+        planes_per_band = planes_per_band_for(df.count())
+    v = to_double(F.col("embedding"))
+    band_keys = F.array(
+        *[_band_bucket_col(v, b, planes_per_band) for b in range(n_bands)]
+    )
+    banded = df.select(
+        "vec_id", F.posexplode(band_keys).alias("band_idx", "bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        x.join(y, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    n_bands: int = NEAR_DUP_BANDS,
+    planes_per_band: int | None = None,
+    threshold_e6: int = NEAR_DUP_E6,
+) -> DataFrame:
+    """Banded-LSH near-duplicate pairs over (vec_id, embedding):
+    bucket-blocked candidates, then exact cosine verify ≥ threshold."""
+    cand = near_dup_candidates(df, n_bands, planes_per_band)
+    x = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    y = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
         .select(
             "vec_a",
             "vec_b",
             micros(cosine(F.col("e_a"), F.col("e_b"))).alias("cosine_e6"),
         )
-        .filter(F.col("cosine_e6") >= NEAR_DUP_E6)
+        .filter(F.col("cosine_e6") >= threshold_e6)
     )
+
+
+def _sql_near_dup_bands(rows: int, n_bands: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, "
+        f"{_sql_band_bucket('embedding', b, rows)} AS bucket FROM embeddings"
+        for b in range(n_bands)
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH bands AS ({_sql_near_dup_bands(NEAR_DUP_ROWS, NEAR_DUP_BANDS)}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           {sql_micros(sql_cosine("x.embedding", "y.embedding"))} AS cosine_e6
+    FROM cand c
+    JOIN embeddings x ON c.vec_a = x.vec_id
+    JOIN embeddings y ON c.vec_b = y.vec_id
+    WHERE {sql_micros(sql_cosine("x.embedding", "y.embedding"))} >= {NEAR_DUP_E6}
+    """,
+    doc="embedding-cosine near-dup: banded hyperplane LSH (4 bands × "
+    "corpus-sized signatures) → exact cosine verify ≥ 0.40 on candidates only",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return near_dup_pairs(emb, planes_per_band=NEAR_DUP_ROWS)

@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 FRAME_BYTES = 256  # fixed fake frame/chunk size

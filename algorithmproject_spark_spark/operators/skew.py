@@ -79,7 +79,7 @@ def two_phase_count_distinct(
 # --------------------------------------------------------------------------
 from pyspark.sql import DataFrame as _DF, SparkSession as _SS  # noqa: E402
 
-from algorithmproject_spark_spark.queries.base import register  # noqa: E402
+from algorithmproject_spark_spark.registry import register  # noqa: E402
 from algorithmproject_spark_spark.sources.catalog import load_table  # noqa: E402
 
 

@@ -9,7 +9,7 @@ registry to the driver.
 
 from __future__ import annotations
 
-from algorithmproject_spark_spark.queries.base import REGISTRY, QuerySpec, register  # noqa: F401
+from algorithmproject_spark_spark.registry import REGISTRY, QuerySpec, register  # noqa: F401
 
 # Importing the modules populates REGISTRY.
 from algorithmproject_spark_spark.queries import (  # noqa: F401,E402

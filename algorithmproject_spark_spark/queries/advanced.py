@@ -20,7 +20,7 @@ from algorithmproject_spark_spark.functions.htmlops import (
     tag_entity_words,
 )
 from algorithmproject_spark_spark.functions.numeric import scaled_long
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from algorithmproject_spark_spark.queries.base import REGISTRY, register
+from algorithmproject_spark_spark.registry import REGISTRY, register
 
 _LSH_SQL = REGISTRY["ann_lsh_topk"].oracle
 _BF_SQL = REGISTRY["knn_bruteforce_cosine"].oracle

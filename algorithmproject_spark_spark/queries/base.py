@@ -1,29 +1,11 @@
-from __future__ import annotations
+"""Back-compat shim — the registry lives in ``registry.py`` at package
+root so operator modules can import ``register`` without triggering the
+``queries`` package __init__ (which imports every query module and
+assumes registration order)."""
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    fn: QueryFn
-    oracle: str | None  # DuckDB SQL over the pre-registered views; None → rows-only check
-    doc: str = ""
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: add a query to the registry."""
-
-    def wrap(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
-        return fn
-
-    return wrap
+from algorithmproject_spark_spark.registry import (  # noqa: F401
+    QueryFn,
+    QuerySpec,
+    REGISTRY,
+    register,
+)

@@ -26,7 +26,7 @@ from algorithmproject_spark_spark.functions.hashing import (
     sql_token_hash_array,
     token_hash_array,
 )
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 N_HASHES = 8  # first 8 of MINHASH_PARAMS

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from algorithmproject_spark_spark.functions.text import sql_stopword_list
 from algorithmproject_spark_spark.ml import rake, textrank
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.queries.text import tfidf_top_terms
 from algorithmproject_spark_spark.sources.catalog import load_table
 

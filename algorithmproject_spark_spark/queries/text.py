@@ -24,7 +24,7 @@ from algorithmproject_spark_spark.functions.text import (
     stopword_array,
     tokenize,
 )
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 

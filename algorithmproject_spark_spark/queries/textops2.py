@@ -14,7 +14,7 @@ from algorithmproject_spark_spark.functions.text import (
     stopword_array,
     tokenize,
 )
-from algorithmproject_spark_spark.queries.base import register
+from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 
@@ -328,7 +328,7 @@ def doc_pos_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _install_pos_oracle() -> None:
     from algorithmproject_spark_spark.functions.pos import sql_pos_bigram_cte
-    from algorithmproject_spark_spark.queries.base import REGISTRY, QuerySpec
+    from algorithmproject_spark_spark.registry import REGISTRY, QuerySpec
 
     spec = REGISTRY["doc_pos_bigrams"]
     sql = (
