@@ -154,12 +154,20 @@ def user_tag_tfidf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = ev.groupBy("user_id", F.col("event_type").alias("tag")).agg(
         F.count(F.lit(1)).alias("tf")
     )
-    n_users = ev.select("user_id").distinct().count()
-    idf = tf.groupBy("tag").agg(
-        F.log(
-            (F.lit(float(n_users)) + 1.0)
-            / (F.count(F.lit(1)).cast("double") + 1.0)
-        ).alias("idf")
+    # Corpus size folds in as a broadcast 1-row aggregate (the
+    # min_max_normalize pattern, operators/core.py) — one Spark job, no
+    # driver action splitting the plan.
+    n_users = ev.agg(F.countDistinct("user_id").cast("double").alias("n_users"))
+    idf = (
+        tf.groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "tag",
+            F.log(
+                (F.col("n_users") + 1.0) / (F.col("df_count").cast("double") + 1.0)
+            ).alias("idf"),
+        )
     )
     bounds = tf.agg(
         F.min("tf").alias("tf_min"), F.max("tf").alias("tf_max")
