@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from algorithmproject_spark_spark.functions.text import (
+    longest_match_filter,
+    sql_longest_match_filter,
     sql_stopword_list,
     stopword_array,
     tokenize,
@@ -64,44 +66,109 @@ def stopword_masked_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T5/T7: the reference's candidate-phrase regex battery
 # (NewsNgrams.scala:220-309) mines quoted spans, ALL-CAPS abbreviations,
 # and parentheticals; T7 (SearchWordCoreNLPTokens.scala:224-253) flags
-# capitalized tokens as potential NEs. The corpus is lowercase prose, so
-# the query first derives a marked-up rendering from real columns (the
-# regexes then have genuine structure to hit), keeping every value
-# oracle-derivable.
+# capitalized tokens as potential NEs. Two further parity pieces from
+# NewsNgrams: possessive-'s forms spawn a stripped noun candidate
+# (NewsNgrams.scala:255-262 — "电影名是带's的,构造一个不带's的新词"), and
+# the candidate set is subsumption-filtered 取长不取短 by getLonger
+# (NewsNgrams.scala:34-41; functions/text.py longest_match_filter). The
+# corpus is lowercase prose, so the query first derives a marked-up
+# rendering from real columns (the regexes then have genuine structure
+# to hit), keeping every value oracle-derivable: the leading unigram is
+# always subsumed by the leading bigram and must be pruned.
+_CAND_LIST = "[quoted, parenthetical, abbrev, poss_noun, tok1, lead_bigram]"
+_CAND_NONEMPTY = (
+    f"list_distinct(list_filter({_CAND_LIST}, x_ -> x_ IS NOT NULL AND x_ <> ''))"
+)
+
+
 @register(
     "candidate_phrase_mining",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
         SELECT doc_id,
                '"' || source || '" says ' || upper(lang) || ' (' ||
-               CAST(n_chars AS VARCHAR) || ' chars): ' || text AS mt
+               CAST(n_chars AS VARCHAR) || ' chars): ' || upper(lang) ||
+               '''s corpus. ' || text AS mt,
+               string_split(text, ' ') AS toks
         FROM documents
+    ),
+    cands AS (
+        SELECT doc_id, mt,
+               regexp_extract(mt, '"([^"]+)"', 1) AS quoted,
+               regexp_extract(mt, '\\(([^)]+)\\)', 1) AS parenthetical,
+               COALESCE(regexp_extract_all(mt, '\\b[A-Z]{{2,}}\\b')[1], '') AS abbrev,
+               regexp_extract(mt, '([A-Z]+)''s', 1) AS poss_noun,
+               COALESCE(toks[1], '') AS tok1,
+               COALESCE(toks[1] || ' ' || toks[2], '') AS lead_bigram
+        FROM marked
+    ),
+    pruned AS (
+        SELECT *, {sql_longest_match_filter(_CAND_LIST)} AS kept_list,
+               len({_CAND_NONEMPTY}) AS n_cand
+        FROM cands
     )
-    SELECT doc_id,
-           regexp_extract(mt, '"([^"]+)"', 1) AS quoted,
-           regexp_extract(mt, '\\(([^)]+)\\)', 1) AS parenthetical,
-           COALESCE(regexp_extract_all(mt, '\\b[A-Z]{2,}\\b')[1], '') AS abbrev,
+    SELECT doc_id, quoted, parenthetical, abbrev, poss_noun,
+           array_to_string(list_sort(kept_list), '|') AS kept,
+           CAST(n_cand - len(kept_list) AS BIGINT) AS n_pruned,
            len(regexp_extract_all(mt, '\\b[A-Z][a-z]*\\b')) AS n_capitalized
-    FROM marked
+    FROM pruned
     """,
     doc="T5/T7: candidate-phrase regex battery — quoted spans, "
-    "parentheticals, ALL-CAPS abbreviations, capitalized-token NER "
-    "heuristic, all native regexp exprs",
+    "parentheticals, ALL-CAPS abbreviations, possessive-'s noun forms, "
+    "capitalized-token NER heuristic — then getLonger subsumption "
+    "pruning, all native regexp/array exprs",
 )
 def candidate_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mt = F.concat(
         F.lit('"'), F.col("source"), F.lit('" says '), F.upper("lang"),
         F.lit(" ("), F.col("n_chars").cast("string"), F.lit(" chars): "),
-        F.col("text"),
+        F.upper("lang"), F.lit("'s corpus. "), F.col("text"),
     )
-    marked = docs.select("doc_id", mt.alias("mt"))
+    toks = F.split(F.col("text"), " ")
+    marked = docs.select("doc_id", mt.alias("mt"), toks.alias("toks"))
     caps = F.regexp_extract_all(F.col("mt"), F.lit(r"\b[A-Z]{2,}\b"), 0)
-    return marked.select(
+    cands = marked.select(
         "doc_id",
+        "mt",
         F.regexp_extract("mt", r'"([^"]+)"', 1).alias("quoted"),
         F.regexp_extract("mt", r"\(([^)]+)\)", 1).alias("parenthetical"),
         F.coalesce(F.try_element_at(caps, F.lit(1)), F.lit("")).alias("abbrev"),
+        F.regexp_extract("mt", r"([A-Z]+)'s", 1).alias("poss_noun"),
+        F.coalesce(F.try_element_at("toks", F.lit(1)), F.lit("")).alias("tok1"),
+        F.coalesce(
+            F.concat(
+                F.try_element_at("toks", F.lit(1)),
+                F.lit(" "),
+                F.try_element_at("toks", F.lit(2)),
+            ),
+            F.lit(""),
+        ).alias("lead_bigram"),
+    )
+    cand_arr = F.array(
+        "quoted", "parenthetical", "abbrev", "poss_noun", "tok1", "lead_bigram"
+    )
+    nonempty = F.array_distinct(
+        F.filter(cand_arr, lambda x: x.isNotNull() & (x != F.lit("")))
+    )
+    pruned = cands.select(
+        "doc_id",
+        "mt",
+        "quoted",
+        "parenthetical",
+        "abbrev",
+        "poss_noun",
+        longest_match_filter(cand_arr).alias("kept_list"),
+        F.size(nonempty).alias("n_cand"),
+    )
+    return pruned.select(
+        "doc_id",
+        "quoted",
+        "parenthetical",
+        "abbrev",
+        "poss_noun",
+        F.array_join(F.array_sort("kept_list"), "|").alias("kept"),
+        (F.col("n_cand") - F.size("kept_list")).cast("long").alias("n_pruned"),
         F.size(
             F.regexp_extract_all(F.col("mt"), F.lit(r"\b[A-Z][a-z]*\b"), 0)
         ).alias("n_capitalized"),

@@ -81,3 +81,32 @@ def test_vector_ops(spark):
     assert _one(spark, norm(a)) == 3.0
     got = _one(spark, cosine(a, b))
     assert abs(got - 2.0 / (3.0 * 2.0)) < 1e-12
+
+
+def test_longest_match_filter_drops_subsumed(spark):
+    from algorithmproject_spark_spark.functions.text import longest_match_filter
+
+    arr = F.array(*[F.lit(w) for w in [
+        "pump", "pump it up", "it", "marvel", "marvel studios", "", "studios x",
+    ]])
+    got = sorted(_one(spark, longest_match_filter(arr)))
+    # "pump"/"it" subsumed by "pump it up"; "marvel" by "marvel studios";
+    # "studios x" survives — "studios" alone appears only space-bounded.
+    assert got == ["marvel studios", "pump it up", "studios x"]
+
+
+def test_longest_match_filter_partial_word_not_subsumed(spark):
+    from algorithmproject_spark_spark.functions.text import longest_match_filter
+
+    # interior words ARE space-bounded ("art" in "...the art form") and
+    # get pruned; a partial word ("artful") is not and survives.
+    arr = F.array(F.lit("art"), F.lit("state of the art form"), F.lit("artful"))
+    got = sorted(_one(spark, longest_match_filter(arr)))
+    assert got == ["artful", "state of the art form"]
+
+
+def test_longest_match_filter_duplicates_kept_once(spark):
+    from algorithmproject_spark_spark.functions.text import longest_match_filter
+
+    arr = F.array(F.lit("solo"), F.lit("solo"))
+    assert _one(spark, longest_match_filter(arr)) == ["solo"]
