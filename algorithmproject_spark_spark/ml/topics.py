@@ -70,6 +70,41 @@ def lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lda_topics_described",
+    oracle=None,  # seeded but float-iterative ML — rows-only
+    doc="T15: describeTopics(10) — top-10 terms + weights per topic "
+    "(NewsLDAModel.scala:50-115 model-output surface)",
+)
+def lda_topics_described(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-output parity with ``nlp/NewsLDAModel.scala:50-115``: the
+    reference prints describeTopics(10) and log-likelihood/perplexity;
+    here the topic description is a first-class DataFrame. Term indices
+    resolve to words via a broadcast join against the CountVectorizer
+    vocabulary (bounded by vocab_size — a dimension table, not data)."""
+    tokens = _doc_tokens(spark, sf_dir)
+    cv_model, lda_model, _vectors = fit_lda(tokens)
+    topics = lda_model.describeTopics(10)
+    vocab = spark.createDataFrame(
+        list(enumerate(cv_model.vocabulary)), "term_idx int, term string"
+    )
+    z = topics.select(
+        "topic",
+        F.posexplode(F.arrays_zip("termIndices", "termWeights")).alias("rk0", "z"),
+    )
+    exploded = z.select(
+        "topic",
+        (F.col("rk0") + 1).cast("int").alias("rk"),
+        F.col("z.termIndices").cast("int").alias("term_idx"),
+        F.col("z.termWeights").alias("weight"),
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "term_idx")
+        .select("topic", "rk", "term", "weight")
+        .orderBy("topic", "rk")
+    )
+
+
+@register(
     "word2vec_neighbors",
     oracle=None,  # seeded but float-iterative ML — rows-only
     doc="T17: Word2Vec dim=10; top-5 synonyms of the corpus's most "

@@ -55,3 +55,38 @@ def test_word2vec_neighbors_shape(spark):
     out = word2vec_neighbors(spark, SF_DIR).collect()
     assert len(out) == 5
     assert all(-1.0 - 1e-9 <= r.similarity <= 1.0 + 1e-9 for r in out)
+
+
+def test_lda_topics_described_shape(spark):
+    from algorithmproject_spark_spark.ml.topics import lda_topics_described
+
+    out = lda_topics_described(spark, SF_DIR).collect()
+    assert len(out) == 5 * 10  # k topics x top-10 terms
+    assert all(r.weight > 0 for r in out)
+    assert all(1 <= r.rk <= 10 for r in out)
+    # within a topic, describeTopics orders by weight descending
+    by_topic = {}
+    for r in out:
+        by_topic.setdefault(r.topic, []).append((r.rk, r.weight))
+    for rows in by_topic.values():
+        ws = [w for _, w in sorted(rows)]
+        assert ws == sorted(ws, reverse=True)
+
+
+def test_lda_likelihood_and_perplexity_invariants(spark, tokens):
+    import math
+
+    _cv, lda_model, vectors = fit_lda(tokens, k=3, max_iter=5)
+    ll = lda_model.logLikelihood(vectors)
+    lp = lda_model.logPerplexity(vectors)
+    assert math.isfinite(ll) and ll < 0  # log-prob of a corpus
+    assert math.isfinite(lp) and lp > 0  # -ll per token
+    # perplexity is the per-token normalization of the same bound
+    from pyspark.ml.functions import vector_to_array
+
+    n_tokens = vectors.select(
+        F.sum(
+            F.aggregate(vector_to_array("features"), F.lit(0.0), lambda a, x: a + x)
+        )
+    ).first()[0]
+    assert abs(lp - (-ll / n_tokens)) < 1e-6
