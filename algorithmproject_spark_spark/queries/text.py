@@ -285,7 +285,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; one cheap job on metadata-only scan
+    # Corpus size as a broadcast 1-row aggregate — single Catalyst plan,
+    # no driver action splitting the query into two jobs.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
         .filter(~F.array_contains(stopword_array(), F.col("word")))
@@ -293,11 +295,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
     scored = (
         # word-dimension table is vocab-sized → broadcast to avoid
         # shuffling the big (doc, word) side on a skewed word key.
         tf.join(F.broadcast(df_tbl), "word")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("score_e6", micros(F.col("tf") * idf))
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("word"))
@@ -306,6 +309,82 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "word", "tf", "df", "score_e6")
     )
+
+
+# --------------------------------------------------------------------------
+# T8 HashingTF variant — the reference's actual TF-IDF jobs feature-hash
+# terms instead of keying on strings (label/keywordextractor/TFIDF.scala:24
+# — HashingTF numFeatures=80,000,000; label/UserTextLabelCalc.scala:44).
+# Same pipeline as tfidf_top_terms but the key is hash(word) % dims:
+# fixed-width state independent of vocabulary size, at the cost of
+# collisions merging terms. The hash is the engine's portable
+# polynomial fold, so DuckDB computes identical feature ids and the
+# variant stays oracle-gated (Spark ml's murmur3 HashingTF has no DuckDB
+# twin). Dims are parameterized via hashed_tfidf(); at 2^18 the test
+# vocab is collision-free, which tests/test_keywords.py exploits to
+# prove score agreement with the exact-string path.
+# --------------------------------------------------------------------------
+TFIDF_NUM_FEATURES = 1 << 18
+
+
+def hashed_tfidf(docs: DataFrame, num_features: int = TFIDF_NUM_FEATURES) -> DataFrame:
+    """Feature-hashed TF-IDF: top-5 features per doc, HashingTF-style."""
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
+        .filter(~F.array_contains(stopword_array(), F.col("word")))
+        .select(
+            "doc_id",
+            (char_fold_hash(F.col("word")) % F.lit(num_features)).alias("feature"),
+        )
+        .groupBy("doc_id", "feature")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "feature")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_e6", micros(F.col("tf") * idf))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("feature"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "feature", "tf", "df", "score_e6")
+    )
+
+
+@register(
+    "tfidf_hashed_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, ({sql_char_fold_hash('word')}) % {TFIDF_NUM_FEATURES} AS feature,
+               count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE NOT list_contains({sql_stopword_list()}, word)
+        GROUP BY doc_id, feature
+    ),
+    df AS (SELECT feature, count(*) AS df FROM tf GROUP BY feature),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.feature, tf.tf, df.df,
+               {sql_micros("tf.tf * ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))")} AS score_e6
+        FROM tf
+        JOIN df ON tf.feature = df.feature
+        CROSS JOIN n
+    )
+    SELECT doc_id, feature, tf, df, score_e6 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_e6 DESC, feature
+        ) AS rk FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="T8 HashingTF variant: feature-hashed TF-IDF (hash(word) % 2^18), "
+    "top-5 features per doc — fixed-width keys independent of vocab size",
+)
+def tfidf_hashed_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashed_tfidf(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -87,3 +87,33 @@ def test_textrank_exact_hub_and_isolated():
     solo = textrank_scores_exact(["only"], frozenset())
     # single-node doc: rank collapses to the teleport base
     assert solo == {"only": (10**12 * 3 // 20)}
+
+
+def test_hashed_tfidf_agrees_with_exact_path(spark):
+    """At a collision-free vocab, feature hashing must not change any
+    score: per doc, the top-5 score multiset of the hashed path equals
+    the exact-string path's."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.functions.hashing import char_fold_hash
+    from algorithmproject_spark_spark.queries.text import (
+        TFIDF_NUM_FEATURES,
+        hashed_tfidf,
+        tfidf_top_terms,
+    )
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    # precondition: the fixture vocab actually is collision-free at 2^18
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    hashed = words.select((char_fold_hash(F.col("w")) % TFIDF_NUM_FEATURES).alias("h"))
+    assert hashed.distinct().count() == words.count()
+
+    def per_doc(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.doc_id, []).append(r.score_e6)
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert per_doc(hashed_tfidf(docs)) == per_doc(tfidf_top_terms(spark, sf))
