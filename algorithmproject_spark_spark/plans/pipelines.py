@@ -38,7 +38,8 @@ from algorithmproject_spark_spark.queries.dedup import (
     _band_key_sql,
     _shingle_hashes,
     _sql_shingle_hashes,
-    jaccard_verified_pairs,
+    JACCARD_THRESHOLD_E6,
+    jaccard_pairs_above,
 )
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -96,15 +97,20 @@ def _sql_dup_pairs() -> str:
     doc="§3.1 flagship: exact dedup → MinHash near-dup anti-join → quality "
     "filter → per-lang quota window, all one Catalyst plan",
 )
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    near_dup_threshold_e6: int = JACCARD_THRESHOLD_E6,
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # exact dedup: deterministic survivor = min doc_id per text (the
     # reference's dropDuplicates keeps an arbitrary row — fine in prod,
     # not oracle-checkable; min() costs the same single shuffle).
     exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    # near-dup: drop the higher-id side of each verified pair (E4 made
-    # native — the reference anti-joined ids from an external tool).
-    dup_b = jaccard_verified_pairs(spark, sf_dir).select(
+    # near-dup: drop the higher-id side of each pair verified at the
+    # (parameterized) Jaccard bar (E4 made native — the reference
+    # anti-joined ids from an external tool).
+    dup_b = jaccard_pairs_above(spark, sf_dir, near_dup_threshold_e6).select(
         F.col("doc_b").alias("doc_id")
     )
     keep = exact_keep.select("doc_id").join(dup_b, "doc_id", "left_anti")

@@ -163,6 +163,23 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard ≥ 0.5 verification of LSH candidates (full near-dup pipeline)",
 )
 def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs_above(spark, sf_dir, JACCARD_THRESHOLD_E6)
+
+
+JACCARD_THRESHOLD_E6 = 500_000  # default near-dup bar: Jaccard ≥ 0.5
+
+
+def jaccard_pairs_above(
+    spark: SparkSession, sf_dir: str, threshold_e6: int = JACCARD_THRESHOLD_E6
+) -> DataFrame:
+    """LSH candidates verified at a parameterized Jaccard threshold.
+
+    The cut is exact rational arithmetic — ``n_common * 1e6 >= n_union *
+    threshold_e6`` — never a comparison on the rounded ``jaccard_e6``
+    column, so a pair sits on the same side of the bar in every engine
+    and at every partitioning (and threshold monotonicity is exact:
+    raising the bar can only shrink the result).
+    """
     cand = minhash_lsh_candidates(spark, sf_dir)
     sh = _shingle_hashes(spark, sf_dir)
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -179,7 +196,10 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             union.alias("n_union"),
             jac.alias("jaccard_e6"),
         )
-        .filter(F.col("n_common") * 2 >= F.col("n_union"))
+        .filter(
+            F.col("n_common").cast("long") * F.lit(1_000_000)
+            >= F.col("n_union").cast("long") * F.lit(threshold_e6)
+        )
     )
 
 

@@ -82,3 +82,22 @@ def test_global_index_is_dense_rank(spark, keys):
     out = {r.k: r.idx for r in zip_with_global_index(df, "k", num_partitions=4).collect()}
     expected = {k: i for i, k in enumerate(sorted(keys))}
     assert out == expected
+
+
+def test_jaccard_threshold_monotonicity(spark):
+    """Raising the near-dup bar can only shrink the verified pair set,
+    and therefore only grow the curation pipeline's surviving corpus."""
+    from algorithmproject_spark_spark.plans.pipelines import curation_pipeline
+    from algorithmproject_spark_spark.queries.dedup import jaccard_pairs_above
+
+    sf = "/root/testdata/sf0.001"
+    pair_sets = {}
+    for t in (300_000, 500_000, 700_000):
+        pair_sets[t] = {
+            (r.doc_a, r.doc_b) for r in jaccard_pairs_above(spark, sf, t).collect()
+        }
+    assert pair_sets[700_000] <= pair_sets[500_000] <= pair_sets[300_000]
+
+    kept = {t: curation_pipeline(spark, sf, near_dup_threshold_e6=t).count()
+            for t in (300_000, 500_000, 700_000)}
+    assert kept[300_000] <= kept[500_000] <= kept[700_000]
