@@ -231,15 +231,22 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count through two wide exchanges for what is a map-only job.
     Integer votes are order-independent, so the fold matches the
     oracle's group-sum exactly.
+
+    The token-hash array is bound through a 1-element ``transform``
+    lambda, NOT a projected column: CollapseProject would inline a
+    projected alias into each of the 31 bit folds and re-run the
+    char-fold per bit (measured 10.5 s vs 1.6 s at sf0.1). A lambda
+    variable is evaluated once by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     fp = F.expr(
+        "element_at(transform(array(th0), th -> "
         "aggregate(sequence(0, 30), cast(0 as bigint), (acc, bit) -> acc + "
         "if(aggregate(th, cast(0 as bigint), "
         "(a, h) -> a + if((shiftright(h, bit) & 1) = 1, 1, -1)) > 0, "
-        "shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))"
+        "shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))), 1)"
     )
-    return docs.select("doc_id", token_hash_array(toks).alias("th")).select(
+    return docs.select("doc_id", token_hash_array(toks).alias("th0")).select(
         "doc_id", fp.alias("simhash")
     )

@@ -48,6 +48,10 @@ HEADLINE = (
     "doc_bpe_token_stats",
     "lang_doc_ids_salted",
     "window_global_rownum",
+    # the two heaviest iterative operators — benched so regressions in
+    # the fixed-point iteration machinery are caught round-over-round
+    "textrank_topk",
+    "corpus_pagerank_topk",
 )
 
 
