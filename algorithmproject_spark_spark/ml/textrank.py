@@ -76,25 +76,26 @@ def extract_keywords(
     applyInPandas — one small graph per group row, Arrow-batched."""
     sw = frozenset(STOPWORDS)
 
-    def _per_doc(pdf):  # type: ignore[no-untyped-def]
+    def _batches(batches):  # type: ignore[no-untyped-def]
         import pandas as pd
 
-        out: list[tuple[object, str, int, int]] = []
-        for _, row in pdf.iterrows():
-            scores = textrank_scores(
-                (row[text_col] or "").split(), sw, iterations=iterations
-            )
-            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
-            for rank, (word, score) in enumerate(ranked, start=1):
-                out.append(
-                    (row[id_col], word, int(score * 1e6 + 0.5), rank)
+        for pdf in batches:
+            out: list[tuple[object, str, int, int]] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                scores = textrank_scores((text or "").split(), sw, iterations=iterations)
+                ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+                out.extend(
+                    (did, word, int(score * 1e6 + 0.5), rank)
+                    for rank, (word, score) in enumerate(ranked, start=1)
                 )
-        return pd.DataFrame(out, columns=[id_col, "word", "score_e6", "rank"])
+            yield pd.DataFrame(out, columns=[id_col, "word", "score_e6", "rank"])
 
-    # Group by id: each group is one document; mapInPandas would also
-    # work, applyInPandas keeps the (id → keywords) contract explicit.
-    return df.select(id_col, text_col).groupBy(id_col).applyInPandas(
-        _per_doc, schema=f"{id_col} long, word string, score_e6 long, rank int"
+    # The kernel is per-ROW (one doc per row), so mapInPandas: zero
+    # shuffle, one Arrow batch per ~10k rows. groupBy(id).applyInPandas
+    # here would shuffle every doc into its own 1-row group and pay the
+    # per-group pandas/Arrow overhead thousands of times over.
+    return df.select(id_col, text_col).mapInPandas(
+        _batches, schema=f"{id_col} long, word string, score_e6 long, rank int"
     )
 
 
@@ -171,21 +172,27 @@ def extract_keywords_exact(
     top_k: int = 10,
 ) -> DataFrame:
     """(id, word, rank_fp, rk): integer-exact per-document TextRank via
-    applyInPandas — embarrassingly parallel, zero cross-doc state, and
-    every output value reproducible bit-for-bit by any engine."""
+    mapInPandas — embarrassingly parallel, zero shuffle, zero cross-doc
+    state, and every output value reproducible bit-for-bit by any
+    engine. (Not groupBy+applyInPandas: one doc per row means that
+    would shuffle every doc into a 1-row group and pay per-group
+    pandas/Arrow overhead per document.)"""
     sw = frozenset(STOPWORDS)
 
-    def _per_doc(pdf):  # type: ignore[no-untyped-def]
+    def _batches(batches):  # type: ignore[no-untyped-def]
         import pandas as pd
 
-        out: list[tuple[object, str, int, int]] = []
-        for _, row in pdf.iterrows():
-            scores = textrank_scores_exact((row[text_col] or "").split(), sw)
-            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
-            for rk, (word, rank_fp) in enumerate(ranked, start=1):
-                out.append((row[id_col], word, rank_fp, rk))
-        return pd.DataFrame(out, columns=[id_col, "word", "rank_fp", "rk"])
+        for pdf in batches:
+            out: list[tuple[object, str, int, int]] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                scores = textrank_scores_exact((text or "").split(), sw)
+                ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+                out.extend(
+                    (did, word, rank_fp, rk)
+                    for rk, (word, rank_fp) in enumerate(ranked, start=1)
+                )
+            yield pd.DataFrame(out, columns=[id_col, "word", "rank_fp", "rk"])
 
-    return df.select(id_col, text_col).groupBy(id_col).applyInPandas(
-        _per_doc, schema=f"{id_col} long, word string, rank_fp long, rk int"
+    return df.select(id_col, text_col).mapInPandas(
+        _batches, schema=f"{id_col} long, word string, rank_fp long, rk int"
     )
