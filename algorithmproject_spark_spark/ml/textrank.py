@@ -5,8 +5,8 @@ shard and runs GraphX ``pageRank(0.0001)``
 (``label/keywordextractor/TextRank.scala:20-125``), collecting vertex
 maps to the driver. PySpark has no GraphX; more importantly the
 per-document graphs this workload actually needs are tiny (≤ a few
-hundred vertices), so the Spark-correct shape is ``applyInPandas``:
-one numpy power iteration per document, zero cross-document shuffle
+hundred vertices), so the Spark-correct shape is ``mapInPandas``:
+one power iteration per input row, zero shuffle, zero cross-document
 state, embarrassingly parallel. A fixed iteration count (not a
 convergence test) keeps results deterministic.
 
@@ -73,7 +73,7 @@ def extract_keywords(
     iterations: int = 20,
 ) -> DataFrame:
     """(id, word, score_e6, rank): per-document TextRank via
-    applyInPandas — one small graph per group row, Arrow-batched."""
+    mapInPandas — one small graph per input row, Arrow-batched."""
     sw = frozenset(STOPWORDS)
 
     def _batches(batches):  # type: ignore[no-untyped-def]

@@ -97,7 +97,7 @@ def rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_textrank(iterations: int, scale: int, window: int, top_k: int) -> str:
     """DuckDB twin of the integer-exact per-doc TextRank: same
-    fixed-point update as the applyInPandas kernel (Python bigints ==
+    fixed-point update as the mapInPandas kernel (Python bigints ==
     BIGINT), loop unrolled one CTE per iteration, keys (doc_id, word)."""
     assert window == 2, "oracle hardcodes the window-2 distance set"
     stoplist = sql_stopword_list()
@@ -165,7 +165,7 @@ def _sql_textrank(iterations: int, scale: int, window: int, top_k: int) -> str:
     oracle=_sql_textrank(
         textrank.TR_ITERS, textrank.TR_SCALE, textrank.TR_WINDOW, 10
     ),
-    doc="T10: per-doc TextRank via applyInPandas in exact fixed-point "
+    doc="T10: per-doc TextRank via mapInPandas in exact fixed-point "
     "integer arithmetic — top-10 words per doc, oracle-checked against "
     "an unrolled DuckDB CTE re-derivation (float TextRank kernel kept "
     "in ml/textrank.py with closed-form unit tests)",
