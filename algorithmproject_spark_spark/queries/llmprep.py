@@ -1,0 +1,257 @@
+"""LLM training-corpus preparation operators (north-star extensions —
+no reference analogue; the reference's nearest neighbors are the corpus
+cost filters, ``nlp/PrepData.scala:184-188``, and the curation jobs in
+``mark/``).
+
+Three operator families a 100 TB pretraining pipeline runs after dedup:
+
+- **Repetition signals** (Gopher-style filters, Rae et al. 2021
+  "Scaling Language Models", Appendix A1.1): top-n-gram mass fraction,
+  immediate token repeats, duplicate-token fraction, mean word length.
+  All per-row array HOFs — map-only, zero shuffle at any scale.
+- **Sequence packing**: concatenate documents into fixed-size training
+  windows (GPT-style document packing). Per-shard running token count →
+  each doc's first/last window index and straddle flag. One window
+  shuffle keyed on the shard column; exact BIGINT arithmetic.
+- **Embedding quantization**: symmetric per-vector int8 quantization
+  with reconstruction-error metrics — the storage/serving path for the
+  ANN family. Sequential folds keep every float bit-identical
+  cross-engine (see functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
+from algorithmproject_spark_spark.functions.text import ngrams, sql_ngrams, tokenize
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+SEQ_LEN = 512  # packing window, tokens
+
+
+# --------------------------------------------------------------------------
+# Repetition signals. The top-bigram fraction is the mode count of the
+# bigram array over its size; the mode is computed with nested HOFs
+# (distinct × membership count). The bigram array is bound through a
+# 1-element transform lambda so CollapseProject cannot re-evaluate the
+# n-gram construction per reference (the simhash lesson, dedup.py).
+# --------------------------------------------------------------------------
+@register(
+    "doc_repetition_signals",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           CASE WHEN n_tokens >= 2
+                THEN len(list_filter(range(1, n_tokens), i_ -> toks[i_] = toks[i_ + 1]))
+                ELSE 0 END AS n_immediate_repeats,
+           top_bigram_n,
+           CASE WHEN n_bigrams > 0
+                THEN {sql_micros("CAST(top_bigram_n AS DOUBLE) / n_bigrams")}
+                ELSE 0 END AS top_bigram_frac_e6,
+           {sql_micros("1.0 - CAST(n_distinct AS DOUBLE) / n_tokens")} AS dup_token_frac_e6,
+           {sql_micros("CAST(sum_len AS DOUBLE) / n_tokens")} AS mean_word_len_e6
+    FROM (
+        SELECT doc_id, toks,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, t_ -> CAST(length(t_) AS BIGINT))),
+                   (a_, b_) -> a_ + b_) AS sum_len,
+               len(bg) AS n_bigrams,
+               COALESCE(list_max(list_transform(list_distinct(bg),
+                   x_ -> len(list_filter(bg, y_ -> y_ = x_)))), 0) AS top_bigram_n
+        FROM (SELECT doc_id, toks, {sql_ngrams('toks', 2)} AS bg
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+    )
+    """,
+    doc="Gopher-style repetition filters: top-bigram mass, immediate "
+    "repeats, duplicate-token fraction, mean word length — map-only HOFs",
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    base = docs.select("doc_id", toks.alias("toks"))
+
+    n_tokens = F.size("toks")
+    # bind bg once; mode count = max membership count over distinct grams
+    top_bigram_n = F.element_at(
+        F.transform(
+            F.array(ngrams(F.col("toks"), 2)),
+            lambda bg: F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(bg),
+                        lambda x: F.size(F.filter(bg, lambda y: y == x)),
+                    )
+                ),
+                F.lit(0),
+            ),
+        ),
+        1,
+    )
+    n_bigrams = F.greatest(n_tokens - 1, F.lit(0))
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    repeats = F.when(
+        n_tokens >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n_tokens - 1),
+                lambda i: F.element_at("toks", i) == F.element_at("toks", i + 1),
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+    stats = base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        repeats.alias("n_immediate_repeats"),
+        top_bigram_n.alias("top_bigram_n"),
+        n_bigrams.alias("n_bigrams"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        sum_len.alias("sum_len"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_immediate_repeats",
+        "top_bigram_n",
+        F.when(
+            F.col("n_bigrams") > 0,
+            micros(F.col("top_bigram_n").cast("double") / F.col("n_bigrams")),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("top_bigram_frac_e6"),
+        micros(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+        ).alias("dup_token_frac_e6"),
+        micros(F.col("sum_len").cast("double") / F.col("n_tokens")).alias(
+            "mean_word_len_e6"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: GPT-style document concatenation into fixed windows.
+# Per shard (lang), docs concatenate in doc_id order; a doc occupying
+# token offsets [cum_before, cum_before + n) lands in windows
+# [cum_before div L, (cum_before + n - 1) div L]. The scan is one
+# running sum partitioned on the shard key — scale-safe (never a global
+# unpartitioned window), and a 100 TB run shards the same way.
+# --------------------------------------------------------------------------
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, lang, n_tokens,
+           tok_before,
+           tok_before // {SEQ_LEN} AS seq_first,
+           (tok_before + n_tokens - 1) // {SEQ_LEN} AS seq_last,
+           CASE WHEN tok_before // {SEQ_LEN}
+                     <> (tok_before + n_tokens - 1) // {SEQ_LEN}
+                THEN 1 ELSE 0 END AS straddles
+    FROM (
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_before
+        FROM (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+    )
+    WHERE n_tokens > 0
+    """,
+    doc="sequence packing: per-shard running token offsets → first/last "
+    "training-window index per doc + straddle flag (window length 512)",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokenize("text")).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = docs.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+        "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    seq_first = F.expr(f"tok_before div {SEQ_LEN}")
+    seq_last = F.expr(f"(tok_before + n_tokens - 1) div {SEQ_LEN}")
+    return base.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "tok_before",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        F.when(seq_first != seq_last, F.lit(1)).otherwise(F.lit(0)).alias("straddles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Symmetric int8 quantization. q_i = floor(x_i * 127 / max_abs + 0.5)
+# (round-half-up on exact IEEE doubles — both engines agree bit-for-bit
+# because the expression tree is identical and association is explicit).
+# Error metrics come back from the dequantized vector via sequential
+# folds.
+# --------------------------------------------------------------------------
+def _sql_q(i: str) -> str:
+    return f"floor((CAST(embedding[{i}] AS DOUBLE) * 127.0) / m + 0.5)"
+
+
+@register(
+    "embedding_int8_quant",
+    oracle=f"""
+    SELECT vec_id,
+           {sql_micros("m")} AS max_abs_e6,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 65),
+                   i_ -> CASE WHEN abs({_sql_q('i_')}) >= 127 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+               (a_, b_) -> a_ + b_) AS BIGINT) AS n_saturated,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                   i_ -> (CAST(embedding[i_] AS DOUBLE) - ({_sql_q('i_')} * m) / 127.0)
+                       * (CAST(embedding[i_] AS DOUBLE) - ({_sql_q('i_')} * m) / 127.0))),
+               (a_, b_) -> a_ + b_) * 1000000000.0 + 0.5) AS BIGINT) AS sse_e9
+    FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x_ -> abs(CAST(x_ AS DOUBLE)))) AS m
+        FROM embeddings
+    )
+    WHERE m > 0
+    """,
+    doc="symmetric per-vector int8 quantization: scale, saturation "
+    "count, reconstruction SSE — the ANN storage path's compression stage",
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = emb.select("vec_id", v.alias("v"), m.alias("m")).filter(F.col("m") > 0)
+
+    def q(x):  # noqa: ANN001 — Column-in, Column-out
+        return F.floor((x * F.lit(127.0)) / F.col("m") + F.lit(0.5))
+
+    n_sat = F.aggregate(
+        F.col("v"),
+        F.lit(0).cast("long"),
+        lambda a, x: a
+        + F.when(F.abs(q(x)) >= 127, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    err = lambda x: x - (q(x) * F.col("m")) / F.lit(127.0)  # noqa: E731
+    sse = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda a, x: a + err(x) * err(x)
+    )
+    return base.select(
+        "vec_id",
+        micros(F.col("m")).alias("max_abs_e6"),
+        n_sat.alias("n_saturated"),
+        F.floor(sse * F.lit(1000000000.0) + F.lit(0.5)).cast("long").alias("sse_e9"),
+    )
