@@ -15,3 +15,6 @@ from algorithmproject_spark_spark.streaming.windows import (  # noqa: F401
 from algorithmproject_spark_spark.streaming.stateful import (  # noqa: F401
     user_profile_stateful,
 )
+from algorithmproject_spark_spark.streaming.dedup import (  # noqa: F401
+    dedup_stream,
+)

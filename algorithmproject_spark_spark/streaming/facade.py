@@ -46,10 +46,20 @@ def stream_read_kafka(
 
 
 def stream_read_parquet(
-    spark: SparkSession, path: str, schema: StructType
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-stream source (schema mandatory for streams)."""
-    return spark.readStream.format("parquet").schema(schema).load(path)
+    """File-stream source (schema mandatory for streams).
+
+    ``max_files_per_trigger`` caps each micro-batch — tests use 1 to
+    force state to carry across batches instead of one catch-all batch.
+    """
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
 
 
 def stream_read_rate(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:

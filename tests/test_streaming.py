@@ -144,3 +144,37 @@ def test_session_window_stream_equals_batch(spark, events_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, scratch):
+    from algorithmproject_spark_spark.streaming import (
+        dedup_stream,
+        stream_read_parquet,
+        stream_write_memory,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = scratch / "dup_events_in"
+    # two files -> duplicates arrive across micro-batches, not only
+    # within one: the state store must carry keys between batches.
+    events.write.mode("overwrite").parquet(str(path))
+    events.write.mode("append").parquet(str(path))
+
+    batch = spark.read.parquet(str(path))
+    assert batch.count() == 2 * events.count()  # fixture really duplicated
+    expected = batch.dropDuplicates(["event_id"]).count()
+    assert expected == events.count()
+
+    stream = stream_read_parquet(
+        spark, str(path), batch.schema, max_files_per_trigger=1
+    )
+    q = stream_write_memory(
+        dedup_stream(stream), "dedup_out", output_mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    finally:
+        q.stop()
+    assert got.n == expected  # every duplicate dropped...
+    assert got.d == expected  # ...and each key emitted exactly once
