@@ -52,6 +52,11 @@ HEADLINE = (
     # the fixed-point iteration machinery are caught round-over-round
     "textrank_topk",
     "corpus_pagerank_topk",
+    # LLM corpus-prep family (round 2): repetition filters (map-only
+    # HOFs), sequence packing (per-shard window), int8 quantization
+    "doc_repetition_signals",
+    "doc_pack_sequences",
+    "embedding_int8_quant",
 )
 
 
