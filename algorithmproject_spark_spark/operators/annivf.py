@@ -70,13 +70,23 @@ def _sql_l2sq(emb: str, centroid: tuple[float, ...]) -> str:
 
 def _enc_array(emb: Column) -> Column:
     """array of BIGINT encodings dist_e6 * K + cell, one per centroid.
-    dist ≤ 4·DIM → dist_e6·K < 2^31·... stays far inside BIGINT."""
-    v = to_double(emb)
-    return F.array(
-        *[
-            micros(_l2sq(v, c)) * F.lit(K_CELLS) + F.lit(i)
-            for i, c in enumerate(CENTROIDS)
-        ]
+    dist ≤ 4·DIM → dist_e6·K < 2^31·... stays far inside BIGINT.
+
+    The widened vector is bound through a 1-element ``transform`` lambda
+    so the 64-cast ``to_double`` runs once, not once per centroid fold
+    (CollapseProject inlines projected/nested aliases per reference).
+    """
+    return F.element_at(
+        F.transform(
+            F.array(to_double(emb)),
+            lambda v: F.array(
+                *[
+                    micros(_l2sq(v, c)) * F.lit(K_CELLS) + F.lit(i)
+                    for i, c in enumerate(CENTROIDS)
+                ]
+            ),
+        ),
+        1,
     )
 
 
@@ -98,13 +108,23 @@ def sql_cell(emb: str) -> str:
 
 
 def probe_cells_col(emb: Column) -> Column:
-    """The NPROBE nearest cell ids for a query vector."""
-    sorted_enc = F.array_sort(_enc_array(emb))
-    return F.array(
-        *[
-            (F.element_at(sorted_enc, i + 1) % K_CELLS).cast("int")
-            for i in range(NPROBE)
-        ]
+    """The NPROBE nearest cell ids for a query vector.
+
+    The sorted encoding array is lambda-bound: each of the NPROBE
+    ``element_at`` references would otherwise re-sort — and re-compute —
+    the whole 8-fold encoding array.
+    """
+    return F.element_at(
+        F.transform(
+            F.array(F.array_sort(_enc_array(emb))),
+            lambda s: F.array(
+                *[
+                    (F.element_at(s, i + 1) % K_CELLS).cast("int")
+                    for i in range(NPROBE)
+                ]
+            ),
+        ),
+        1,
     )
 
 
