@@ -41,16 +41,23 @@ PLANES: tuple[tuple[float, ...], ...] = tuple(
 
 
 def bucket_col(emb: Column) -> Column:
-    """LSH bucket id: bit j = sign(dot(v, plane_j))."""
-    v = to_double(emb)
-    acc = F.lit(0)
-    for j, plane in enumerate(PLANES):
-        pl = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, pl, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
-        )
-        acc = acc + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+    """LSH bucket id: bit j = sign(dot(v, plane_j)).
+
+    The widened vector is lambda-bound so ``to_double`` runs once, not
+    once per plane fold (CollapseProject inlines aliases per reference).
+    """
+
+    def _buckets(v: Column) -> Column:
+        acc = F.lit(0)
+        for j, plane in enumerate(PLANES):
+            pl = F.array(*[F.lit(x) for x in plane])
+            d = F.aggregate(
+                F.zip_with(v, pl, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+            )
+            acc = acc + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return acc
+
+    return F.element_at(F.transform(F.array(to_double(emb)), _buckets), 1)
 
 
 def sql_bucket(emb: str) -> str:
@@ -206,9 +213,14 @@ def near_dup_candidates(
     """
     if planes_per_band is None:
         planes_per_band = planes_per_band_for(df.count())
-    v = to_double(F.col("embedding"))
-    band_keys = F.array(
-        *[_band_bucket_col(v, b, planes_per_band) for b in range(n_bands)]
+    band_keys = F.element_at(
+        F.transform(
+            F.array(to_double(F.col("embedding"))),
+            lambda v: F.array(
+                *[_band_bucket_col(v, b, planes_per_band) for b in range(n_bands)]
+            ),
+        ),
+        1,
     )
     banded = df.select(
         "vec_id", F.posexplode(band_keys).alias("band_idx", "bucket")
