@@ -20,22 +20,45 @@ def to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def _dot_d(a: Column, b: Column) -> Column:
+    """Dot product of two already-widened arrays."""
     return F.aggregate(
-        F.zip_with(to_double(a), to_double(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
+def _norm_d(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _dot_d(to_double(a), to_double(b))
+
+
 def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    return _norm_d(to_double(a))
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """dot/(|a||b|) with each vector widened ONCE via lambda binding —
+    naive composition would inline to_double into the dot fold and both
+    norm folds (CollapseProject duplicates aliases per reference); the
+    arithmetic and fold order are identical, so values are unchanged."""
+    return F.element_at(
+        F.transform(
+            F.array(to_double(a)),
+            lambda va: F.element_at(
+                F.transform(
+                    F.array(to_double(b)),
+                    lambda vb: _dot_d(va, vb) / (_norm_d(va) * _norm_d(vb)),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
 
 
 def sql_to_double(expr: str) -> str:
