@@ -106,3 +106,26 @@ def test_range_join_is_equi_not_nested_loop(spark):
     p = plan_of(REGISTRY["range_join_type_windows"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p  # bucketed equi-join shape
     assert "Join" in p
+
+
+def test_llmprep_map_only_operators_have_no_exchange(spark):
+    """SCALE.md claims: repetition signals and int8 quantization are
+    map-only; simhash is too. CI-enforce zero Exchange nodes."""
+    for name in ("doc_repetition_signals", "embedding_int8_quant",
+                 "simhash_fingerprints"):
+        p = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "Exchange" not in p, name
+
+
+def test_pack_sequences_single_pershard_window(spark):
+    import re
+
+    p = plan_of(REGISTRY["doc_pack_sequences"].fn(spark, SF))
+    # exactly one shuffle: the hash partition on the shard key
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "No Partition Defined" not in p  # never a global window
+
+
+def test_llmprep_reads_prune_columns(spark):
+    p = plan_of(REGISTRY["embedding_int8_quant"].fn(spark, SF))
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p

@@ -101,3 +101,26 @@ def test_jaccard_threshold_monotonicity(spark):
     kept = {t: curation_pipeline(spark, sf, near_dup_threshold_e6=t).count()
             for t in (300_000, 500_000, 700_000)}
     assert kept[300_000] <= kept[500_000] <= kept[700_000]
+
+
+@given(
+    phrases=st.lists(
+        st.lists(token, min_size=1, max_size=3).map(" ".join),
+        min_size=0,
+        max_size=8,
+    )
+)
+@SLOW
+def test_longest_match_filter_matches_python_model(spark, phrases):
+    from algorithmproject_spark_spark.functions.text import longest_match_filter
+
+    def model(cands):
+        a = list(dict.fromkeys(c for c in cands if c))
+        return [
+            w for w in a
+            if not any(o != w and f" {w} " in f" {o} " for o in a)
+        ]
+
+    arr = F.array(*[F.lit(p) for p in phrases]).cast("array<string>")
+    got = spark.range(1).select(longest_match_filter(arr).alias("k")).first()["k"]
+    assert got == model(phrases)
