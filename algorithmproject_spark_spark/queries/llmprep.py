@@ -255,3 +255,137 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sat.alias("n_saturated"),
         F.floor(sse * F.lit(1000000000.0) + F.lit(0.5)).cast("long").alias("sse_e9"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus docs sharing n-gram shingles
+# with a held-out evaluation set (the standard pretraining hygiene step;
+# e.g. GPT-3's 13-gram dedup against benchmarks, Brown et al. 2020
+# §App. C — here 3-gram to match the dedup family's shingle width on the
+# short synthetic docs). The benchmark gram set is tiny by nature →
+# broadcast equi-join against exploded corpus grams: linear, no O(n·m).
+# --------------------------------------------------------------------------
+CONTAM_N = 3
+BENCH_DOCS = 5  # doc_id < 5 stand in for the held-out benchmark
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = CONTAM_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_contaminated_grams) for corpus docs sharing any n-gram
+    with the benchmark set."""
+    from algorithmproject_spark_spark.functions.hashing import (
+        gram_hash_array,
+        token_hash_array,
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = F.array_distinct(
+            gram_hash_array(token_hash_array(tokenize(text_col)), n)
+        )
+        return df.select(id_col, F.explode(g).alias("gh"))
+
+    bench = grams(bench_docs).select("gh").distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(bench), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+def _sql_contam_grams() -> str:
+    from algorithmproject_spark_spark.functions.hashing import (
+        sql_gram_hash_array,
+        sql_token_hash_array,
+    )
+
+    g = sql_gram_hash_array(
+        sql_token_hash_array("string_split(text, ' ')"), CONTAM_N
+    )
+    return f"SELECT doc_id, list_distinct({g}) AS gh FROM documents"
+
+
+@register(
+    "doc_benchmark_contamination",
+    oracle=f"""
+    WITH g AS ({_sql_contam_grams()}),
+    bench AS (SELECT DISTINCT unnest(gh) AS gh FROM g WHERE doc_id < {BENCH_DOCS}),
+    corpus AS (SELECT doc_id, unnest(gh) AS gh FROM g WHERE doc_id >= {BENCH_DOCS})
+    SELECT doc_id, count(*) AS n_contaminated_grams
+    FROM corpus JOIN bench USING (gh)
+    GROUP BY doc_id
+    """,
+    doc="benchmark decontamination: corpus docs sharing 3-gram shingles "
+    "with the held-out set (broadcast gram join, linear)",
+)
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_hits(
+        docs.filter(F.col("doc_id") >= BENCH_DOCS),
+        docs.filter(F.col("doc_id") < BENCH_DOCS),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII masking: regexp_replace chains for emails / IPv4 / long digit runs
+# (phone-ish). Pure Catalyst — codegen'd, map-only. The corpus is clean
+# synthetic prose, so the query first derives a PII-bearing rendering
+# from real columns (same technique as candidate_phrase_mining), then
+# masks it; both derivation and mask are oracle-replayed. Patterns stay
+# in the Java∩RE2 regex subset so Spark and DuckDB agree.
+# --------------------------------------------------------------------------
+PII_EMAIL = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_DIGITS = "[0-9]{7,}"
+
+
+def mask_pii(col: F.Column) -> F.Column:
+    """Email → <EMAIL>, IPv4 → <IP>, 7+ digit runs → <NUM> (order
+    matters: IPs before digit runs so octets don't half-match)."""
+    c = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    return F.regexp_replace(c, PII_DIGITS, "<NUM>")
+
+
+@register(
+    "doc_pii_masked",
+    oracle=f"""
+    WITH rendered AS (
+        SELECT doc_id,
+               'contact ' || source || '@example.com from 10.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.7 ref ' ||
+               CAST(1000000 + doc_id * 137 AS VARCHAR) || ': ' || text AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_DIGITS}', '<NUM>', 'g') AS masked,
+           len(regexp_extract_all(raw, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(raw, '{PII_IPV4}')) AS n_ips
+    FROM rendered
+    """,
+    doc="PII masking: email/IPv4/digit-run scrubbing as codegen'd "
+    "regexp_replace chains (map-only), with per-doc redaction counts",
+)
+def doc_pii_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact "), F.col("source"), F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 ref "),
+        (F.lit(1000000) + F.col("doc_id") * 137).cast("string"),
+        F.lit(": "), F.col("text"),
+    )
+    rendered = docs.select("doc_id", raw.alias("raw"))
+    return rendered.select(
+        "doc_id",
+        mask_pii(F.col("raw")).alias("masked"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_IPV4), F.lit(0))).alias("n_ips"),
+    )
