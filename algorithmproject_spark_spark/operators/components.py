@@ -1,0 +1,90 @@
+"""Connected components over near-duplicate pairs — the step that turns
+pairwise dedup verdicts into canonical clusters (pair A~B, B~C must
+collapse to ONE survivor, which a pairwise anti-join alone gets wrong
+when the transitive closure matters).
+
+Min-label propagation as a bounded DataFrame loop: every vertex starts
+as its own label; each round takes the min of its own and its
+neighbors' labels. After k rounds every component of diameter ≤ k
+agrees on the component-minimum id. Fixed k keeps the computation
+deterministic and lets a DuckDB oracle re-derive it exactly (loop
+unrolled one CTE per round, like the fixed-point PageRank).
+
+Scale: each round is one equi-join on vertex id + one partial-agg min —
+shuffle volume is O(edges), and near-dup graphs are sparse by
+construction (LSH-verified pairs). For adversarially long chains swap
+in alternating star contraction (GraphFrames' scheme), which converges
+in O(log n) rounds; label propagation is the right default for the
+short-diameter clusters dedup actually produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+CC_ITERS = 5
+
+
+def connected_components_min_label(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iterations: int = CC_ITERS,
+) -> DataFrame:
+    """(v, lbl): component-min label for every vertex in ``pairs``.
+
+    ``localCheckpoint`` per round, like the fixed-point PageRank
+    (plans/pipelines.py): the label relation feeds the next round twice,
+    so without cutting the plan the lineage — including the whole
+    upstream pairs derivation — nests 2^k-fold and Catalyst re-analyzes
+    the tower every loop.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionAll(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    )
+    for _ in range(iterations):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "s"), "s")
+            .groupBy("d")
+            .agg(F.min("lbl").alias("m"))
+            .withColumnRenamed("d", "v")
+        )
+        labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def sql_connected_components(pairs_cte: str, iterations: int = CC_ITERS) -> str:
+    """DuckDB twin: unrolled min-label rounds over a pairs CTE named
+    ``{pairs_cte}`` with columns (doc_a, doc_b). Returns CTE text ending
+    in ``ccN`` with columns (v, lbl)."""
+    # MATERIALIZED: DuckDB inlines CTEs by default, so the 2 references
+    # per round would re-run the whole upstream pairs derivation 2·k
+    # times (measured 85 s vs ~3 s on the near-dup oracle).
+    out = [
+        f"cc_edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM {pairs_cte} "
+        f"UNION ALL SELECT doc_b AS s, doc_a AS d FROM {pairs_cte})",
+        "cc0 AS (SELECT DISTINCT s AS v, s AS lbl FROM cc_edges)",
+    ]
+    # every round also MATERIALIZED: cc{i} references cc{i-1} twice, so
+    # inlining would expand the join tree 2^k-fold.
+    for i in range(1, iterations + 1):
+        prev = f"cc{i - 1}"
+        out.append(
+            f"cc{i} AS MATERIALIZED (SELECT l.v, least(l.lbl, COALESCE(nm.m, l.lbl)) AS lbl "
+            f"FROM {prev} l LEFT JOIN ("
+            f"SELECT e.d AS v, min(p.lbl) AS m FROM cc_edges e "
+            f"JOIN {prev} p ON e.s = p.v GROUP BY e.d) nm ON l.v = nm.v)"
+        )
+    return ",\n    ".join(out)

@@ -40,6 +40,7 @@ from algorithmproject_spark_spark.queries.dedup import (
     _sql_shingle_hashes,
     JACCARD_THRESHOLD_E6,
     jaccard_pairs_above,
+    sql_dup_pairs_cte,
 )
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -47,33 +48,6 @@ QUALITY_MIN_CHARS = 120
 QUOTA_PER_CLASS = 150
 
 
-def _sql_dup_pairs() -> str:
-    """CTE chain producing near-dup pairs (doc_a < doc_b, jaccard ≥ 0.5)."""
-    sig_cols = ", ".join(
-        f"{sql_minhash_value('sh', a, b)} AS mh{i}"
-        for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES])
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig"
-        for b in range(N_HASHES // BAND_ROWS)
-    )
-    return f"""
-    sh AS ({_sql_shingle_hashes()}),
-    sig AS (SELECT doc_id, {sig_cols} FROM sh),
-    bands AS ({bands}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    dup_pairs AS (
-        SELECT c.doc_a, c.doc_b
-        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-        WHERE len(list_intersect(x.sh, y.sh)) * 2
-              >= (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
-    )
-    """
 
 
 @register(
@@ -82,7 +56,7 @@ def _sql_dup_pairs() -> str:
     WITH exact_keep AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
     ),
-    {_sql_dup_pairs()},
+    {sql_dup_pairs_cte()},
     near_keep AS (
         SELECT e.doc_id FROM exact_keep e
         WHERE e.doc_id NOT IN (SELECT doc_b FROM dup_pairs)

@@ -203,6 +203,35 @@ def jaccard_pairs_above(
     )
 
 
+def sql_dup_pairs_cte() -> str:
+    """CTE chain producing near-dup pairs (doc_a < doc_b, jaccard ≥ 0.5)."""
+    sig_cols = ", ".join(
+        f"{sql_minhash_value('sh', a, b)} AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES])
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+    sh AS ({_sql_shingle_hashes()}),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    dup_pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh)) * 2
+              >= (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+    )
+    """
+
+
 @register(
     "simhash_fingerprints",
     oracle=f"""
@@ -250,3 +279,54 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", token_hash_array(toks).alias("th0")).select(
         "doc_id", fp.alias("simhash")
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: pairwise verdicts → connected components → one
+# canonical survivor per cluster. A pairwise drop-doc_b anti-join
+# handles A~B but not transitive A~B~C chains; min-label propagation
+# does (operators/components.py), and the fixed round count lets DuckDB
+# re-derive the labels exactly via unrolled CTEs.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cluster_reps",
+    oracle=None,  # set below — needs sql_dup_pairs_cte defined first
+    doc="near-dup clusters: connected components over verified pairs, "
+    "component-min survivor per doc (transitive chains collapse to one)",
+)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.operators.components import (
+        connected_components_min_label,
+    )
+
+    pairs = jaccard_verified_pairs(spark, sf_dir)
+    labels = connected_components_min_label(pairs)
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("cluster_rep"),
+        F.when(F.col("v") == F.col("lbl"), 1).otherwise(0).alias("is_survivor"),
+    )
+
+
+def _install_cluster_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.operators.components import (
+        CC_ITERS,
+        sql_connected_components,
+    )
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    oracle = f"""
+    WITH {sql_dup_pairs_cte()},
+    {sql_connected_components('dup_pairs')}
+    SELECT v AS doc_id, lbl AS cluster_rep,
+           CASE WHEN v = lbl THEN 1 ELSE 0 END AS is_survivor
+    FROM cc{CC_ITERS}
+    """
+    REGISTRY["dedup_cluster_reps"] = replace(
+        REGISTRY["dedup_cluster_reps"], oracle=oracle
+    )
+
+
+_install_cluster_oracle()

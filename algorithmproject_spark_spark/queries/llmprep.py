@@ -3,7 +3,7 @@ no reference analogue; the reference's nearest neighbors are the corpus
 cost filters, ``nlp/PrepData.scala:184-188``, and the curation jobs in
 ``mark/``).
 
-Three operator families a 100 TB pretraining pipeline runs after dedup:
+Operator families a 100 TB pretraining pipeline runs after dedup:
 
 - **Repetition signals** (Gopher-style filters, Rae et al. 2021
   "Scaling Language Models", Appendix A1.1): top-n-gram mass fraction,
@@ -17,6 +17,10 @@ Three operator families a 100 TB pretraining pipeline runs after dedup:
   with reconstruction-error metrics — the storage/serving path for the
   ANN family. Sequential folds keep every float bit-identical
   cross-engine (see functions/vectors.py).
+- **Benchmark decontamination**: n-gram overlap against a held-out
+  evaluation set (broadcast gram join).
+- **PII masking**: email/IP/digit-run scrubbing as codegen'd
+  regexp_replace chains.
 """
 
 from __future__ import annotations

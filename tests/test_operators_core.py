@@ -120,3 +120,35 @@ def test_bucketed_interval_join_half_open_boundaries(spark):
     )
     # start inclusive, end exclusive; far point excluded by bucket join
     assert got == [1, 2]
+
+
+def test_connected_components_collapse_transitive_chains(spark):
+    from algorithmproject_spark_spark.operators.components import (
+        connected_components_min_label,
+    )
+
+    # chain 10-11-12-13 (one component), pair 20-21, pair order reversed
+    pairs = spark.createDataFrame(
+        [(11, 10), (11, 12), (12, 13), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.v: r.lbl for r in connected_components_min_label(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_survivor_is_unique_per_cluster(spark):
+    from algorithmproject_spark_spark.operators.components import (
+        connected_components_min_label,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (3, 4)], "doc_a long, doc_b long"
+    )
+    labels = connected_components_min_label(pairs)
+    comps = {}
+    for r in labels.collect():
+        comps.setdefault(r.lbl, set()).add(r.v)
+    assert set(comps) == {1, 5}
+    assert comps[1] == {1, 2, 3, 4} and comps[5] == {5, 6}
