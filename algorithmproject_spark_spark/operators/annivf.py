@@ -209,3 +209,92 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "neighbor_id", "cosine_e6", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Production slot: IVF with LEARNED centroids (pyspark.ml KMeans). The
+# oracle-exact queries above pin fixed centroid literals so DuckDB can
+# re-derive every value; real deployments learn the coarse quantizer
+# from a corpus sample. Same join shape either way — cell id is still
+# just an equi-join key. KMeans is seeded but float-iterative, so the
+# query registers rows-only; recall invariants live in
+# tests/test_annlsh.py-style shape tests (ann_ivf_recall measures the
+# fixed-centroid path exactly).
+# --------------------------------------------------------------------------
+def kmeans_cells(
+    emb: DataFrame, k: int = K_CELLS, seed: int = 42
+) -> tuple[DataFrame, "object"]:
+    """(vec_id, label, embedding, cell) with cells from seeded KMeans.
+
+    Returns the assigned frame and the fitted model (whose
+    clusterCenters feed the probe side).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn("features", array_to_vector(to_double(F.col("embedding"))))
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "label", "embedding", F.col("prediction").cast("int").alias("cell")
+    )
+    return assigned, model
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=None,  # seeded but float-iterative ML training — rows-only
+    doc="IVF ANN with learned KMeans centroids (the production coarse "
+    "quantizer): probe NPROBE nearest learned cells, rank by exact cosine",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, model = kmeans_cells(emb)
+    centers = [tuple(float(x) for x in c) for c in model.clusterCenters()]
+
+    def probe_cells(e: Column) -> Column:
+        """NPROBE nearest learned cells by the same exact-integer argmin
+        encoding as the fixed-centroid path."""
+        def enc(v: Column) -> Column:
+            return F.array_sort(
+                F.array(
+                    *[
+                        micros(_l2sq(v, c)) * F.lit(len(centers)) + F.lit(i)
+                        for i, c in enumerate(centers)
+                    ]
+                )
+            )
+
+        bound = F.element_at(F.transform(F.array(to_double(e)), enc), 1)
+        return F.element_at(
+            F.transform(
+                F.array(bound),
+                lambda s: F.array(
+                    *[
+                        (F.element_at(s, i + 1) % len(centers)).cast("int")
+                        for i in range(NPROBE)
+                    ]
+                ),
+            ),
+            1,
+        )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine_e6", "rk")
+    )

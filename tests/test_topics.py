@@ -90,3 +90,27 @@ def test_lda_likelihood_and_perplexity_invariants(spark, tokens):
         )
     ).first()[0]
     assert abs(lp - (-ll / n_tokens)) < 1e-6
+
+
+def test_kmeans_ivf_topk_shape(spark):
+    """Production-slot IVF (learned centroids) — seeded, so shape and
+    ordering invariants hold deterministically even though the exact
+    centroid floats are float-iterative."""
+    from algorithmproject_spark_spark.operators.annivf import (
+        N_QUERIES,
+        TOP_K,
+        ann_ivf_kmeans_topk,
+    )
+
+    out = ann_ivf_kmeans_topk(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.q_id
+        by_q.setdefault(r.q_id, []).append((r.rk, r.cosine_e6))
+    for q, rs in by_q.items():
+        ranks = sorted(rk for rk, _ in rs)
+        assert ranks == list(range(1, TOP_K + 1))
+        sims = [s for _, s in sorted(rs)]
+        assert sims == sorted(sims, reverse=True)
