@@ -53,10 +53,13 @@ HEADLINE = (
     "textrank_topk",
     "corpus_pagerank_topk",
     # LLM corpus-prep family (round 2): repetition filters (map-only
-    # HOFs), sequence packing (per-shard window), int8 quantization
+    # HOFs), sequence packing (per-shard window), int8 quantization,
+    # benchmark decontamination, near-dup cluster resolution
     "doc_repetition_signals",
     "doc_pack_sequences",
     "embedding_int8_quant",
+    "doc_benchmark_contamination",
+    "dedup_cluster_reps",
 )
 
 
