@@ -17,8 +17,6 @@ DataFrame join-agg loop, the distributed fallback.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
-
 from pyspark.sql import DataFrame, functions as F
 
 from algorithmproject_spark_spark.functions.text import STOPWORDS

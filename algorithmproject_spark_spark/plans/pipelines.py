@@ -22,10 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import Window as W
 
-from algorithmproject_spark_spark.functions.hashing import (
-    MINHASH_PARAMS,
-    sql_minhash_value,
-)
 from algorithmproject_spark_spark.functions.text import (
     sql_stopword_list,
     stopword_array,
@@ -33,11 +29,6 @@ from algorithmproject_spark_spark.functions.text import (
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.queries.dedup import (
-    BAND_ROWS,
-    N_HASHES,
-    _band_key_sql,
-    _shingle_hashes,
-    _sql_shingle_hashes,
     JACCARD_THRESHOLD_E6,
     jaccard_pairs_above,
     sql_dup_pairs_cte,

@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from algorithmproject_spark_spark.functions.hashing import (
     MINHASH_PARAMS,
-    MOD,
     gram_hash_array,
     minhash_value,
     sql_gram_hash_array,
