@@ -136,3 +136,46 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (d))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — the standard product-analytics rollup (no reference
+# analogue; nearest is the push/click funnel, ReadPushClickData.scala).
+# Day numbers are pure BIGINT epoch-microsecond division, so both
+# engines bucket identically with zero date-function dialect risk; the
+# whole query is two hash aggregations + one broadcast-sized join
+# (cohort table is one row per user).
+# --------------------------------------------------------------------------
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day_num
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(day_num) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           (a.day_num - c.cohort_day) // 7 AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention: users bucketed by first-activity day, distinct "
+    "actives per week offset (exact epoch-day integer arithmetic)",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_num = F.expr("unix_micros(ts) div 86400000000")
+    activity = ev.select("user_id", day_num.alias("day_num")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day_num").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.expr("(day_num - cohort_day) div 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
