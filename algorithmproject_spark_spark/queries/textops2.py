@@ -368,6 +368,35 @@ def deterministic_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# O4 stratified variant: per-class sampling fractions (the balanced
+# train-split builder — mark/ jobs emulate this with filter+limit per
+# class). The hash-mod threshold varies by stratum, so each class keeps
+# a different deterministic fraction in ONE map-only pass — no
+# sampleBy() seed nondeterminism, no per-class job loop.
+_STRATA = {"en": 5, "de": 2, "zh": 2, "fr": 1, "es": 1}  # keep k of 10
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 10 < CASE lang
+        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA.items())}
+        ELSE 0 END
+    """,
+    doc="O4 stratified: per-class deterministic hash-mod sampling "
+    "fractions in one map-only pass (reference: filter+limit per class)",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.lit(0)
+    for lang, k in _STRATA.items():
+        keep = F.when(F.col("lang") == lang, F.lit(k)).otherwise(keep)
+    return docs.filter((F.col("doc_id") * 2654435761) % 10 < keep).select(
+        "doc_id", "lang"
+    )
+
+
 # T6: lemmatize + POS tag + POS-pattern n-gram admission. The reference
 # needs a per-partition CoreNLP processor (NewsNgrams.scala:110-130);
 # here the deterministic rule tagger is a pure Catalyst transform, so
