@@ -152,10 +152,10 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame
     )
     SELECT media_type,
            count(*) AS n_media,
-           sum(n) AS total_bytes,
+           CAST(sum(n) AS BIGINT) AS total_bytes,
            min(n % 640 + 16) AS min_width,
            max((n * 7) % 480 + 16) AS max_height,
-           sum(CAST((n + {FRAME_BYTES} - 1) // {FRAME_BYTES} AS BIGINT)) AS total_frames
+           CAST(sum(CAST((n + {FRAME_BYTES} - 1) // {FRAME_BYTES} AS BIGINT)) AS BIGINT) AS total_frames
     FROM media GROUP BY media_type
     """,
     doc="multimodal: binary payload + mapInPandas fake-decode metadata, "

@@ -86,13 +86,24 @@ from algorithmproject_spark_spark.sources.catalog import load_table  # noqa: E40
 @register(
     "lang_doc_ids_salted",
     oracle="""
-    SELECT lang, list_sort(list(doc_id)) AS doc_ids, count(*) AS n
+    SELECT lang,
+           md5(array_to_string(list_sort(list(doc_id)), ',')) AS doc_ids_digest,
+           count(*) AS n
     FROM documents GROUP BY lang
     """,
     doc="skew-safe salted collect_list over the heavy lang key; merged "
-    "result identical to the naive groupBy (oracle-verified)",
+    "result identical to the naive groupBy. The driver-facing shape "
+    "digests the array to md5(csv) — the external canonicalizer cannot "
+    "hash list cells — while the array-valued operator API "
+    "(salted_collect_sorted_list) is unchanged and pytest-verified.",
 )
 def lang_doc_ids_salted(spark: _SS, sf_dir: str) -> _DF:
     docs = load_table(spark, sf_dir, "documents")
     out = salted_collect_sorted_list(docs, "lang", "doc_id", buckets=16, out_col="doc_ids")
-    return out.withColumn("n", F.size("doc_ids").cast("long"))
+    return out.select(
+        "lang",
+        F.md5(F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string")))).alias(
+            "doc_ids_digest"
+        ),
+        F.size("doc_ids").cast("long").alias("n"),
+    )

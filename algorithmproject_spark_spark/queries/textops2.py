@@ -327,7 +327,7 @@ def train_check_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_words,
-           sum(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS log_product_e6
+           CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS log_product_e6
     FROM tf GROUP BY lang
     """,
     doc="A10: product-of-counts via integer-snapped Σln — associative, "
