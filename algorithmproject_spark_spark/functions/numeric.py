@@ -49,6 +49,33 @@ def micros(col: Column) -> Column:
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
 
+#: Knuth's multiplicative-hash constant (2^32 / golden ratio).
+HASH_MULT = 2654435761
+#: Pre-multiply modulus: (HASH_REDUCE-1) * HASH_MULT ≈ 2.65e15 stays far
+#: below the BIGINT max, so the product can never overflow — without the
+#: reduction, doc_id > ~3.47e9 wraps silently in (non-ANSI) Spark while
+#: DuckDB raises out-of-range, and the engines diverge exactly at scale.
+HASH_REDUCE = 1000003  # prime
+
+
+def hash_mod(key: Column | str, mod: int) -> Column:
+    """Deterministic, overflow-safe multiplicative hash bucket of a
+    BIGINT key: ((key % HASH_REDUCE) * HASH_MULT) % mod.
+
+    The engine-portable sampler primitive: stable under re-runs,
+    repartitioning, and engine changes (what a training split needs;
+    ``sample()`` is none of those). Keep the SQL twin
+    :func:`sql_hash_mod` textually in sync.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return ((c % HASH_REDUCE) * F.lit(HASH_MULT)) % mod
+
+
+def sql_hash_mod(expr: str, mod: int) -> str:
+    """DuckDB-side twin of :func:`hash_mod`."""
+    return f"((({expr}) % {HASH_REDUCE}) * {HASH_MULT}) % {mod}"
+
+
 def sql_scaled_long(expr: str, scale: int = 100) -> str:
     """DuckDB-side twin of :func:`scaled_long` (same IEEE ops)."""
     return f"CAST(floor(({expr}) * {scale}.0 + 0.5) AS BIGINT)"

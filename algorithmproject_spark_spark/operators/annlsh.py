@@ -153,11 +153,20 @@ NEAR_DUP_TARGET_BUCKET = 16
 # computes the identical plane set.
 NEAR_DUP_ROWS = 5
 
+# Band planes are drawn lazily from one seeded stream: plane i is the
+# i-th 64-float tuple of Random(13), whatever width a corpus needs, so
+# no fixed pool can ever be exhausted (a truncated slice would leave a
+# band with a constant-0 bucket and silently degrade the band self-join
+# to all-pairs). The first draws coincide with the registered sf0.01
+# oracle's plane set by construction.
 _nd_rng = random.Random(13)
-_ND_PLANE_POOL: tuple[tuple[float, ...], ...] = tuple(
-    tuple(round(_nd_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM))
-    for _ in range(NEAR_DUP_BANDS * 12)  # enough for corpora up to 2^12× target
-)
+_nd_pool: list[tuple[float, ...]] = []
+
+
+def _nd_planes(count: int) -> list[tuple[float, ...]]:
+    while len(_nd_pool) < count:
+        _nd_pool.append(tuple(round(_nd_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)))
+    return _nd_pool[:count]
 
 
 def planes_per_band_for(n_vectors: int, target_bucket: int = NEAR_DUP_TARGET_BUCKET) -> int:
@@ -170,8 +179,10 @@ def planes_per_band_for(n_vectors: int, target_bucket: int = NEAR_DUP_TARGET_BUC
     return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
 
 
-def _band_planes(band: int, rows: int) -> tuple[tuple[float, ...], ...]:
-    return _ND_PLANE_POOL[band * rows : band * rows + rows]
+def _band_planes(band: int, rows: int) -> list[tuple[float, ...]]:
+    planes = _nd_planes(band * rows + rows)[band * rows : band * rows + rows]
+    assert len(planes) == rows  # lazy generation: a short slice is impossible
+    return planes
 
 
 def _band_bucket_col(v: Column, band: int, rows: int) -> Column:
@@ -203,16 +214,20 @@ def near_dup_candidates(
     df: DataFrame,
     n_bands: int = NEAR_DUP_BANDS,
     planes_per_band: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Candidate (vec_a, vec_b) pairs sharing a band bucket.
 
-    ``planes_per_band=None`` derives the signature width from the corpus
-    size (one metadata-only count at plan-build time — a parameter
-    derivation like AQE's, not a mid-plan data action), keeping the
-    candidate volume linear at any scale.
+    The signature width is resolved, in order of preference, from
+    ``planes_per_band`` (explicit), ``n_vectors`` (the caller's corpus
+    size — catalog row count, write-side metadata, or a prior stage's
+    count; plan-build stays action-free), or, as a last resort, a full
+    ``df.count()`` — a real Spark job that executes the upstream plan
+    once before the candidate plan runs, acceptable interactively but
+    not in a 100 TB pipeline; pass ``n_vectors`` there.
     """
     if planes_per_band is None:
-        planes_per_band = planes_per_band_for(df.count())
+        planes_per_band = planes_per_band_for(n_vectors if n_vectors is not None else df.count())
     band_keys = F.element_at(
         F.transform(
             F.array(to_double(F.col("embedding"))),
@@ -244,10 +259,11 @@ def near_dup_pairs(
     n_bands: int = NEAR_DUP_BANDS,
     planes_per_band: int | None = None,
     threshold_e6: int = NEAR_DUP_E6,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs over (vec_id, embedding):
     bucket-blocked candidates, then exact cosine verify ≥ threshold."""
-    cand = near_dup_candidates(df, n_bands, planes_per_band)
+    cand = near_dup_candidates(df, n_bands, planes_per_band, n_vectors)
     x = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
     y = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
     return (

@@ -16,6 +16,7 @@ from algorithmproject_spark_spark.functions.text import (
     stopword_array,
     tokenize,
 )
+from algorithmproject_spark_spark.functions.numeric import hash_mod, sql_hash_mod
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -355,17 +356,15 @@ def product_score_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and engine changes — what you actually want for training splits).
 @register(
     "deterministic_sample_10pct",
-    oracle="""
-    SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 10 = 3
+    oracle=f"""
+    SELECT doc_id, lang FROM documents WHERE {sql_hash_mod('doc_id', 10)} = 3
     """,
-    doc="O4: deterministic 10% sample via multiplicative hash-mod on the "
-    "key (reproducible train/holdout splits; sample() is not)",
+    doc="O4: deterministic 10% sample via overflow-safe multiplicative "
+    "hash-mod on the key (reproducible train/holdout splits; sample() is not)",
 )
 def deterministic_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.filter((F.col("doc_id") * 2654435761) % 10 == 3).select(
-        "doc_id", "lang"
-    )
+    return docs.filter(hash_mod("doc_id", 10) == 3).select("doc_id", "lang")
 
 
 # O4 stratified variant: per-class sampling fractions (the balanced
@@ -380,7 +379,7 @@ _STRATA = {"en": 5, "de": 2, "zh": 2, "fr": 1, "es": 1}  # keep k of 10
     "stratified_sample_by_lang",
     oracle=f"""
     SELECT doc_id, lang FROM documents
-    WHERE (doc_id * 2654435761) % 10 < CASE lang
+    WHERE {sql_hash_mod('doc_id', 10)} < CASE lang
         {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA.items())}
         ELSE 0 END
     """,
@@ -392,9 +391,7 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = F.lit(0)
     for lang, k in _STRATA.items():
         keep = F.when(F.col("lang") == lang, F.lit(k)).otherwise(keep)
-    return docs.filter((F.col("doc_id") * 2654435761) % 10 < keep).select(
-        "doc_id", "lang"
-    )
+    return docs.filter(hash_mod("doc_id", 10) < keep).select("doc_id", "lang")
 
 
 # T6: lemmatize + POS tag + POS-pattern n-gram admission. The reference

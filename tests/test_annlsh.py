@@ -69,3 +69,41 @@ def test_derived_width_matches_explicit(spark):
     derived = near_dup_candidates(df).count()
     explicit = near_dup_candidates(df, planes_per_band=planes_per_band_for(256)).count()
     assert derived == explicit
+
+
+def test_wide_signatures_never_truncate(spark):
+    """A corpus wide enough to need rows > 12 per band must still give
+    every band a full plane set (the fixed-pool regression left band 3
+    with zero planes → constant bucket → all-pairs self-join)."""
+    from algorithmproject_spark_spark.operators.annlsh import _band_planes
+
+    rows = planes_per_band_for(1_000_000)  # 16 at the default target
+    assert rows > 12
+    for band in range(NEAR_DUP_BANDS):
+        planes = _band_planes(band, rows)
+        assert len(planes) == rows
+        assert all(len(p) == DIM for p in planes)
+    # All bands' planes are distinct draws, not recycled slices.
+    flat = [p for band in range(NEAR_DUP_BANDS) for p in _band_planes(band, rows)]
+    assert len(set(flat)) == len(flat)
+    # And the last band's bucket expression actually partitions data.
+    df = _random_vectors(spark, 64, seed=17)
+    cand = near_dup_candidates(df, planes_per_band=rows)
+    # 64 random vectors under 16-bit signatures should collide rarely:
+    # far fewer than the all-pairs 64*63/2 = 2016 a dead band would emit.
+    assert cand.count() < 200
+
+
+def test_n_vectors_param_builds_plan_without_spark_job(spark):
+    """Passing n_vectors must keep candidate-plan construction action-free."""
+    sc = spark.sparkContext
+    df = _random_vectors(spark, 256, seed=3)
+    group = "annlsh-no-action-probe"
+    sc.setJobGroup(group, "near_dup_candidates plan build")
+    try:
+        cand = near_dup_candidates(df, n_vectors=256)
+        assert sc.statusTracker().getJobIdsForGroup(group) == []
+    finally:
+        sc.setJobGroup("annlsh-after-probe", "execution")
+    # Same width as the derived path, so results are identical.
+    assert cand.count() == near_dup_candidates(df, planes_per_band=planes_per_band_for(256)).count()

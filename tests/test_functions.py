@@ -110,3 +110,24 @@ def test_longest_match_filter_duplicates_kept_once(spark):
 
     arr = F.array(F.lit("solo"), F.lit("solo"))
     assert _one(spark, longest_match_filter(arr)) == ["solo"]
+
+
+def test_hash_mod_overflow_safe_and_cross_engine(spark):
+    """Keys past ~3.47e9 would overflow (key * HASH_MULT) as BIGINT —
+    non-ANSI Spark wraps silently while DuckDB raises, so the sampler
+    must reduce before multiplying. Assert Spark == DuckDB on keys
+    straddling that boundary."""
+    import duckdb
+
+    from algorithmproject_spark_spark.functions.numeric import hash_mod, sql_hash_mod
+
+    keys = [0, 1, 3_470_000_000, 2**40, 2**62, 9_223_372_036_854_775_807]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.b for r in df.select("k", hash_mod("k", 10).alias("b")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        (want,) = con.execute(
+            f"SELECT {sql_hash_mod('CAST(? AS BIGINT)', 10)}", [k]
+        ).fetchone()
+        assert got[k] == want, k
+        assert 0 <= got[k] < 10
