@@ -21,11 +21,18 @@ Reference has no vector ops at all; north-star extension.
 
 from __future__ import annotations
 
+import math
 import random
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
+from algorithmproject_spark_spark.functions.numeric import (
+    hash_mod,
+    micros,
+    sql_hash_mod,
+    sql_micros,
+)
 from algorithmproject_spark_spark.functions.vectors import (
     cosine,
     sql_cosine,
@@ -212,20 +219,277 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Production slot: IVF with LEARNED centroids (pyspark.ml KMeans). The
-# oracle-exact queries above pin fixed centroid literals so DuckDB can
-# re-derive every value; real deployments learn the coarse quantizer
-# from a corpus sample. Same join shape either way — cell id is still
-# just an equi-join key. KMeans is seeded but float-iterative, so the
-# query registers rows-only; recall invariants live in
-# tests/test_annlsh.py-style shape tests (ann_ivf_recall measures the
-# fixed-centroid path exactly).
+# LEARNED centroids, two flavors:
+#
+# 1. ``lloyd_kmeans`` — deterministic distributed Lloyd's in scaled-
+#    integer arithmetic: embeddings become offset BIGINTs (e6 + 1e6, so
+#    every value is nonnegative and truncating division is portable),
+#    centroids broadcast as literals each round (ONE scan + a k-row
+#    collect per iteration — the classic scalable-KMeans shape: map-side
+#    partial sums, k groups, nothing driver-bound grows with the data).
+#    Every op is exact integer math, so DuckDB re-derives the identical
+#    centroids from unrolled MATERIALIZED CTEs and the learned-quantizer
+#    query is FULLY oracle-checked — same treatment the fixed-point
+#    PageRank got (plans/pipelines.py).
+# 2. ``kmeans_cells`` — the pyspark.ml production slot (float-iterative,
+#    rows-only driver row). Both fit on a deterministic hash-mod SAMPLE:
+#    a coarse quantizer needs ~1e2–1e3 points per cell, not the corpus,
+#    so at 100 TB the fit input is a tiny fixed-size draw while
+#    assignment stays a full map-only pass.
 # --------------------------------------------------------------------------
-def kmeans_cells(
-    emb: DataFrame, k: int = K_CELLS, seed: int = 42
-) -> tuple[DataFrame, "object"]:
-    """(vec_id, label, embedding, cell) with cells from seeded KMeans.
+LLOYD_ITERS = 3  # unrolled in the oracle; production raises freely
+FIT_MOD = 2  # fit on hash_mod(vec_id, 2) == 0 — a deterministic 50%
+# draw at test scale; production sets fit_mod so the sample ≈ 256·k.
+E6_OFFSET = 1_000_000  # embeddings ∈ (-1, 1) ⇒ offset-scaled ints ≥ 0
 
+INIT_CENTS_E6: tuple[tuple[int, ...], ...] = tuple(
+    tuple(math.floor(x * 1e6 + 0.5) + E6_OFFSET for x in c) for c in CENTROIDS
+)
+
+
+def _emb_e6(emb: Column) -> Column:
+    """array<double> → offset-scaled array<bigint> (exact, portable)."""
+    return F.transform(
+        to_double(emb),
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        + F.lit(E6_OFFSET),
+    )
+
+
+def _sql_emb_e6(emb: str) -> str:
+    return (
+        f"list_transform({emb}, x_ -> "
+        f"CAST(floor(CAST(x_ AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + {E6_OFFSET})"
+    )
+
+
+def _enc_int(v: Column, cents: Sequence[Sequence[int]]) -> Column:
+    """min over centroids of BIGINT encoding dist²·k + cell_id, where v
+    is an already-bound array<bigint>. dist² ≤ 64·(2e6)² ≈ 2.6e14, ×k
+    stays far inside BIGINT (ANSI-safe)."""
+    k = len(cents)
+    encs = []
+    for i, c in enumerate(cents):
+        cl = F.array(*[F.lit(int(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, cl, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        encs.append(d * F.lit(k) + F.lit(i))
+    return F.array_min(F.array(*encs))
+
+
+def _bound_enc(e6: Column, cents: Sequence[Sequence[int]]) -> Column:
+    """Bind e6 through a 1-element lambda so the 64-element array is
+    evaluated once, not once per centroid fold (CollapseProject)."""
+    return F.element_at(
+        F.transform(F.array(e6), lambda v: _enc_int(v, cents)), 1
+    )
+
+
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int = K_CELLS,
+    iters: int = LLOYD_ITERS,
+    fit_mod: int = FIT_MOD,
+) -> list[tuple[int, ...]]:
+    """Deterministic integer Lloyd's: returns k learned centroids as
+    offset-e6 BIGINT tuples. One scan + one k-row collect per iteration
+    (the bounded, documented collect pattern — k·dim ints, never data-
+    sized). Empty cells keep their previous centroid."""
+    fit = (
+        emb.filter(hash_mod("vec_id", fit_mod) == 0)
+        .select(_emb_e6(F.col("embedding")).alias("e6"))
+        .cache()
+    )
+    cents = [tuple(c) for c in INIT_CENTS_E6[:k]]
+    dim = len(cents[0])
+    try:
+        for _ in range(iters):
+            cell = (_bound_enc(F.col("e6"), cents) % k).cast("int")
+            partials = (
+                fit.groupBy(cell.alias("cell"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("e6", d + 1)).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            nxt = list(cents)
+            for r in partials:
+                # nonneg // nonneg: Python floor-div == DuckDB // here
+                nxt[r["cell"]] = tuple(r[f"s{d}"] // r["n"] for d in range(dim))
+            cents = nxt
+    finally:
+        fit.unpersist()
+    return cents
+
+
+def _sql_lloyd_cents(k: int, dim: int, iters: int, fit_mod: int) -> tuple[str, str]:
+    """(CTE chain, final-centroid CTE name) re-deriving lloyd_kmeans in
+    DuckDB: centroids live as (cell, i, v) rows; each round is a
+    distance cross-product, an argmin, a per-dim mean, and an empty-cell
+    fallback to the previous round — all MATERIALIZED (a CTE referenced
+    twice per round would otherwise inline 2^k-fold, see memory note)."""
+    init_vals = ", ".join(
+        f"({c}, {i + 1}, {v})"
+        for c, cent in enumerate(INIT_CENTS_E6[:k])
+        for i, v in enumerate(cent)
+    )
+    parts = [
+        f"fit AS MATERIALIZED (SELECT vec_id, {_sql_emb_e6('embedding')} AS e6 "
+        f"FROM embeddings WHERE {sql_hash_mod('vec_id', fit_mod)} = 0)",
+        f"c0(cell, i, v) AS MATERIALIZED (SELECT * FROM (VALUES {init_vals}))",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts += [
+            f"d{it} AS MATERIALIZED (SELECT f.vec_id, c.cell, "
+            f"CAST(sum((f.e6[c.i] - c.v) * (f.e6[c.i] - c.v)) AS BIGINT) AS dist "
+            f"FROM fit f, {prev} c GROUP BY f.vec_id, c.cell)",
+            f"a{it} AS MATERIALIZED (SELECT vec_id, "
+            f"CAST(min(dist * {k} + cell) % {k} AS INT) AS cell "
+            f"FROM d{it} GROUP BY vec_id)",
+            f"m{it} AS MATERIALIZED (SELECT a.cell, t.i, "
+            f"CAST(sum(f.e6[t.i]) AS BIGINT) // count(*) AS v "
+            f"FROM a{it} a, fit f, range(1, {dim + 1}) t(i) "
+            f"WHERE a.vec_id = f.vec_id GROUP BY a.cell, t.i)",
+            f"c{it} AS MATERIALIZED (SELECT p.cell, p.i, COALESCE(m.v, p.v) AS v "
+            f"FROM {prev} p LEFT JOIN m{it} m ON p.cell = m.cell AND p.i = m.i)",
+        ]
+        prev = f"c{it}"
+    return ",\n    ".join(parts), prev
+
+
+_LLOYD_CTES, _LLOYD_FINAL = _sql_lloyd_cents(K_CELLS, DIM, LLOYD_ITERS, FIT_MOD)
+
+_LLOYD_TOPK_SQL = f"""
+    WITH {_LLOYD_CTES},
+    all6 AS MATERIALIZED (
+        SELECT vec_id, {_sql_emb_e6('embedding')} AS e6 FROM embeddings
+    ),
+    dA AS MATERIALIZED (
+        SELECT f.vec_id, c.cell,
+               CAST(sum((f.e6[c.i] - c.v) * (f.e6[c.i] - c.v)) AS BIGINT) AS dist
+        FROM all6 f, {_LLOYD_FINAL} c GROUP BY f.vec_id, c.cell
+    ),
+    b AS (
+        SELECT e.vec_id, e.embedding, a.cell
+        FROM embeddings e JOIN (
+            SELECT vec_id, CAST(min(dist * {K_CELLS} + cell) % {K_CELLS} AS INT) AS cell
+            FROM dA GROUP BY vec_id
+        ) a USING (vec_id)
+    ),
+    qp AS (
+        SELECT vec_id AS q_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist * {K_CELLS} + cell
+            ) AS pr FROM dA WHERE vec_id < {N_QUERIES}
+        ) WHERE pr <= {NPROBE}
+    ),
+    q AS (
+        SELECT qp.q_id, e.embedding AS q_emb, qp.cell
+        FROM qp JOIN embeddings e ON qp.q_id = e.vec_id
+    ),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               {sql_micros(sql_cosine("q.q_emb", "c.embedding"))} AS cosine_e6
+        FROM q JOIN b c USING (cell)
+        WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cosine_e6, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine_e6 DESC, neighbor_id
+        ) AS rk FROM scored
+    ) WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=_LLOYD_TOPK_SQL,
+    doc="IVF ANN with centroids LEARNED by deterministic integer Lloyd's "
+    "k-means (sampled fit, broadcast-centroid rounds) — the whole "
+    "training loop unrolls into the oracle, so the learned-quantizer "
+    "path is value-exact, not rows-only",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = lloyd_kmeans(emb)
+    k = len(cents)
+    e6 = _emb_e6(F.col("embedding"))
+    assigned = emb.select(
+        "vec_id", "embedding", (_bound_enc(e6, cents) % k).cast("int").alias("cell")
+    )
+    sorted_enc = F.element_at(
+        F.transform(
+            F.array(e6),
+            lambda v: F.array_sort(
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.zip_with(
+                                v,
+                                F.array(*[F.lit(int(x)) for x in c]),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, t: acc + t,
+                        )
+                        * F.lit(k)
+                        + F.lit(i)
+                        for i, c in enumerate(cents)
+                    ]
+                )
+            ),
+        ),
+        1,
+    )
+    probe = F.element_at(
+        F.transform(
+            F.array(sorted_enc),
+            lambda s: F.array(
+                *[(F.element_at(s, i + 1) % k).cast("int") for i in range(NPROBE)]
+            ),
+        ),
+        1,
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine_e6", "rk")
+    )
+
+
+def kmeans_cells(
+    emb: DataFrame, k: int = K_CELLS, seed: int = 42, fit_mod: int = FIT_MOD
+) -> tuple[DataFrame, "object"]:
+    """(vec_id, label, embedding, cell) with cells from seeded
+    pyspark.ml KMeans — the float-iterative production slot.
+
+    The fit input is a deterministic hash-mod sample (1/fit_mod of the
+    corpus; pass 1 to fit on everything): the quantizer needs a few
+    hundred points per cell, and sampling keeps the iterative fit off
+    the full corpus while ``transform`` still assigns every row.
     Returns the assigned frame and the fitted model (whose
     clusterCenters feed the probe side).
     """
@@ -233,7 +497,8 @@ def kmeans_cells(
     from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn("features", array_to_vector(to_double(F.col("embedding"))))
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(feat)
+    fit_input = feat.filter(hash_mod("vec_id", fit_mod) == 0) if fit_mod > 1 else feat
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(fit_input)
     assigned = model.transform(feat).select(
         "vec_id", "label", "embedding", F.col("prediction").cast("int").alias("cell")
     )
@@ -241,12 +506,13 @@ def kmeans_cells(
 
 
 @register(
-    "ann_ivf_kmeans_topk",
+    "ann_ivf_ml_kmeans_topk",
     oracle=None,  # seeded but float-iterative ML training — rows-only
-    doc="IVF ANN with learned KMeans centroids (the production coarse "
-    "quantizer): probe NPROBE nearest learned cells, rank by exact cosine",
+    doc="IVF ANN with pyspark.ml KMeans centroids (float-iterative "
+    "production slot, deterministic sampled fit): probe NPROBE nearest "
+    "learned cells, rank by exact cosine",
 )
-def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_ml_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, model = kmeans_cells(emb)
     centers = [tuple(float(x) for x in c) for c in model.clusterCenters()]

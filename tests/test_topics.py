@@ -99,10 +99,10 @@ def test_kmeans_ivf_topk_shape(spark):
     from algorithmproject_spark_spark.operators.annivf import (
         N_QUERIES,
         TOP_K,
-        ann_ivf_kmeans_topk,
+        ann_ivf_ml_kmeans_topk,
     )
 
-    out = ann_ivf_kmeans_topk(spark, "/root/testdata/sf0.001")
+    out = ann_ivf_ml_kmeans_topk(spark, "/root/testdata/sf0.001")
     rows = out.collect()
     assert len(rows) == N_QUERIES * TOP_K
     by_q = {}
@@ -114,3 +114,47 @@ def test_kmeans_ivf_topk_shape(spark):
         assert ranks == list(range(1, TOP_K + 1))
         sims = [s for _, s in sorted(rs)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_lloyd_kmeans_deterministic_and_bounded(spark):
+    """The integer Lloyd fit must be exactly reproducible (it is pure
+    integer arithmetic over a deterministic sample) and stay in the
+    offset-e6 domain."""
+    from algorithmproject_spark_spark.operators.annivf import (
+        DIM,
+        E6_OFFSET,
+        K_CELLS,
+        lloyd_kmeans,
+    )
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = lloyd_kmeans(emb)
+    b = lloyd_kmeans(emb)
+    assert a == b
+    assert len(a) == K_CELLS and all(len(c) == DIM for c in a)
+    flat = [v for c in a for v in c]
+    assert all(0 <= v <= 2 * E6_OFFSET for v in flat)
+    # the fit moved at least some centroids off their seeded init
+    from algorithmproject_spark_spark.operators.annivf import INIT_CENTS_E6
+
+    assert tuple(map(tuple, a)) != INIT_CENTS_E6
+
+
+def test_lda_seeded_rerun_is_deterministic(spark):
+    """Same seed + same input ⇒ identical doc-topic rows across two
+    independent fits (the rows-only driver check can't see values, so
+    the determinism contract is asserted here)."""
+    from algorithmproject_spark_spark.ml.topics import lda_doc_topics
+
+    a = lda_doc_topics(spark, "/root/testdata/sf0.001").collect()
+    b = lda_doc_topics(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_word2vec_seeded_rerun_is_deterministic(spark):
+    from algorithmproject_spark_spark.ml.topics import word2vec_neighbors
+
+    a = word2vec_neighbors(spark, "/root/testdata/sf0.001").collect()
+    b = word2vec_neighbors(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
