@@ -12,10 +12,22 @@ unrolled one CTE per round, like the fixed-point PageRank).
 
 Scale: each round is one equi-join on vertex id + one partial-agg min —
 shuffle volume is O(edges), and near-dup graphs are sparse by
-construction (LSH-verified pairs). For adversarially long chains swap
-in alternating star contraction (GraphFrames' scheme), which converges
-in O(log n) rounds; label propagation is the right default for the
-short-diameter clusters dedup actually produces.
+construction (LSH-verified pairs).
+
+Two variants:
+
+- :func:`connected_components_min_label` — FIXED k rounds, exact for
+  components whose min-label eccentricity ≤ k. This is the
+  oracle-checkable form (DuckDB unrolls one CTE per round); the driver
+  query pins it.
+- :func:`connected_components` — the production default: neighbor-min
+  PLUS pointer jumping (lbl ← lbl[lbl]) each round, looping until a
+  fixed point. Jumping halves the label-tree depth per round, so
+  convergence is O(log diameter) rounds regardless of chain length —
+  a diameter-d path needs ~log₂(d) rounds, not d. The per-round
+  convergence probe is one count() on the changed-label set — an
+  AQE-style runtime decision, the same bounded-action pattern as the
+  two-phase global index (operators/core.py).
 """
 
 from __future__ import annotations
@@ -62,6 +74,65 @@ def connected_components_min_label(
             )
             .localCheckpoint(eager=True)
         )
+    return labels
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(v, lbl): exact component-min labels, any diameter.
+
+    Each round: (1) neighbor-min as in the fixed variant, then
+    (2) pointer jump lbl ← lbl[lbl] (valid because labels are always
+    vertex ids and lbl(v) ≤ v is invariant, so the jump only shrinks).
+    Stops at the first round that changes nothing — at that fixed point
+    every vertex's label is ≤ all neighbors' labels, hence constant and
+    minimal on each component. ``max_rounds`` is a runaway backstop
+    (2^40 diameter is unreachable), not a semantic bound.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionAll(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "s"), "s")
+            .groupBy("d")
+            .agg(F.min("lbl").alias("m"))
+            .withColumnRenamed("d", "v")
+        )
+        stepped = labels.join(nbr_min, "v", "left").select(
+            "v", F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl")
+        )
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("v").alias("lbl"), F.col("lbl").alias("jmp")
+                ).alias("y"),
+                "lbl",
+                "left",
+            )
+            .select("v", F.least(F.col("lbl"), F.coalesce("jmp", F.col("lbl"))).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("lbl", "old")
+            .join(jumped, "v")
+            .filter(F.col("old") != F.col("lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
     return labels
 
 

@@ -152,3 +152,73 @@ def test_connected_components_survivor_is_unique_per_cluster(spark):
         comps.setdefault(r.lbl, set()).add(r.v)
     assert set(comps) == {1, 5}
     assert comps[1] == {1, 2, 3, 4} and comps[5] == {5, 6}
+
+
+def test_adaptive_cc_collapses_long_chain(spark):
+    """A diameter-12 path would defeat the fixed-5-round variant; the
+    adaptive pointer-jumping loop must collapse it to one component
+    (convergence is O(log d) rounds, not d)."""
+    from algorithmproject_spark_spark.operators.components import (
+        connected_components,
+        connected_components_min_label,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = {r.v: r.lbl for r in connected_components(pairs).collect()}
+    assert got == {v: 0 for v in range(13)}
+    # and the fixed-5 variant really is diameter-bounded (the reason
+    # the adaptive loop exists): the far end keeps a split label
+    fixed = {
+        r.v: r.lbl for r in connected_components_min_label(pairs).collect()
+    }
+    assert fixed[12] != 0
+
+
+def test_adaptive_cc_matches_fixed_on_forests(spark):
+    """On mixed short components (what LSH-verified dedup pairs look
+    like) both variants agree exactly."""
+    import random
+
+    from algorithmproject_spark_spark.operators.components import (
+        connected_components,
+        connected_components_min_label,
+    )
+
+    rng = random.Random(3)
+    edges = []
+    base = 0
+    for _ in range(30):  # 30 clusters, sizes 2-5, random internal wiring
+        size = rng.randint(2, 5)
+        vs = list(range(base, base + size))
+        for v in vs[1:]:
+            edges.append((rng.choice([u for u in vs if u < v]), v))
+        base += size + 3
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = sorted((r.v, r.lbl) for r in connected_components(pairs).collect())
+    b = sorted(
+        (r.v, r.lbl) for r in connected_components_min_label(pairs).collect()
+    )
+    assert a == b
+
+
+def test_driver_cc_query_is_converged_at_sf001(spark):
+    """Guard for the registered dedup_cluster_reps: the fixed-round CC
+    it pins must be at its fixed point on the REAL verified-pair graph
+    (if data ever produces a chain deeper than CC_ITERS, this fails
+    before the driver ships a silently-split cluster)."""
+    from algorithmproject_spark_spark.operators.components import (
+        connected_components,
+        connected_components_min_label,
+    )
+    from algorithmproject_spark_spark.queries.dedup import jaccard_verified_pairs
+
+    pairs = jaccard_verified_pairs(spark, "/root/testdata/sf0.01").select(
+        "doc_a", "doc_b"
+    )
+    fixed = sorted(
+        (r.v, r.lbl) for r in connected_components_min_label(pairs).collect()
+    )
+    exact = sorted((r.v, r.lbl) for r in connected_components(pairs).collect())
+    assert fixed == exact
