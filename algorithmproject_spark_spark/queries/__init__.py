@@ -33,3 +33,4 @@ from algorithmproject_spark_spark.operators import annivf  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import skew  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import rangejoin  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import annrecall  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import streamtwins  # noqa: F401,E402

@@ -28,10 +28,13 @@ def dedup_stream(
 
     Works on a batch OR streaming DataFrame: on a stream Catalyst plans
     a stateful dedup whose state expires at the watermark; on a batch
-    frame the same call degenerates to a plain ``dropDuplicates`` over
-    the watermark-eligible rows, which is the batch twin the tests
-    compare against.
+    frame Spark REJECTS ``dropDuplicatesWithinWatermark`` outright, so
+    the batch degenerate is the explicit semantic twin — plain
+    ``dropDuplicates`` over the keys (a finite input has no late data,
+    so the watermark bound changes nothing about which keys survive).
     """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

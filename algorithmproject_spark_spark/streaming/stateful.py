@@ -88,6 +88,35 @@ def _make_update_fn(timeout_ms: int | None):
     return update
 
 
+def user_profile_batch(events: DataFrame) -> DataFrame:
+    """Batch-degenerate twin of :func:`user_profile_stateful`: the whole
+    history of a key arrives as one "micro-batch", so the stateful merge
+    collapses to a single per-key fold. Runs the SAME numpy cents
+    arithmetic through ``applyInPandas`` (Arrow-batched, partitioned by
+    the grouping key exactly like the state store would be), which is
+    what makes it a faithful — and oracle-checkable — driver row for the
+    stateful operator family.
+    """
+    import numpy as np
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = int(
+            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "value_cents": [cents],
+                "n_types": [pdf["event_type"].astype(str).nunique()],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        fold, schema=USER_PROFILE_OUTPUT_SCHEMA
+    )
+
+
 def user_profile_stateful(
     events: DataFrame, idle_timeout_ms: int | None = None
 ) -> DataFrame:
