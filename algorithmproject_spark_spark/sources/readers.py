@@ -115,6 +115,23 @@ def read_sql(spark: SparkSession, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def mongo_read_options(
+    uri: str, database: str, collection: str, partition_size_mb: int = 32
+) -> dict[str, str]:
+    """S1 option contract (mongodb/ReadMongodb.scala:27-32,
+    video/ReadVideoMongodb.scala:29-35): paginate-by-size partitioner so
+    scan parallelism tracks collection bytes, not document count.
+    Exposed separately so tests pin the production shape without a
+    connector jar or a live cluster."""
+    return {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        "partitioner": "PaginateBySizePartitioner",
+        "partitioner.options.partitionSizeMB": str(partition_size_mb),
+    }
+
+
 def read_mongo(
     spark: SparkSession,
     uri: str,
@@ -131,11 +148,7 @@ def read_mongo(
     try:
         return (
             spark.read.format("mongodb")
-            .option("connection.uri", uri)
-            .option("database", database)
-            .option("collection", collection)
-            .option("partitioner", "PaginateBySizePartitioner")
-            .option("partitioner.options.partitionSizeMB", str(partition_size_mb))
+            .options(**mongo_read_options(uri, database, collection, partition_size_mb))
             .load()
         )
     except Exception as exc:  # pragma: no cover - connector not installed

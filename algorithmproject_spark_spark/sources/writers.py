@@ -118,6 +118,16 @@ def write_libsvm_text(
     df.select(line.alias("value")).write.mode(mode).text(path)
 
 
+def mongo_write_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """S2 option contract (WriteMongodb.scala:39-43); tests pin this
+    shape without a connector jar."""
+    return {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+    }
+
+
 def write_mongo(df: DataFrame, uri: str, database: str, collection: str) -> None:
     """S2: append-mode Mongo write (WriteMongodb.scala:39-43). Connector
     not present here — raises with the production shape documented."""
@@ -125,9 +135,7 @@ def write_mongo(df: DataFrame, uri: str, database: str, collection: str) -> None
         (
             df.write.format("mongodb")
             .mode("append")
-            .option("connection.uri", uri)
-            .option("database", database)
-            .option("collection", collection)
+            .options(**mongo_write_options(uri, database, collection))
             .save()
         )
     except Exception as exc:  # pragma: no cover - connector not installed

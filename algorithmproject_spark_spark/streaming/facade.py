@@ -12,14 +12,40 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
+def socket_source_options(host: str, port: int) -> dict[str, str]:
+    """S13 option contract (DataLoader.scala:96-99) — exposed separately
+    so the connector contract is pinned by tests without a live socket."""
+    return {"host": host, "port": str(port)}
+
+
 def stream_read_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
     """S13 (DataLoader.scala:96-99)."""
     return (
         spark.readStream.format("socket")
-        .option("host", host)
-        .option("port", str(port))
+        .options(**socket_source_options(host, port))
         .load()
     )
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    subscribe: str,
+    starting_offsets: str = "latest",
+    min_partitions: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """S14 option contract (DataLoader.scala:118-131): subscription +
+    offset posture + loss tolerance; ``minPartitions`` decouples Spark
+    task parallelism from Kafka partition count at scale."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": subscribe,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if min_partitions is not None:
+        opts["minPartitions"] = str(min_partitions)
+    return opts
 
 
 def stream_read_kafka(
@@ -31,15 +57,15 @@ def stream_read_kafka(
     fail_on_data_loss: bool = False,
 ) -> DataFrame:
     """S14 (DataLoader.scala:118-131): key/value cast to string."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", subscribe)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    reader = spark.readStream.format("kafka").options(
+        **kafka_source_options(
+            bootstrap_servers,
+            subscribe,
+            starting_offsets,
+            min_partitions,
+            fail_on_data_loss,
+        )
     )
-    if min_partitions is not None:
-        reader = reader.option("minPartitions", str(min_partitions))
     return reader.load().selectExpr(
         "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value"
     )
@@ -119,6 +145,18 @@ def stream_write_parquet(
     return writer.start()
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """S17 option contract (DataLoader.scala:242-253): topic + the
+    checkpoint that makes the sink's delivery exactly-once-per-epoch."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def stream_write_kafka(
     df: DataFrame,
     bootstrap_servers: str,
@@ -129,8 +167,6 @@ def stream_write_kafka(
     columns, like the reference's ``(key, value)`` dataset contract."""
     return (
         df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(**kafka_sink_options(bootstrap_servers, topic, checkpoint))
         .start()
     )
