@@ -60,6 +60,19 @@ HEADLINE = (
     "embedding_int8_quant",
     "doc_benchmark_contamination",
     "dedup_cluster_reps",
+    # round-3 regression cover for the green round-2 additions plus the
+    # new learned-quantizer and streaming-twin families
+    "events_cohort_retention",
+    "events_multires_rollup",
+    "stratified_sample_by_lang",
+    "tfidf_hashed_top_terms",
+    "doc_pii_masked",
+    "candidate_phrase_mining",
+    "stopword_masked_bigrams",
+    "train_check_clean",
+    "ann_ivf_kmeans_topk",
+    "stream_session_windows_batch_twin",
+    "stream_user_profile_batch_twin",
 )
 
 
