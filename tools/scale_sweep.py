@@ -1,0 +1,103 @@
+"""Empirical scaling sweep for the heavy dedup/decontamination plans.
+
+Builds scaled `documents` corpora by tiling sf0.1 (5k docs) with a
+per-copy token remap — every copy is content-unique (no cross-copy
+shingle collisions), so the natural near-dup cluster STRUCTURE repeats
+per copy: cluster count grows linearly with n while cluster size stays
+fixed, which is exactly the workload shape the linear-scaling claim is
+about. A corpus built by naive duplication instead grows cluster sizes
+with n and any LSH pair join goes quadratic by construction — that
+would measure the corpus, not the plan.
+
+Usage: python tools/scale_sweep.py [query ...]   (default: both)
+Writes scaled tables under /tmp/spark_graft_sweep/n{N}/ and prints a
+per-size timing table plus the fitted scaling exponent
+log(t2/t1)/log(n2/n1) between successive sizes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from algorithmproject_spark_spark.queries import REGISTRY
+from algorithmproject_spark_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+SWEEP_DIR = "/tmp/spark_graft_sweep"
+BASE_N = 5_000
+SIZES = (5_000, 20_000, 80_000)
+QUERIES = ("dedup_cluster_reps", "doc_benchmark_contamination")
+
+
+def build_corpus(spark, n_docs: int) -> str:
+    out = os.path.join(SWEEP_DIR, f"n{n_docs}")
+    path = os.path.join(out, "documents.parquet")
+    if os.path.exists(path):
+        return out
+    copies = n_docs // BASE_N
+    base = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    tiled = None
+    for k in range(copies):
+        remap = base.select(
+            (F.col("doc_id") + F.lit(k * BASE_N)).alias("doc_id"),
+            # token remap: suffix every token for copies > 0 so copies
+            # share no shingles with each other or the original
+            (
+                F.col("text")
+                if k == 0
+                else F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(f"_{k}")),
+                    ),
+                    " ",
+                )
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        tiled = remap if tiled is None else tiled.unionAll(remap)
+    tiled.write.mode("overwrite").parquet(path)
+    return out
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(QUERIES)
+    spark = get_spark("scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(100).count()  # session warmup, as in bench.py
+
+    results: dict[str, list[tuple[int, float]]] = {n: [] for n in names}
+    for n_docs in SIZES:
+        sf_dir = build_corpus(spark, n_docs)
+        for name in names:
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results[name].append((n_docs, round(time.time() - t0, 2)))
+
+    for name, rows in results.items():
+        print(f"\n{name}:")
+        prev = None
+        for n_docs, sec in rows:
+            exp = ""
+            if prev is not None:
+                e = math.log(sec / prev[1]) / math.log(n_docs / prev[0])
+                exp = f"  exponent vs prev: {e:.2f}"
+            print(f"  n={n_docs:>6}  {sec:6.2f} s{exp}")
+            prev = (n_docs, sec)
+    shutil.rmtree(SWEEP_DIR, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
