@@ -129,3 +129,29 @@ def test_pack_sequences_single_pershard_window(spark):
 def test_llmprep_reads_prune_columns(spark):
     p = plan_of(REGISTRY["embedding_int8_quant"].fn(spark, SF))
     assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p
+
+
+def test_stream_batch_twins_shuffle_posture(spark):
+    """Session twin: exactly one Exchange (the session aggregation);
+    profile twin: one Exchange into the Arrow fold, partitioned by the
+    grouping key exactly like the streaming state store would be."""
+    p = plan_of(REGISTRY["stream_session_windows_batch_twin"].fn(spark, SF))
+    # "Exchange (" counts tree nodes once (formatted mode repeats each
+    # node in the details section)
+    assert p.count("Exchange (") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan_of(REGISTRY["stream_user_profile_batch_twin"].fn(spark, SF))
+    assert p.count("Exchange (") == 1
+    assert "FlatMapGroupsInPandas" in p  # the declared Arrow kernel
+
+
+def test_lloyd_assignment_is_map_only_plus_broadcast_probe(spark):
+    """The learned-quantizer query's final plan: cell assignment is a
+    map-only projection (centroid literals are in-plan, no side join),
+    the probe side is broadcast, and the only wide shuffle is the
+    top-k window."""
+    p = plan_of(REGISTRY["ann_ivf_kmeans_topk"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
