@@ -61,6 +61,28 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two vectors, sequential fold over
+    once-widened arrays (same binding discipline as :func:`cosine`)."""
+    return F.element_at(
+        F.transform(
+            F.array(to_double(a)),
+            lambda va: F.element_at(
+                F.transform(
+                    F.array(to_double(b)),
+                    lambda vb: F.aggregate(
+                        F.zip_with(va, vb, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+
+
 def sql_to_double(expr: str) -> str:
     return f"list_transform({expr}, x_ -> CAST(x_ AS DOUBLE))"
 
@@ -85,3 +107,14 @@ def sql_norm(a: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)}) / (({sql_norm(a)}) * ({sql_norm(b)}))"
+
+
+def sql_l2sq(a: str, b: str) -> str:
+    """DuckDB twin of :func:`l2sq` (same sequential fold order)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i_ -> (CAST({a}[i_] AS DOUBLE) - CAST({b}[i_] AS DOUBLE)) "
+        f"* (CAST({a}[i_] AS DOUBLE) - CAST({b}[i_] AS DOUBLE)))), "
+        f"(acc_, v_) -> acc_ + v_)"
+    )

@@ -1,0 +1,351 @@
+"""Product quantization (PQ) — the compression half of large-scale ANN,
+completing the engine's similarity-search quartet (brute force →
+hyperplane LSH → IVF → PQ). Reference has no vector ops at all;
+north-star extension.
+
+PQ splits each 64-dim vector into M=8 subvectors of 8 dims and encodes
+every subvector as its nearest of K=16 per-subspace codebook entries:
+a 4-bit code per subspace, 32 bits per vector — 64× smaller than the
+float64 embedding. Queries rank candidates by ASYMMETRIC distance
+(ADC): the query stays exact, each candidate contributes the sum of its
+8 code-cell distances, looked up from a tiny per-query table.
+
+Scale shape — everything is the idiomatic Spark formulation:
+
+- Encoding is map-only (in-plan codebook literals, no side join).
+- ADC is an equi-join: corpus codes explode to (vec_id, subspace,
+  code) rows — 8 tiny rows per vector — and join the BROADCAST
+  per-query lookup table (q_id, subspace, code, dist) on (subspace,
+  code), then partial-sum per (q_id, vec_id). No cross product, no
+  per-pair recomputation; the scan reads the 64×-compressed codes, not
+  the embeddings.
+- At 100 TB the codes table for 1e11 vectors is ~0.4 TB — the reason
+  PQ exists; the lookup table is 5 queries × 128 rows here, and
+  q_batches × 128 in general, always broadcastable.
+
+Exactness: codebooks are seeded fixed literals (both engines parse the
+same decimal text), subspace distances are sequential folds scaled to
+BIGINT micros, and the argmin uses the dist·K + code integer encoding —
+bit-exact cross-engine, so all three queries are value-checked, not
+rows-only (same discipline as operators/annivf.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
+from algorithmproject_spark_spark.functions.vectors import l2sq, sql_l2sq, to_double
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+DIM = 64
+M_SUB = 8  # subspaces
+SUB_DIM = DIM // M_SUB
+K_PQ = 16  # codes per subspace → 4-bit codes, 32-bit packed vector
+N_QUERIES = 5
+TOP_K = 3
+
+_pq_rng = random.Random(17)
+CODEBOOKS: tuple[tuple[tuple[float, ...], ...], ...] = tuple(
+    tuple(
+        tuple(round(_pq_rng.uniform(-1.0, 1.0), 6) for _ in range(SUB_DIM))
+        for _ in range(K_PQ)
+    )
+    for _ in range(M_SUB)
+)
+
+
+def _cb_lit(j: int) -> Column:
+    """Codebook j as ONE nested literal array<array<double>> — a single
+    Literal node feeding a single-lambda transform, instead of K
+    separate fold subtrees over K·SUB_DIM CreateArray nodes. Expression
+    tree (and task-binary/codegen) size drops ~16×; the per-code fold
+    copies cost ~13 s of plan overhead at sf0.1 before compaction."""
+    return F.lit([list(cvec) for cvec in CODEBOOKS[j]])
+
+
+def _fold_l2(sub: Column, cb: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(sub, cb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _dists_2d(v: Column) -> Column:
+    """array[j][c] of micros(subspace distance) for a bound widened
+    vector — the shared PQ kernel: M transform-lambdas, one fold each.
+    The subvector slices are bound once through the inner lambda."""
+    subs = F.array(*[F.slice(v, j * SUB_DIM + 1, SUB_DIM) for j in range(M_SUB)])
+    return F.element_at(
+        F.transform(
+            F.array(subs),
+            lambda s: F.array(
+                *[
+                    F.transform(
+                        _cb_lit(j),
+                        lambda cb: micros(_fold_l2(F.element_at(s, j + 1), cb)),
+                    )
+                    for j in range(M_SUB)
+                ]
+            ),
+        ),
+        1,
+    )
+
+
+def _enc_from_dists(dists: Column) -> Column:
+    """array of M argmin encodings d·K + c from the 2-D distance array
+    (two-arg transform lambda supplies the code index)."""
+    return F.transform(
+        dists,
+        lambda dj: F.array_min(
+            F.transform(dj, lambda d, i: d * F.lit(K_PQ) + i.cast("long"))
+        ),
+    )
+
+
+def _sql_sub_l2sq(emb: str, j: int, cvec: tuple[float, ...]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in cvec) + "]"
+    base = j * SUB_DIM
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {SUB_DIM} + 1), "
+        f"i_ -> (CAST({emb}[{base} + i_] AS DOUBLE) - ({lit})[i_]) "
+        f"* (CAST({emb}[{base} + i_] AS DOUBLE) - ({lit})[i_]))), "
+        f"(a_, b_) -> a_ + b_)"
+    )
+
+
+def _sql_enc_j(emb: str, j: int) -> str:
+    parts = ", ".join(
+        f"{sql_micros(_sql_sub_l2sq(emb, j, cvec))} * {K_PQ} + {c}"
+        for c, cvec in enumerate(CODEBOOKS[j])
+    )
+    return f"list_min([{parts}])"
+
+
+def pq_pack(emb: Column) -> Column:
+    """struct(packed_code, recon_err_e6): the 32-bit packed code and the
+    total squared reconstruction error in micros.
+
+    Double lambda binding: the widened vector feeds M×K folds once, and
+    the 8-element enc array feeds the 16 pack/err references once.
+    enc % K is the code; enc >> 4 recovers micros(dist) exactly (enc is
+    nonnegative and K is a power of two).
+    """
+
+    def pack(e: Column) -> Column:
+        packed = F.lit(0).cast("long")
+        err = F.lit(0).cast("long")
+        for j in range(M_SUB):
+            enc = F.element_at(e, j + 1)
+            packed = packed + (enc % K_PQ) * F.lit(K_PQ**j)
+            err = err + F.shiftright(enc, 4)
+        return F.struct(packed.alias("packed_code"), err.alias("recon_err_e6"))
+
+    enc_arr = F.element_at(
+        F.transform(
+            F.array(to_double(emb)),
+            lambda v: _enc_from_dists(_dists_2d(v)),
+        ),
+        1,
+    )
+    return F.element_at(F.transform(F.array(enc_arr), pack), 1)
+
+
+def pq_codes_exploded(emb_df: DataFrame) -> DataFrame:
+    """(vec_id, j, code) — one row per subspace, the join-ready form of
+    the codes table (8 small rows per vector, 64× lighter than the
+    embedding)."""
+    codes = F.element_at(
+        F.transform(
+            F.array(to_double(F.col("embedding"))),
+            lambda v: F.transform(
+                _enc_from_dists(_dists_2d(v)),
+                lambda e: (e % K_PQ).cast("int"),
+            ),
+        ),
+        1,
+    )
+    return emb_df.select("vec_id", F.posexplode(codes).alias("j", "code"))
+
+
+def _sql_enc_array(emb: str) -> str:
+    return "[" + ", ".join(_sql_enc_j(emb, j) for j in range(M_SUB)) + "]"
+
+
+@register(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, {_sql_enc_array('embedding')} AS enc FROM embeddings
+    )
+    SELECT vec_id,
+           {" + ".join(f"(enc[{j + 1}] % {K_PQ}) * {K_PQ**j}" for j in range(M_SUB))}
+               AS packed_code,
+           {" + ".join(f"(enc[{j + 1}] // {K_PQ})" for j in range(M_SUB))}
+               AS recon_err_e6
+    FROM e
+    """,
+    doc="PQ encoding: 8×4-bit per-subspace argmin codes packed into one "
+    "BIGINT (64× compression) + exact integer reconstruction error — "
+    "map-only, in-plan codebook literals",
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # two-step select: CollapseProject keeps the (expensive, twice-
+    # referenced) pack struct in its own project instead of inlining it
+    return emb.select("vec_id", pq_pack(F.col("embedding")).alias("s")).select(
+        "vec_id", "s.packed_code", "s.recon_err_e6"
+    )
+
+
+def _sql_qtab() -> str:
+    """Per-query ADC lookup table: 128 (j, code, dist) rows per query,
+    unnested from one in-plan struct list."""
+    cells = ", ".join(
+        f"struct_pack(j := {j}, code := {c}, "
+        f"d := {sql_micros(_sql_sub_l2sq('embedding', j, cvec))})"
+        for j in range(M_SUB)
+        for c, cvec in enumerate(CODEBOOKS[j])
+    )
+    return (
+        f"SELECT vec_id AS q_id, unnest([{cells}], recursive := true) "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES}"
+    )
+
+
+def _sql_codes_rows() -> str:
+    cells = ", ".join(
+        f"struct_pack(j := {j}, code := CAST(enc[{j + 1}] % {K_PQ} AS INT))"
+        for j in range(M_SUB)
+    )
+    return (
+        f"SELECT vec_id, unnest([{cells}], recursive := true) FROM "
+        f"(SELECT vec_id, {_sql_enc_array('embedding')} AS enc FROM embeddings)"
+    )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH codes AS MATERIALIZED ({_sql_codes_rows()}),
+    qtab AS MATERIALIZED ({_sql_qtab()}),
+    adc AS (
+        SELECT t.q_id, c.vec_id AS neighbor_id,
+               CAST(sum(t.d) AS BIGINT) AS adc_e6
+        FROM codes c JOIN qtab t USING (j, code)
+        WHERE c.vec_id <> t.q_id
+        GROUP BY t.q_id, c.vec_id
+    )
+    SELECT q_id, neighbor_id, adc_e6, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_e6, neighbor_id
+        ) AS rk FROM adc
+    ) WHERE rk <= {TOP_K}
+    """,
+    doc="PQ asymmetric-distance top-k: corpus codes (8 rows/vector) "
+    "equi-join the broadcast per-query lookup table on (subspace, "
+    "code), partial-sum per candidate — linear in corpus size over the "
+    "64×-compressed representation, no embedding read on the scan side",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_codes_exploded(emb.select("vec_id", "embedding"))
+    d2 = F.element_at(
+        F.transform(F.array(to_double(F.col("embedding"))), _dists_2d), 1
+    )
+    qtab = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.posexplode(d2).alias("j", "dj"))
+        .select("q_id", "j", F.posexplode("dj").alias("code", "d"))
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_e6"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("adc_e6"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_e6", "rk")
+    )
+
+
+@register(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH codes AS MATERIALIZED ({_sql_codes_rows()}),
+    qtab AS MATERIALIZED ({_sql_qtab()}),
+    adc AS (
+        SELECT t.q_id, c.vec_id AS neighbor_id,
+               CAST(sum(t.d) AS BIGINT) AS adc_e6
+        FROM codes c JOIN qtab t USING (j, code)
+        WHERE c.vec_id <> t.q_id
+        GROUP BY t.q_id, c.vec_id
+    ),
+    pq AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc_e6, neighbor_id
+            ) AS rk FROM adc
+        ) WHERE rk <= {TOP_K}
+    ),
+    bf AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_micros(sql_l2sq("q.embedding", "x.embedding"))},
+                                x.vec_id
+                   ) AS rk
+            FROM embeddings q JOIN embeddings x ON q.vec_id <> x.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    )
+    SELECT bf.q_id, count(pq.neighbor_id) AS n_hits, count(*) AS k
+    FROM bf LEFT JOIN pq
+      ON bf.q_id = pq.q_id AND bf.neighbor_id = pq.neighbor_id
+    GROUP BY bf.q_id
+    """,
+    doc="recall@k of PQ-ADC vs exact L2 top-k (the metric PQ "
+    "approximates) — the approximate path ships with its own "
+    "oracle-checked quality number, like ann_lsh_recall/ann_ivf_recall",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pq = ann_pq_adc_topk(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("pq_neighbor")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.vec_id != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            micros(l2sq(F.col("q_emb"), F.col("embedding"))).alias("l2_e6"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("l2_e6"), F.asc("neighbor_id"))
+    bf = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id")
+    )
+    hit = bf.join(
+        pq,
+        (bf.q_id == pq.q_id) & (bf.neighbor_id == pq.pq_neighbor),
+        "left",
+    ).select(bf.q_id, pq.pq_neighbor)
+    return hit.groupBy("q_id").agg(
+        F.count("pq_neighbor").alias("n_hits"),
+        F.count(F.lit(1)).alias("k"),
+    )

@@ -30,6 +30,7 @@ from algorithmproject_spark_spark.ml import topics  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import multimodal  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import annlsh  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import annivf  # noqa: F401,E402
+from algorithmproject_spark_spark.operators import annpq  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import skew  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import rangejoin  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import annrecall  # noqa: F401,E402

@@ -73,6 +73,8 @@ HEADLINE = (
     "ann_ivf_kmeans_topk",
     "stream_session_windows_batch_twin",
     "stream_user_profile_batch_twin",
+    "ann_pq_codes",
+    "ann_pq_adc_topk",
 )
 
 
