@@ -349,3 +349,94 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("pq_neighbor").alias("n_hits"),
         F.count(F.lit(1)).alias("k"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: the production composition — IVF's coarse quantizer prunes the
+# corpus to NPROBE cells, PQ's ADC ranks only those candidates from the
+# compressed codes. This is the architecture real 1e11-vector ANN
+# serving uses (FAISS IVFPQ): the scan touches cell-pruned code rows
+# only, never a full embedding.
+# --------------------------------------------------------------------------
+from algorithmproject_spark_spark.operators.annivf import (  # noqa: E402
+    cells as _ivf_cells,
+    probe_cells_col as _ivf_probe_cells_col,
+    sql_cell as _sql_ivf_cell,
+    sql_probe_cells as _sql_ivf_probe_cells,
+)
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH cellsT AS MATERIALIZED (
+        SELECT vec_id, {{cell}} AS cell FROM embeddings
+    ),
+    qp AS (
+        SELECT vec_id AS q_id, unnest({{probe}}) AS cell
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT qp.q_id, c.vec_id FROM qp JOIN cellsT c USING (cell)
+        WHERE c.vec_id <> qp.q_id
+    ),
+    codes AS MATERIALIZED ({{codes}}),
+    qtab AS MATERIALIZED ({{qtab}}),
+    adc AS (
+        SELECT k.q_id, k.vec_id AS neighbor_id,
+               CAST(sum(t.d) AS BIGINT) AS adc_e6
+        FROM cand k
+        JOIN codes c2 ON k.vec_id = c2.vec_id
+        JOIN qtab t ON t.q_id = k.q_id AND t.j = c2.j AND t.code = c2.code
+        GROUP BY k.q_id, k.vec_id
+    )
+    SELECT q_id, neighbor_id, adc_e6, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_e6, neighbor_id
+        ) AS rk FROM adc
+    ) WHERE rk <= {TOP_K}
+    """.format(
+        cell="__CELL__", probe="__PROBE__", codes="__CODES__", qtab="__QTAB__"
+    )
+    .replace("__CELL__", _sql_ivf_cell("embedding"))
+    .replace("__PROBE__", _sql_ivf_probe_cells("embedding"))
+    .replace("__CODES__", _sql_codes_rows())
+    .replace("__QTAB__", _sql_qtab()),
+    doc="IVF-PQ (the FAISS-style production composition): coarse cells "
+    "prune candidates to NPROBE partitions, PQ-ADC ranks them from "
+    "4-bit codes — cell equi-join + code equi-join + broadcast lookup "
+    "table, everything linear and embedding-free past the encode step",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = _ivf_cells(spark, sf_dir).select("vec_id", "cell")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(_ivf_probe_cells_col(F.col("embedding"))).alias("cell"),
+    )
+    cand = (
+        b.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    codes = pq_codes_exploded(emb.select("vec_id", "embedding"))
+    d2 = F.element_at(
+        F.transform(F.array(to_double(F.col("embedding"))), _dists_2d), 1
+    )
+    qtab = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.posexplode(d2).alias("j", "dj"))
+        .select("q_id", "j", F.posexplode("dj").alias("code", "d"))
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qtab), ["q_id", "j", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_e6"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("adc_e6"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_e6", "rk")
+    )

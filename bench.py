@@ -75,6 +75,7 @@ HEADLINE = (
     "stream_user_profile_batch_twin",
     "ann_pq_codes",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 )
 
 
