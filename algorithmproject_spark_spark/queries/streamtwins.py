@@ -104,3 +104,68 @@ def stream_session_windows_batch_twin(spark: SparkSession, sf_dir: str) -> DataF
 def stream_user_profile_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return user_profile_batch(ev.select("user_id", "event_type", "value"))
+
+
+def _sql_near_dup_twin() -> str:
+    from algorithmproject_spark_spark.functions.hashing import (
+        MINHASH_PARAMS,
+        sql_minhash_value,
+    )
+    from algorithmproject_spark_spark.queries.dedup import _sql_shingle_hashes
+    from algorithmproject_spark_spark.streaming.neardup import (
+        _BAND_P,
+        BAND_ROWS,
+        MIN_AGREE,
+        N_HASHES,
+    )
+
+    mh = ", ".join(
+        f"{sql_minhash_value('sh', a, b)}"
+        for (a, b) in MINHASH_PARAMS[:N_HASHES]
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band_idx, "
+        f"sig[{b * BAND_ROWS + 1}] * {_BAND_P} + sig[{b * BAND_ROWS + 2}] AS band_key "
+        f"FROM sig"
+        for b in range(n_bands)
+    )
+    agree = (
+        f"list_sum(list_transform(range(1, {N_HASHES} + 1), "
+        f"i_ -> CASE WHEN a.sig[i_] = b.sig[i_] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+    WITH sh AS MATERIALIZED ({_sql_shingle_hashes()}),
+    sig AS MATERIALIZED (SELECT doc_id, [{mh}] AS sig FROM sh),
+    bands AS MATERIALIZED ({band_rows}),
+    drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE {agree} >= {MIN_AGREE}
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+@register(
+    "stream_near_dup_batch_twin",
+    oracle=_sql_near_dup_twin(),
+    doc="batch twin of the incremental MinHash-LSH near-dup filter "
+    "(streaming/neardup.py): one micro-batch with an empty store — the "
+    "local-minima survivor rule (drop on a verified smaller-id match) "
+    "over banded signatures, the same kernel foreachBatch replays "
+    "incrementally against the persistent survivor store",
+)
+def stream_near_dup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.streaming.neardup import (
+        doc_band_state,
+        within_batch_drop_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = doc_band_state(docs)
+    drops = within_batch_drop_ids(bands)
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id")

@@ -1,0 +1,202 @@
+"""Streaming NEAR-duplicate filtering — the incremental form of the
+batch MinHash-LSH family (queries/dedup.py), which itself natively
+covers what the reference outsources to an external dedup service
+(``ArticleInfoProcess.scala:184-191``).
+
+A corpus ingest pipeline can't re-run batch LSH over 100 TB per
+micro-batch; the incremental contract is: keep a persistent store of
+the SURVIVORS' band keys + signatures, and admit a new document only if
+no band collision with the store (or with an earlier-id document of the
+same batch) survives signature verification. Dropped documents never
+enter the store, so the store is exactly the kept corpus — the same
+"cluster collapses to its minimum id" outcome the batch
+``dedup_cluster_reps`` computes, arrived at greedily.
+
+Mechanics per micro-batch (``foreachBatch``):
+
+1. shingle → MinHash signature → banded keys for the batch (the same
+   fixed affine permutations as the batch family, so batch and stream
+   agree bit-for-bit on signatures);
+2. equi-join batch bands against the store's bands on
+   (band_idx, band_key) — incremental candidate generation is linear
+   in batch size × collision rate, never corpus-sized;
+3. verify candidates by estimated Jaccard: the fraction of agreeing
+   MinHash positions (``min_agree`` of N_HASHES); drop verified hits;
+4. within the batch, drop any document with a verified match of
+   smaller doc_id (local-minima survivor rule — for a within-batch
+   near-dup cluster this keeps exactly the min id, matching the batch
+   cluster resolution);
+5. append survivors to the output and their band rows to the store.
+
+State is append-only parquet: no driver-side state, no per-key JVM
+state store growth — the store scales like the deduplicated corpus and
+can be date-partitioned for retention. Exactly-once appends come from
+the foreachBatch checkpoint (batch id) as usual; replays of a batch
+re-derive the same survivors because the rule is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from algorithmproject_spark_spark.functions.hashing import (
+    MINHASH_PARAMS,
+    gram_hash_array,
+    minhash_value,
+    token_hash_array,
+)
+
+# Mirrors queries/dedup.py (N_HASHES/BAND_ROWS/SHINGLE_N) so stream and
+# batch signatures are interchangeable.
+N_HASHES = 8
+BAND_ROWS = 2
+SHINGLE_N = 3
+MIN_AGREE = 4  # ≥ 4/8 agreeing minhashes ≈ estimated Jaccard ≥ 0.5
+_BAND_P = 2147483659
+
+
+def doc_band_state(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band_idx, band_key) — one row per band, the
+    join-ready store representation of a document set."""
+    th = token_hash_array(F.split(F.col("text"), " "))
+    sh = F.array_distinct(gram_hash_array(th, SHINGLE_N))
+    sigd = docs.select(
+        "doc_id",
+        F.element_at(
+            F.transform(
+                F.array(sh),
+                lambda s: F.array(
+                    *[
+                        minhash_value(s, a, b)
+                        for (a, b) in MINHASH_PARAMS[:N_HASHES]
+                    ]
+                ),
+            ),
+            1,
+        ).alias("sig"),
+    )
+    bands = F.array(
+        *[
+            F.element_at(F.col("sig"), b * BAND_ROWS + 1) * F.lit(_BAND_P)
+            + F.element_at(F.col("sig"), b * BAND_ROWS + 2)
+            for b in range(N_HASHES // BAND_ROWS)
+        ]
+    )
+    return sigd.select(
+        "doc_id", "sig", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+
+
+def _verified_hits(
+    probe: DataFrame, store: DataFrame, min_agree: int
+) -> DataFrame:
+    """doc_ids of ``probe`` with a band collision against ``store``
+    whose signatures agree in ≥ min_agree positions."""
+    cand = (
+        probe.join(
+            store.select(
+                "band_idx",
+                "band_key",
+                F.col("doc_id").alias("hit_id"),
+                F.col("sig").alias("hit_sig"),
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("doc_id", "sig", "hit_id", "hit_sig")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("hit_sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.filter(agree >= min_agree).select("doc_id").distinct()
+    )
+
+
+def within_batch_drop_ids(bands: DataFrame, min_agree: int = MIN_AGREE) -> DataFrame:
+    """Local-minima survivor rule over one document set: drop any doc
+    with a verified match of smaller doc_id (a within-batch near-dup
+    cluster keeps exactly its min id, matching the batch cluster
+    resolution). Band equi-join + signature verify — linear, no O(n²)."""
+    earlier = bands.select(
+        "band_idx",
+        "band_key",
+        F.col("doc_id").alias("e_id"),
+        F.col("sig").alias("e_sig"),
+    )
+    within = (
+        bands.join(earlier, ["band_idx", "band_key"])
+        .filter(F.col("e_id") < F.col("doc_id"))
+        .select(
+            "doc_id",
+            "sig",
+            F.col("e_id").alias("hit_id"),
+            F.col("e_sig").alias("hit_sig"),
+        )
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("hit_sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return within.filter(agree >= min_agree).select("doc_id").distinct()
+
+
+def process_near_dup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    min_agree: int = MIN_AGREE,
+) -> None:
+    """One micro-batch of the incremental filter (also the batch twin:
+    calling this over ordered slices replays the stream exactly)."""
+    bands = doc_band_state(batch_df).localCheckpoint(eager=True)
+    dropped = None
+    if os.path.exists(state_dir):
+        store = spark.read.parquet(state_dir)
+        dropped = _verified_hits(bands, store, min_agree)
+    within_drop = within_batch_drop_ids(bands, min_agree)
+    drop_ids = (
+        within_drop if dropped is None else dropped.unionAll(within_drop).distinct()
+    )
+    survivors = batch_df.join(drop_ids, "doc_id", "left_anti")
+    survivors.write.mode("append").parquet(out_dir)
+    bands.join(drop_ids, "doc_id", "left_anti").write.mode("append").parquet(
+        state_dir
+    )
+
+
+def near_dup_filter_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    min_agree: int = MIN_AGREE,
+) -> StreamingQuery:
+    """Start the incremental near-dup filter over a streaming frame with
+    (doc_id, text, ...) columns."""
+    spark = docs_stream.sparkSession
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        process_near_dup_batch(spark, batch_df, state_dir, out_dir, min_agree)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

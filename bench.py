@@ -76,6 +76,7 @@ HEADLINE = (
     "ann_pq_codes",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "stream_near_dup_batch_twin",
 )
 
 
