@@ -70,32 +70,91 @@ def build_corpus(spark, n_docs: int) -> str:
     return out
 
 
+EMB_BASE_N = 2_000
+EMB_SIZES = (2_000, 8_000, 32_000)
+EMB_QUERIES = ("ann_pq_adc_topk", "embedding_near_dup_pairs_scaled")
+
+
+def build_emb_corpus(spark, n_vecs: int) -> str:
+    """Tile sf0.1 embeddings with new vec_ids and a per-copy
+    deterministic jitter, so copies are distinct vectors (no planted
+    exact dups — the sweep measures plan growth, not dup density)."""
+    out = os.path.join(SWEEP_DIR, f"emb{n_vecs}")
+    path = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(path):
+        return out
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    tiled = None
+    for k in range(n_vecs // EMB_BASE_N):
+        remap = base.select(
+            (F.col("vec_id") + F.lit(k * EMB_BASE_N)).alias("vec_id"),
+            "label",
+            F.transform(
+                F.col("embedding"), lambda x: x + F.lit(k * 1e-3)
+            ).alias("embedding"),
+        )
+        tiled = remap if tiled is None else tiled.unionAll(remap)
+    tiled.write.mode("overwrite").parquet(path)
+    return out
+
+
+def _emb_query(name):
+    if name == "embedding_near_dup_pairs_scaled":
+        # the registered query pins the sf0.01 oracle's signature width;
+        # the scale path derives width from the corpus — sweep THAT.
+        from algorithmproject_spark_spark.operators.annlsh import near_dup_pairs
+        from algorithmproject_spark_spark.sources.catalog import load_table
+
+        def fn(spark, sf_dir, n):
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            return near_dup_pairs(emb, n_vectors=n)
+
+        return fn
+    return lambda spark, sf_dir, n: REGISTRY[name].fn(spark, sf_dir)
+
+
+def _report(results) -> None:
+    for name, rows in results.items():
+        print(f"\n{name}:")
+        prev = None
+        for n, sec in rows:
+            exp = ""
+            if prev is not None:
+                e = math.log(sec / prev[1]) / math.log(n / prev[0])
+                exp = f"  exponent vs prev: {e:.2f}"
+            print(f"  n={n:>6}  {sec:6.2f} s{exp}")
+            prev = (n, sec)
+
+
 def main() -> None:
-    names = sys.argv[1:] or list(QUERIES)
+    names = sys.argv[1:] or list(QUERIES) + list(EMB_QUERIES)
     spark = get_spark("scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(100).count()  # session warmup, as in bench.py
 
+    doc_names = [n for n in names if n in QUERIES]
+    emb_names = [n for n in names if n in EMB_QUERIES]
     results: dict[str, list[tuple[int, float]]] = {n: [] for n in names}
-    for n_docs in SIZES:
+    for n_docs in SIZES if doc_names else ():
         sf_dir = build_corpus(spark, n_docs)
-        for name in names:
+        for name in doc_names:
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             results[name].append((n_docs, round(time.time() - t0, 2)))
+    for n_vecs in EMB_SIZES if emb_names else ():
+        sf_dir = build_emb_corpus(spark, n_vecs)
+        for name in emb_names:
+            t0 = time.time()
+            _emb_query(name)(spark, sf_dir, n_vecs).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results[name].append((n_vecs, round(time.time() - t0, 2)))
 
-    for name, rows in results.items():
-        print(f"\n{name}:")
-        prev = None
-        for n_docs, sec in rows:
-            exp = ""
-            if prev is not None:
-                e = math.log(sec / prev[1]) / math.log(n_docs / prev[0])
-                exp = f"  exponent vs prev: {e:.2f}"
-            print(f"  n={n_docs:>6}  {sec:6.2f} s{exp}")
-            prev = (n_docs, sec)
+    _report(results)
     shutil.rmtree(SWEEP_DIR, ignore_errors=True)
 
 
