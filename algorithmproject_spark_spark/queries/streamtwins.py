@@ -166,6 +166,10 @@ def stream_near_dup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bands = doc_band_state(docs)
+    # cache: the local-minima rule self-joins the band relation, and
+    # without materialization both join inputs re-fold shingles +
+    # signatures (same reuse pattern as the batch dedup family's
+    # cached shingle table)
+    bands = doc_band_state(docs).cache()
     drops = within_batch_drop_ids(bands)
     return docs.join(drops, "doc_id", "left_anti").select("doc_id")

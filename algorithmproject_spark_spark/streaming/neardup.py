@@ -60,33 +60,41 @@ _BAND_P = 2147483659
 
 def doc_band_state(docs: DataFrame) -> DataFrame:
     """(doc_id, sig, band_idx, band_key) — one row per band, the
-    join-ready store representation of a document set."""
+    join-ready store representation of a document set.
+
+    Signature AND band keys are produced inside one bound lambda
+    (struct of both), so the shingle fold and the 8 minhash folds run
+    once per row — a naive two-select form lets CollapseProject inline
+    the signature expression into every band-key reference."""
     th = token_hash_array(F.split(F.col("text"), " "))
     sh = F.array_distinct(gram_hash_array(th, SHINGLE_N))
-    sigd = docs.select(
-        "doc_id",
-        F.element_at(
+
+    def pack(s: Column) -> Column:
+        sig = F.array(
+            *[minhash_value(s, a, b) for (a, b) in MINHASH_PARAMS[:N_HASHES]]
+        )
+        return F.element_at(
             F.transform(
-                F.array(sh),
-                lambda s: F.array(
-                    *[
-                        minhash_value(s, a, b)
-                        for (a, b) in MINHASH_PARAMS[:N_HASHES]
-                    ]
+                F.array(sig),
+                lambda g: F.struct(
+                    g.alias("sig"),
+                    F.array(
+                        *[
+                            F.element_at(g, b * BAND_ROWS + 1) * F.lit(_BAND_P)
+                            + F.element_at(g, b * BAND_ROWS + 2)
+                            for b in range(N_HASHES // BAND_ROWS)
+                        ]
+                    ).alias("bands"),
                 ),
             ),
             1,
-        ).alias("sig"),
-    )
-    bands = F.array(
-        *[
-            F.element_at(F.col("sig"), b * BAND_ROWS + 1) * F.lit(_BAND_P)
-            + F.element_at(F.col("sig"), b * BAND_ROWS + 2)
-            for b in range(N_HASHES // BAND_ROWS)
-        ]
-    )
-    return sigd.select(
-        "doc_id", "sig", F.posexplode(bands).alias("band_idx", "band_key")
+        )
+
+    packed = F.element_at(F.transform(F.array(sh), pack), 1)
+    return docs.select("doc_id", packed.alias("p")).select(
+        "doc_id",
+        F.col("p.sig").alias("sig"),
+        F.posexplode("p.bands").alias("band_idx", "band_key"),
     )
 
 
