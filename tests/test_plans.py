@@ -155,3 +155,12 @@ def test_lloyd_assignment_is_map_only_plus_broadcast_probe(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_near_dup_twin_is_equi_join_only(spark):
+    """The near-dup survivor rule must stay banded equi-joins — no
+    cartesian/nested-loop pairing anywhere in the plan."""
+    p = plan_of(REGISTRY["stream_near_dup_batch_twin"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
