@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # NOT enabled: runtime bloom-filter join pruning
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled). Measured
+        # here: the injected filter re-executes its build side, and this
+        # engine's join build sides are often expensive DERIVED
+        # relations (shingle/signature/band tables), not bare scans —
+        # enabling it sent the 46-query bench from ~80 s to >500 s.
+        # Worth revisiting per-query on a cluster where the build side
+        # is a selective scan of a fact table; wrong as a global
+        # default for this workload.
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
