@@ -124,3 +124,61 @@ def test_longest_match_filter_matches_python_model(spark, phrases):
     arr = F.array(*[F.lit(p) for p in phrases]).cast("array<string>")
     got = spark.range(1).select(longest_match_filter(arr).alias("k")).first()["k"]
     assert got == model(phrases)
+
+
+def test_lloyd_kmeans_partition_invariant(spark):
+    """Distributed-correctness property: integer Lloyd's must give
+    bit-identical centroids no matter how the input is partitioned or
+    ordered (per-round state is sums + counts — commutative exact
+    integers; a float implementation would fail this)."""
+    from algorithmproject_spark_spark.operators.annivf import lloyd_kmeans
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = lloyd_kmeans(emb)
+    # adversarial layouts: single partition, many tiny partitions,
+    # and a shuffled row order
+    assert lloyd_kmeans(emb.coalesce(1)) == base
+    assert lloyd_kmeans(emb.repartition(37)) == base
+    assert lloyd_kmeans(emb.orderBy(F.desc("vec_id"))) == base
+
+
+def test_adaptive_cc_partition_invariant(spark):
+    from algorithmproject_spark_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101), (200, 201), (201, 202)],
+        "doc_a long, doc_b long",
+    )
+    base = sorted((r.v, r.lbl) for r in connected_components(pairs).collect())
+    got = sorted(
+        (r.v, r.lbl)
+        for r in connected_components(pairs.repartition(23)).collect()
+    )
+    assert got == base
+
+
+def test_near_dup_twin_partition_invariant(spark):
+    """The local-minima survivor rule is a pure function of the document
+    SET — its survivor ids must not depend on data layout."""
+    from algorithmproject_spark_spark.sources.catalog import load_table
+    from algorithmproject_spark_spark.streaming.neardup import (
+        doc_band_state,
+        within_batch_drop_ids,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    a = {r.doc_id for r in within_batch_drop_ids(doc_band_state(docs)).collect()}
+    b = {
+        r.doc_id
+        for r in within_batch_drop_ids(
+            doc_band_state(docs.repartition(17).orderBy(F.desc("doc_id")))
+        ).collect()
+    }
+    assert a == b
