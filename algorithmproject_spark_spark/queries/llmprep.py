@@ -393,3 +393,200 @@ def doc_pii_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all("raw", F.lit(PII_IPV4), F.lit(0))).alias("n_ips"),
     )
+
+
+from algorithmproject_spark_spark.functions.vectors import (  # noqa: E402
+    _dot_d,
+    _norm_d,
+    sql_dot,
+    sql_norm,
+    sql_to_double,
+    to_double,
+)
+from algorithmproject_spark_spark.operators.annivf import (  # noqa: E402
+    cell_col,
+    sql_cell,
+)
+
+# --------------------------------------------------------------------------
+# Chunk-level boilerplate dedup (CCNet/RefinedWeb line-dedup generalized:
+# Wenzek et al. 2019 dedup paragraphs by hash; the unit here is a fixed
+# W-token chunk since the synthetic corpus has no newlines). Any chunk
+# whose corpus document-frequency reaches CHUNK_BOILER_DF is boilerplate
+# (headers, navigation, repeated disclaimers at web scale) and is removed
+# from every document; per-doc text is reassembled in chunk order.
+#
+# Scale shape: tokenize+chunk is map-only; the df count is one shuffle on
+# the chunk string with map-side partial aggregation; the removal is a
+# left_anti equi-join on chunk (NOT a broadcast — the boilerplate set at
+# 100 TB is itself large). Reassembly groups by doc_id with a bounded
+# per-doc buffer. Nothing is quadratic, nothing collects.
+# --------------------------------------------------------------------------
+CHUNK_W = 8  # tokens per chunk
+CHUNK_BOILER_DF = 2  # distinct-doc frequency at which a chunk is boilerplate
+
+
+@register(
+    "doc_chunk_dedup",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(w[(i*{CHUNK_W}+1):((i+1)*{CHUNK_W})], ' ') AS chunk
+        FROM toks, unnest(range(0, greatest(
+            CAST(ceil(len(w) / {CHUNK_W}.0) AS BIGINT), 1))) AS t(i)
+    ),
+    boiler AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk HAVING count(DISTINCT doc_id) >= {CHUNK_BOILER_DF}
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           COALESCE(string_agg(c.chunk, ' ' ORDER BY c.pos)
+                    FILTER (WHERE b.chunk IS NULL), '') AS clean_text
+    FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+    GROUP BY c.doc_id
+    """,
+    doc="chunk-level boilerplate dedup (CCNet-style paragraph dedup over "
+    "fixed 8-token chunks): corpus df count, boilerplate equi-join, "
+    "order-preserving reassembly in ONE grouped pass over the cached "
+    "chunk relation — one shuffle + one equi-join, linear at any scale",
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # The token array is bound through a 1-element transform lambda so the
+    # split runs once per row, not once per chunk reference; the slice
+    # pass and the concat pass are separate transforms (measured 5×
+    # cheaper than concat-inside-slice-lambda at sf0.1). greatest(…, 1)
+    # gives an empty doc one '' chunk on both engines — sequence(0,-1)
+    # would be DESCENDING in Spark, not empty.
+    slices = F.element_at(
+        F.transform(
+            F.array(tokenize("text")),
+            lambda w: F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(
+                        F.ceil(F.size(w) / F.lit(float(CHUNK_W))).cast("long"),
+                        F.lit(1).cast("long"),
+                    )
+                    - 1,
+                ),
+                lambda i: F.slice(w, (i * CHUNK_W + 1).cast("int"), CHUNK_W),
+            ),
+        ),
+        1,
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(slices, lambda s: F.concat_ws(" ", s))).alias(
+            "pos", "chunk"
+        ),
+    ).cache()  # referenced by the df count AND the marked join
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= CHUNK_BOILER_DF)
+        .select("chunk")
+    )
+    marked = chunks.join(boiler.withColumn("__b", F.lit(1)), "chunk", "left")
+    keep = F.when(F.col("__b").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(keep).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "chunk", keep.alias("keep")))
+                    ),
+                    lambda s: s["keep"] == 1,
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings with
+# the IVF coarse quantizer, then inside each cluster drop every vector
+# that has a higher-priority (here: smaller vec_id) neighbor above a
+# cosine threshold — removing semantically redundant documents that
+# lexical MinHash/SimHash cannot see.
+#
+# Scale shape: the pair generation is a self-equi-join ON THE CELL KEY —
+# never all-pairs. In production the number of cells grows with the
+# corpus (n_cells ~ n / target_cell_size, exactly K in the SemDeDup
+# paper), so per-cell work is bounded and the join output is
+# O(n * cell_size). The greedy smaller-id survivor rule is deterministic
+# and engine-portable (true SemDeDup keeps one per cluster-component;
+# the greedy rule over-drops chains identically in both engines).
+# --------------------------------------------------------------------------
+SEMDEDUP_COS_E6 = 430_000  # cosine threshold in micros (demo-scaled; prod ~0.95+)
+
+
+@register(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH cn AS MATERIALIZED (
+        SELECT vec_id, {sql_cell('embedding')} AS cell,
+               {sql_to_double('embedding')} AS we,
+               {sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM cn a JOIN cn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {sql_micros(f"({sql_dot('a.we', 'b.we')}) / (a.nrm * b.nrm)")}
+              >= {SEMDEDUP_COS_E6}
+    )
+    SELECT cn.vec_id, cn.cell,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM cn LEFT JOIN dropped d ON cn.vec_id = d.vec_id
+    """,
+    doc="SemDeDup: IVF-cell clustering + within-cell cosine threshold, "
+    "greedy smaller-id survivor — cell equi-join (never all-pairs); "
+    "per-vector norms precomputed once (cosine = dot/(na·nb) is the "
+    "identical fold either way), integer-micros threshold so the drop "
+    "set is bit-exact cross-engine",
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cn = (
+        emb.select(
+            "vec_id",
+            cell_col(F.col("embedding")).alias("cell"),
+            to_double(F.col("embedding")).alias("we"),
+        )
+        .withColumn("nrm", _norm_d(F.col("we")))
+        .cache()  # encode+norm once: both join sides and the output
+    )
+    a = cn.select(
+        F.col("vec_id").alias("a_id"), F.col("we").alias("a_we"),
+        F.col("nrm").alias("a_n"), "cell",
+    )
+    b = cn.select(
+        F.col("vec_id").alias("b_id"), F.col("we").alias("b_we"),
+        F.col("nrm").alias("b_n"), "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            micros(_dot_d(F.col("a_we"), F.col("b_we")) / (F.col("a_n") * F.col("b_n")))
+            >= SEMDEDUP_COS_E6
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return cn.join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("__d").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )

@@ -77,6 +77,9 @@ HEADLINE = (
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "stream_near_dup_batch_twin",
+    # chunk-level boilerplate dedup + SemDeDup (round-3 additions)
+    "doc_chunk_dedup",
+    "embedding_semantic_dedup",
 )
 
 

@@ -164,3 +164,24 @@ def test_near_dup_twin_is_equi_join_only(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_chunk_dedup_posture(spark):
+    """Chunk boilerplate dedup: equi-joins only (the boilerplate set is
+    NOT broadcast by hint — at 100 TB it is large), no Python eval, and
+    the generator runs once (a single Generate node feeding the cached
+    chunk relation)."""
+    p = plan_of(REGISTRY["doc_chunk_dedup"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_semantic_dedup_pairs_on_cell_key(spark):
+    """SemDeDup: the pair generator must be an equi-join on the cell
+    key — never an all-pairs nested loop — and the exact-cosine filter
+    stays JVM-side."""
+    p = plan_of(REGISTRY["embedding_semantic_dedup"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
