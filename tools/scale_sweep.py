@@ -34,7 +34,11 @@ BASE = "/root/testdata/sf0.1"
 SWEEP_DIR = "/tmp/spark_graft_sweep"
 BASE_N = 5_000
 SIZES = (5_000, 20_000, 80_000)
-QUERIES = ("dedup_cluster_reps", "doc_benchmark_contamination")
+QUERIES = (
+    "dedup_cluster_reps",
+    "doc_benchmark_contamination",
+    "doc_chunk_dedup",
+)
 
 
 def build_corpus(spark, n_docs: int) -> str:
@@ -72,7 +76,11 @@ def build_corpus(spark, n_docs: int) -> str:
 
 EMB_BASE_N = 2_000
 EMB_SIZES = (2_000, 8_000, 32_000)
-EMB_QUERIES = ("ann_pq_adc_topk", "embedding_near_dup_pairs_scaled")
+EMB_QUERIES = (
+    "ann_pq_adc_topk",
+    "embedding_near_dup_pairs_scaled",
+    "embedding_semantic_dedup_scaled",
+)
 
 
 def build_emb_corpus(spark, n_vecs: int) -> str:
@@ -110,6 +118,68 @@ def _emb_query(name):
                 "vec_id", "embedding"
             )
             return near_dup_pairs(emb, n_vectors=n)
+
+        return fn
+    if name == "embedding_semantic_dedup_scaled":
+        # The registered query pins K_CELLS=8 for the oracle, so cell
+        # SIZE grows with n and within-cell pairing would measure the
+        # corpus, not the plan. Production SemDeDup grows the cluster
+        # count with the corpus (bounded cell size); the sweep models
+        # that with a hash refinement of the IVF cell to n/TARGET
+        # subcells — the join shape (equi-join on the cell key, pairs
+        # O(n · cell_size)) is exactly the production plan's.
+        from algorithmproject_spark_spark.functions.numeric import micros
+        from algorithmproject_spark_spark.functions.vectors import _dot_d, _norm_d, to_double
+        from algorithmproject_spark_spark.operators.annivf import cell_col
+        from algorithmproject_spark_spark.queries.llmprep import SEMDEDUP_COS_E6
+        from algorithmproject_spark_spark.sources.catalog import load_table
+
+        TARGET_CELL = 250
+
+        def fn(spark, sf_dir, n):
+            emb = load_table(spark, sf_dir, "embeddings")
+            n_sub = max(1, n // TARGET_CELL)
+            cn = (
+                emb.select(
+                    "vec_id",
+                    F.concat_ws(
+                        ":",
+                        cell_col(F.col("embedding")).cast("string"),
+                        F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("string"),
+                    ).alias("cell"),
+                    to_double(F.col("embedding")).alias("we"),
+                )
+                .withColumn("nrm", _norm_d(F.col("we")))
+                .cache()
+            )
+            a = cn.select(
+                F.col("vec_id").alias("a_id"), F.col("we").alias("a_we"),
+                F.col("nrm").alias("a_n"), "cell",
+            )
+            b = cn.select(
+                F.col("vec_id").alias("b_id"), F.col("we").alias("b_we"),
+                F.col("nrm").alias("b_n"), "cell",
+            )
+            dropped = (
+                a.join(b, "cell")
+                .filter(F.col("a_id") < F.col("b_id"))
+                .filter(
+                    micros(
+                        _dot_d(F.col("a_we"), F.col("b_we"))
+                        / (F.col("a_n") * F.col("b_n"))
+                    )
+                    >= SEMDEDUP_COS_E6
+                )
+                .select(F.col("b_id").alias("vec_id"))
+                .distinct()
+            )
+            return cn.join(
+                dropped.withColumn("__d", F.lit(1)), "vec_id", "left"
+            ).select(
+                "vec_id",
+                "cell",
+                F.when(F.col("__d").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+            )
 
         return fn
     return lambda spark, sf_dir, n: REGISTRY[name].fn(spark, sf_dir)
