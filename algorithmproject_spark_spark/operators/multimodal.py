@@ -193,3 +193,151 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.max_by("frame_len", "frame_idx").cast("long").alias("last_frame_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Resize + feature extraction — the remaining two stages of the
+# decode → feature-extract → resize → frame-sample quartet. Codec-free
+# deterministic stand-ins (strided byte subsample; byte-bucket
+# histogram) keep the Arrow plumbing oracle-checkable: payload bytes are
+# UTF-8 of ASCII text, so DuckDB reproduces every byte via ascii().
+# --------------------------------------------------------------------------
+RESIZE_W = 32
+RESIZE_H = 32
+_RESIZE_TARGET = RESIZE_W * RESIZE_H  # 1024-byte fake thumbnail
+N_FEATURES = 8
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_len", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("media_type", StringType())]
+    + [StructField(f"f{b}", LongType()) for b in range(N_FEATURES)]
+)
+
+
+def fake_resize(data: bytes, target: int = _RESIZE_TARGET) -> bytes:
+    """Deterministic stand-in for a thumbnail resize: every k-th byte,
+    k = max(1, n // target), truncated to target bytes. Production swaps
+    in PIL `Image.resize` behind the same signature; the Spark-side
+    schema/batching is what this verifies."""
+    k = max(1, len(data) // target)
+    return data[::k][:target]
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """mapInPandas resize: Arrow-batched, output carries the resized
+    binary plus integrity metadata (length + additive byte checksum)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_bytes": pdf["payload"].map(len),
+                    "resized": resized,
+                    "resized_len": resized.map(len),
+                    "checksum": resized.map(lambda b: sum(b)),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: an 8-bucket byte-value histogram
+    per payload (stand-in for an image/audio embedding head — numpy
+    vectorized per Arrow batch, exact integer counts)."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hists = pdf["payload"].map(
+                lambda b: np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) % N_FEATURES,
+                    minlength=N_FEATURES,
+                )
+            )
+            out = {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"]}
+            for b in range(N_FEATURES):
+                out[f"f{b}"] = hists.map(lambda h, b=b: int(h[b]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, schema=FEATURES_SCHEMA)
+
+
+@register(
+    "media_resize_stats",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               text, octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, media_type, n,
+               greatest(1, n // {_RESIZE_TARGET}) AS k
+        FROM media
+    ),
+    m AS (
+        SELECT doc_id, media_type, n, k,
+               least({_RESIZE_TARGET}, CAST(ceil(CAST(n AS DOUBLE) / k) AS BIGINT)) AS m_len
+        FROM r
+    )
+    SELECT media_type,
+           count(*) AS n_media,
+           CAST(sum(m_len) AS BIGINT) AS total_resized_bytes,
+           CAST(sum((
+               SELECT CAST(sum(ascii(text[1 + j_.j * k])) AS BIGINT)
+               FROM unnest(range(0, m_len)) AS j_(j)
+           )) AS BIGINT) AS total_checksum
+    FROM m, documents d
+    WHERE m.doc_id = d.doc_id
+    GROUP BY media_type
+    """,
+    doc="multimodal resize: mapInPandas strided-subsample thumbnail with "
+    "length + additive checksum integrity metadata, aggregated per "
+    "media_type (oracle replays the stride arithmetic byte-for-byte)",
+)
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = resize_media(media_table(spark, sf_dir))
+    return resized.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("resized_len").alias("total_resized_bytes"),
+        F.sum("checksum").alias("total_checksum"),
+    )
+
+
+@register(
+    "media_feature_extract",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           {", ".join(
+               f"CAST(len(list_filter(range(1, octet_length(encode(text)) + 1), "
+               f"i_ -> ascii(text[i_]) % {N_FEATURES} = {b})) AS BIGINT) AS f{b}"
+               for b in range(N_FEATURES)
+           )}
+    FROM documents
+    """,
+    doc="multimodal feature extraction: numpy byte-histogram head over "
+    "Arrow batches (8 exact integer counts per payload) — the "
+    "embedding-head plumbing with a codec-free deterministic kernel",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(media_table(spark, sf_dir))

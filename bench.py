@@ -80,6 +80,9 @@ HEADLINE = (
     # chunk-level boilerplate dedup + SemDeDup (round-3 additions)
     "doc_chunk_dedup",
     "embedding_semantic_dedup",
+    # multimodal resize + feature-extract (round-3 additions)
+    "media_resize_stats",
+    "media_feature_extract",
 )
 
 

@@ -56,3 +56,50 @@ def test_frames_preserve_every_byte(spark):
     for r in joined:
         assert r.total == r.n
         assert r.max_len <= FRAME_BYTES
+
+
+def test_fake_resize_stride_arithmetic():
+    from algorithmproject_spark_spark.operators.multimodal import (
+        _RESIZE_TARGET,
+        fake_resize,
+    )
+
+    data = bytes(range(256)) * 20  # 5120 bytes, k = 5
+    out = fake_resize(data)
+    assert out == data[::5][:_RESIZE_TARGET]
+    assert len(out) <= _RESIZE_TARGET
+    short = b"abc"
+    assert fake_resize(short) == short  # k=1, shorter than target
+
+
+def test_resize_media_integrity_columns(spark):
+    from algorithmproject_spark_spark.operators.multimodal import (
+        fake_resize,
+        resize_media,
+    )
+
+    media = media_table(spark, SF_DIR).limit(10)
+    rows = resize_media(media).orderBy("doc_id").collect()
+    src = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    assert len(rows) == 10
+    for r in rows:
+        expect = fake_resize(src[r.doc_id])
+        assert bytes(r.resized) == expect
+        assert r.resized_len == len(expect)
+        assert r.checksum == sum(expect)
+
+
+def test_extract_features_counts_every_byte(spark):
+    from algorithmproject_spark_spark.operators.multimodal import (
+        N_FEATURES,
+        extract_features,
+    )
+
+    media = media_table(spark, SF_DIR).limit(10)
+    rows = extract_features(media).collect()
+    src = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for r in rows:
+        counts = [0] * N_FEATURES
+        for b in src[r.doc_id]:
+            counts[b % N_FEATURES] += 1
+        assert [r[f"f{i}"] for i in range(N_FEATURES)] == counts
