@@ -417,10 +417,13 @@ from algorithmproject_spark_spark.operators.annivf import (  # noqa: E402
 # from every document; per-doc text is reassembled in chunk order.
 #
 # Scale shape: tokenize+chunk is map-only; the df count is one shuffle on
-# the chunk string with map-side partial aggregation; the removal is a
-# left_anti equi-join on chunk (NOT a broadcast — the boilerplate set at
-# 100 TB is itself large). Reassembly groups by doc_id with a bounded
-# per-doc buffer. Nothing is quadratic, nothing collects.
+# the chunk string with map-side partial aggregation; the removal is an
+# equi-join on chunk (NOT a broadcast — the boilerplate set at 100 TB is
+# itself large). Reassembly groups by doc_id with a bounded per-doc
+# buffer. Nothing is quadratic, nothing collects. At 100 TB, key the df
+# count and the join on xxhash64(chunk) instead of the raw string
+# (8-byte shuffle keys; ~n²/2⁶⁵ false-boilerplate odds) — the oracle
+# keeps the string key because DuckDB has no xxhash64 twin.
 # --------------------------------------------------------------------------
 CHUNK_W = 8  # tokens per chunk
 CHUNK_BOILER_DF = 2  # distinct-doc frequency at which a chunk is boilerplate
