@@ -460,7 +460,14 @@ CHUNK_BOILER_DF = 2  # distinct-doc frequency at which a chunk is boilerplate
     "chunk relation — one shuffle + one equi-join, linear at any scale",
 )
 def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_dedup(
+    docs: DataFrame, chunk_w: int = CHUNK_W, boiler_df: int = CHUNK_BOILER_DF
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_chunks, n_kept, clean_text) with
+    corpus-frequent chunks removed; see the register() docstring."""
     # The token array is bound through a 1-element transform lambda so the
     # split runs once per row, not once per chunk reference; the slice
     # pass and the concat pass are separate transforms (measured 5×
@@ -474,12 +481,12 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(
                     F.lit(0).cast("long"),
                     F.greatest(
-                        F.ceil(F.size(w) / F.lit(float(CHUNK_W))).cast("long"),
+                        F.ceil(F.size(w) / F.lit(float(chunk_w))).cast("long"),
                         F.lit(1).cast("long"),
                     )
                     - 1,
                 ),
-                lambda i: F.slice(w, (i * CHUNK_W + 1).cast("int"), CHUNK_W),
+                lambda i: F.slice(w, (i * chunk_w + 1).cast("int"), chunk_w),
             ),
         ),
         1,
@@ -493,7 +500,7 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = (
         chunks.groupBy("chunk")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= CHUNK_BOILER_DF)
+        .filter(F.col("df") >= boiler_df)
         .select("chunk")
     )
     marked = chunks.join(boiler.withColumn("__b", F.lit(1)), "chunk", "left")

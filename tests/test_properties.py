@@ -182,3 +182,39 @@ def test_near_dup_twin_partition_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+@given(
+    docs=st.lists(st.lists(token, max_size=10), min_size=1, max_size=8),
+    chunk_w=st.integers(1, 4),
+)
+@SLOW
+def test_chunk_dedup_matches_python_model(spark, docs, chunk_w):
+    from algorithmproject_spark_spark.queries.llmprep import chunk_dedup
+
+    def model():
+        chunked = {}
+        for i, toks in enumerate(docs):
+            n = max(1, -(-len(toks) // chunk_w))
+            chunked[i] = [
+                " ".join(toks[j * chunk_w : (j + 1) * chunk_w]) for j in range(n)
+            ]
+        df_count = {}
+        for i, cs in chunked.items():
+            for c in set(cs):
+                df_count[c] = df_count.get(c, 0) + 1
+        out = {}
+        for i, cs in chunked.items():
+            kept = [c for c in cs if df_count[c] < 2]
+            out[i] = (len(cs), len(kept), " ".join(kept))
+        return out
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+        for r in chunk_dedup(df, chunk_w=chunk_w).collect()
+    }
+    assert got == model()
