@@ -33,17 +33,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters and prunes columns at this boundary, so callers should NOT
     pre-select/pre-filter here (SURVEY.md §4).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw nanos
-    (``nanosAsLong``) and truncate to a micros TimestampType — the same
-    truncation DuckDB applies when materializing TIMESTAMP_NS, so both
-    engines see identical values.
+    ``events.ts`` has shipped in two physical forms across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — read as raw nanos via ``nanosAsLong`` and truncate to
+    micros, matching DuckDB's TIMESTAMP_NS materialization) and plain
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    Normalize both to a session-UTC TimestampType so every downstream
+    query and oracle sees one stable type with identical values.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type != "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -100,3 +100,34 @@ def test_read_sql(spark):
 def test_mongo_raises_without_connector(spark):
     with pytest.raises(NotImplementedError):
         readers.read_mongo(spark, "mongodb://x", "db", "coll")
+
+
+def test_events_ts_normalized_across_physical_forms(spark, io_dir):
+    """events.ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) across testdata generations; load_table must
+    normalize every form to session-UTC TimestampType with identical
+    values (catalog.py)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    vals = [
+        datetime.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        datetime.datetime(2024, 6, 30, 23, 59, 59, 999999),
+    ]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+    }
+    for unit in ("ns", "us"):
+        d = str(io_dir / f"events_{unit}")
+        Path(d).mkdir(parents=True, exist_ok=True)
+        tbl = pa.table({**base, "ts": pa.array(vals, pa.timestamp(unit))})
+        pq.write_table(tbl, f"{d}/events.parquet")
+        df = load_table(spark, d, "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp", unit
+        got = sorted(r.ts for r in df.select("ts").collect())
+        assert got == vals, unit
