@@ -103,3 +103,86 @@ def test_mongo_read_raises_documented_error_without_connector(spark):
 
     with pytest.raises(NotImplementedError, match="snapshot"):
         read_mongo(spark, URI, "articles", "article_info")
+
+
+def test_pyds_batch_reader_partitions_and_determinism(spark):
+    """synthetic_events batch read: planned range partitions land 1:1 as
+    task partitions, and the relation is identical under different
+    partition counts (executor-side generation is a pure function of
+    row index, no partition-dependent state)."""
+    from algorithmproject_spark_spark.sources.pydatasource import register_datasource
+
+    register_datasource(spark)
+
+    def read(nparts):
+        return (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 1000)
+            .option("n_partitions", nparts)
+            .load()
+        )
+
+    df8 = read(8)
+    assert df8.rdd.getNumPartitions() == 8
+    rows8 = sorted(df8.collect())
+    rows3 = sorted(read(3).collect())
+    assert rows8 == rows3
+    assert len(rows8) == 1000
+    first = rows8[0]
+    assert first.event_id == 0 and first.user_id == 0
+    assert str(first.ts) == "2024-01-01 00:00:00"
+
+
+def test_pyds_writer_two_phase_commit(spark, tmp_path):
+    """The jsonlines writer must leave ONLY committed part files — no
+    _attempt leftovers — and the union of files must hold every row."""
+    import json as _json
+
+    from algorithmproject_spark_spark.sources.pydatasource import register_datasource
+
+    register_datasource(spark)
+    out = str(tmp_path / "out")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 100)
+        .option("n_partitions", 4)
+        .load()
+    )
+    df.write.format("synthetic_events").option("path", out).mode("append").save()
+
+    files = sorted(p.name for p in (tmp_path / "out").iterdir())
+    assert files and all(f.startswith("part-") for f in files), files
+    got = []
+    for p in (tmp_path / "out").iterdir():
+        with open(p, encoding="utf-8") as fh:
+            got.extend(_json.loads(line)["event_id"] for line in fh)
+    assert sorted(got) == list(range(100))
+
+
+def test_pyds_stream_reader_microbatches(spark, tmp_path):
+    """Streaming read through the same connector: availableNow-style
+    drain via processAllAvailable, offsets advance by rows_per_batch,
+    and the drained rows equal the batch relation."""
+    from algorithmproject_spark_spark.sources.pydatasource import register_datasource
+
+    register_datasource(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("rows_per_batch", 100)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT count(*) AS n, min(event_id) AS a, max(event_id) AS b FROM pyds_stream").collect()[0]
+    assert (rows.n, rows.a, rows.b) == (500, 0, 499)
