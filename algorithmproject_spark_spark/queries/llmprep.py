@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
+from algorithmproject_spark_spark.functions.numeric import (
+    hash_mod,
+    micros,
+    sql_hash_mod,
+    sql_micros,
+)
 from algorithmproject_spark_spark.functions.text import ngrams, sql_ngrams, tokenize
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -599,4 +604,47 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cell",
         F.when(F.col("__d").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shard + shuffle: the "global shuffle" step of a
+# training-data build. Epoch-order randomization must be reproducible
+# (resume a crashed run, audit which shard held a document) and must
+# never be a global sort of 100 TB: assign shard = hash(key) mod S, and
+# order WITHIN each shard by an independent second hash — one shuffle
+# partitioned by shard, each window sorts ~N/S rows, no global ordering
+# stage. The reference's corpora are emitted in arbitrary scan order
+# (nlp/PrepData.scala writes whatever the RDD yields); this operator is
+# the scale-correct replacement.
+# ---------------------------------------------------------------------------
+
+_SHARDS = 16
+_ORD_MULT = 2246822519  # independent of hash_mod's multiplier
+
+
+@register(
+    "corpus_shard_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_hash_mod('doc_id', _SHARDS)} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY {sql_hash_mod('doc_id', _SHARDS)}
+               ORDER BY ((doc_id % 999983) * {_ORD_MULT}) % 1000000007, doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+    doc="deterministic training shuffle: shard = hash-mod(key), position "
+    "= rank of an independent second hash within the shard — reproducible "
+    "epoch order with one shard-keyed shuffle, never a global sort",
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = hash_mod("doc_id", _SHARDS)
+    ordkey = ((F.col("doc_id") % F.lit(999983)) * F.lit(_ORD_MULT)) % F.lit(1000000007)
+    w = W.partitionBy(shard).orderBy(ordkey, "doc_id")
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )

@@ -83,6 +83,20 @@ HEADLINE = (
     # multimodal resize + feature-extract (round-3 additions)
     "media_resize_stats",
     "media_feature_extract",
+    # round-4: the events family that silently broke when testdata
+    # regenerated (catalog ts fix) — benched so a future drift shows up
+    # as a bench crash, not a quiet gap — plus the remaining join
+    # specials and the Python Data Source connector path
+    "events_json_extract",
+    "events_type_funnel",
+    "window_lag_session_gap",
+    "stream_dedup_batch_twin",
+    "range_join_type_windows",
+    "asof_click_to_view",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "pyds_synthetic_events_agg",
 )
 
 

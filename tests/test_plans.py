@@ -185,3 +185,17 @@ def test_semantic_dedup_pairs_on_cell_key(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_corpus_shard_shuffle_no_global_sort(spark):
+    """The training shuffle must be ONE hash exchange on the shard key
+    with per-partition sorts — a rangepartitioning exchange would mean
+    Catalyst planned a global sort, the exact 100 TB cliff the operator
+    exists to avoid."""
+    import re
+
+    p = plan_of(REGISTRY["corpus_shard_shuffle"].fn(spark, SF))
+    assert "rangepartitioning" not in p.lower()
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "hashpartitioning" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
