@@ -179,3 +179,75 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_sliding_2h_1h",
+    oracle="""
+    SELECT date_trunc('hour', ts) - (o * INTERVAL 1 HOUR) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events, (VALUES (0), (1)) offs(o)
+    GROUP BY 1, 2
+    """,
+    doc="sliding 2h-window/1h-slide event-time agg: each event lands in "
+    "exactly 2 epoch-aligned windows; Spark's window() explodes "
+    "map-side then partial-aggregates, so the shuffle carries groups, "
+    "not the 2x exploded rows",
+)
+def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled_long("value", 100)).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+# Cardinality sketches — the 100 TB path for distinct counts. An exact
+# count(DISTINCT user) shuffles every distinct key; a Datasketches HLL
+# sketch is a fixed-size mergeable state (map-side partials, tiny
+# shuffle) with a published error envelope. The estimate is a
+# deterministic function of the input SET (engine-specific, so not
+# hash-comparable across engines); what IS cross-engine-checkable is
+# the exact count and the claim that the sketch landed inside its
+# envelope — the oracle pins that claim to literal TRUE.
+@register(
+    "events_distinct_users_hll",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS hll_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="HLL sketch cardinality (hll_sketch_agg, lgK=14) vs exact "
+    "distinct per type; returns the exact count plus a sketch-accuracy "
+    "flag the oracle pins to TRUE",
+)
+def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact")) * F.lit(50)
+                <= F.col("n_users_exact")
+            ).alias("hll_within_2pct"),
+        )
+    )

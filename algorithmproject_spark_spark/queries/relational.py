@@ -395,3 +395,81 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+@register(
+    "q10_returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS lost_revenue_cents,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY lost_revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer, "
+    "top 20 — two fact joins, returnflag filter pushed to the lineitem "
+    "scan, scaled-integer revenue",
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(scaled_long(disc_price, 100)).alias("lost_revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("lost_revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_qty_c2
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 9000
+    )
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, big.total_qty_c2
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY big.total_qty_c2 DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: large-volume orders (HAVING over a pre-join "
+    "aggregate) — the agg runs BEFORE the joins so only qualifying "
+    "orders shuffle into the customer join",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(scaled_long("l_quantity", 100)).alias("total_qty_c2"))
+        .filter(F.col("total_qty_c2") > 9000)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty_c2")
+        .orderBy(F.desc("total_qty_c2"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -97,6 +97,13 @@ HEADLINE = (
     "doc_lang_id",
     "doc_fingerprint",
     "pyds_synthetic_events_agg",
+    # round-4 family-widening: sliding windows, HLL sketch cardinality,
+    # deeper TPC-H shapes, deterministic training shuffle
+    "events_sliding_2h_1h",
+    "events_distinct_users_hll",
+    "q10_returned_item_customers",
+    "q18_large_volume_orders",
+    "corpus_shard_shuffle",
 )
 
 
