@@ -104,6 +104,7 @@ HEADLINE = (
     "q10_returned_item_customers",
     "q18_large_volume_orders",
     "corpus_shard_shuffle",
+    "stream_click_attribution_batch_twin",
 )
 
 

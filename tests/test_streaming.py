@@ -266,3 +266,39 @@ def test_streaming_near_dup_filter_across_batches(spark, scratch):
         process_near_dup_batch(spark, batch, state2, out2)
     twin = {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
     assert twin == got
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Watermarked stream-stream click-to-view attribution must equal
+    the batch twin row-for-row (same logical plan, stateful execution;
+    one micro-batch ingests everything so no row is watermark-late)."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.streaming.joins import click_view_attribution
+
+    batch = spark.read.parquet(str(events_dir))
+    expected = sorted(
+        (r.user_id, r.view_id, r.click_id, r.gap_us)
+        for r in click_view_attribution(
+            batch.filter(F.col("event_type") == "view"),
+            batch.filter(F.col("event_type") == "click"),
+        ).collect()
+    )
+    assert expected, "fixture should produce at least one attributed pair"
+
+    stream = stream_read_parquet(spark, str(events_dir), batch.schema)
+    joined = click_view_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    assert joined.isStreaming
+    q = stream_write_memory(joined, "ss_join", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.view_id, r.click_id, r.gap_us)
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected

@@ -38,6 +38,7 @@ QUERIES = (
     "dedup_cluster_reps",
     "doc_benchmark_contamination",
     "doc_chunk_dedup",
+    "corpus_shard_shuffle",
 )
 
 
