@@ -105,6 +105,7 @@ HEADLINE = (
     "q18_large_volume_orders",
     "corpus_shard_shuffle",
     "stream_click_attribution_batch_twin",
+    "orders_quality_report",
 )
 
 
