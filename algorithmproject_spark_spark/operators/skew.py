@@ -107,3 +107,71 @@ def lang_doc_ids_salted(spark: _SS, sf_dir: str) -> _DF:
         ),
         F.size("doc_ids").cast("long").alias("n"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle join: salt the big side, replicate the small.
+
+    AQE's skew-join split (on in `session.py`) handles most hot keys by
+    splitting oversized partitions, but it only kicks in when the probe
+    side is the skewed one and the join is sort-merge. The manual form
+    remains the remedy when the small side is too big to broadcast AND
+    the big side has a hot key: big rows get a deterministic salt in
+    [0, buckets) hashed from their whole row identity, the small side
+    is exploded ``buckets``-fold, and the join key becomes
+    ``(key, salt)`` — the hot key's rows spread across ``buckets``
+    reducers. Replication cost is |small| × buckets, which is the
+    explicit trade against one OOM-ing reducer.
+
+    Join semantics for inner/left are unchanged (each big row matches
+    exactly the one replica carrying its salt). Result column set =
+    big's columns + small's non-key columns.
+    """
+    if how not in ("inner", "left"):
+        raise NotImplementedError("salted_join supports inner/left")
+    salt = F.pmod(F.xxhash64(*big.columns), F.lit(buckets)).alias("__salt")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = b.join(s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+@register(
+    "salted_join_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty_c2
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="lineitem joined to orders through salted_join (8-way salt on "
+    "the big side, replicated small side) then rolled up per priority "
+    "— result provably identical to the plain join, which is the "
+    "oracle",
+)
+def salted_join_order_priority(spark: _SS, sf_dir: str) -> _DF:
+    from algorithmproject_spark_spark.functions.numeric import scaled_long
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "o_orderkey", buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(scaled_long("l_quantity", 100)).alias("qty_c2"),
+    )

@@ -106,6 +106,7 @@ HEADLINE = (
     "corpus_shard_shuffle",
     "stream_click_attribution_batch_twin",
     "orders_quality_report",
+    "salted_join_order_priority",
 )
 
 

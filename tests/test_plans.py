@@ -199,3 +199,48 @@ def test_corpus_shard_shuffle_no_global_sort(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
     assert "hashpartitioning" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q18_aggregates_before_joins(spark):
+    """Q18's HAVING aggregate must run on lineitem BEFORE the
+    orders/customer joins — aggregate-then-join is the shape that keeps
+    only qualifying orders in the join shuffle at scale."""
+    import re
+
+    p = plan_of(REGISTRY["q18_large_volume_orders"].fn(spark, SF))
+    # the lineitem aggregate's output feeds a join build/probe side:
+    # every HashAggregate node id must be smaller (deeper in the tree)
+    # than every join node id in the formatted plan's numbering
+    aggs = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", p, re.M)]
+    joins = [
+        int(m)
+        for m in re.findall(r"^\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p, re.M)
+    ]
+    assert aggs and joins
+    assert min(aggs) < min(joins)
+
+
+def test_stream_attribution_twin_is_hash_join_not_nested_loop(spark):
+    """The interval predicate rides on a user equi-key: Catalyst must
+    plan a hash/sort-merge join with the time bound as a filter — a
+    BroadcastNestedLoopJoin here would be the O(views x clicks) cliff."""
+    p = plan_of(REGISTRY["stream_click_attribution_batch_twin"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """salted_join: result equals the plain join, and the physical join
+    keys include the salt column."""
+    from pyspark.sql import Row
+
+    from algorithmproject_spark_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k=1 if i < 90 else 2, v=i) for i in range(100)]
+    )
+    small = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    out = salted_join(big, small, "k")
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    p = plan_of(salted_join(big, small, "k"))
+    assert "__salt" in p
