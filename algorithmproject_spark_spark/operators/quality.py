@@ -99,3 +99,42 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         referential_report(lineitem, "l_orderkey", orders, "o_orderkey")
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, n_buckets: int
+) -> DataFrame:
+    """``(bucket, n)`` fixed-width histogram of ``col`` over [lo, hi):
+    bucket 0..n_buckets-1, plus -1/n_buckets for under/overflow. One
+    scan, map-side partials — the profiling primitive that costs the
+    same as count(*) no matter how many buckets."""
+    width = (hi - lo) / n_buckets
+    bucket = (
+        F.when(F.col(col) < lo, F.lit(-1))
+        .when(F.col(col) >= hi, F.lit(n_buckets))
+        .otherwise(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)))
+        .cast("bigint")
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN value < 0.0 THEN -1
+                WHEN value >= 1000.0 THEN 20
+                ELSE floor((value - 0.0) / 50.0) END AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="fixed-width 20-bucket histogram of events.value over [0,1000) "
+    "with under/overflow buckets — single-scan numeric profiling",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return fixed_width_histogram(ev, "value", 0.0, 1000.0, 20)

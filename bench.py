@@ -107,6 +107,8 @@ HEADLINE = (
     "stream_click_attribution_batch_twin",
     "orders_quality_report",
     "salted_join_order_priority",
+    "cdc_merge_apply",
+    "events_value_histogram",
 )
 
 
