@@ -251,3 +251,52 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_2pct"),
         )
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events GROUP BY event_type
+    ),
+    dense AS (
+        SELECT b.event_type, gs.h AS hour
+        FROM bounds b, LATERAL (
+            SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        ) gs
+    ),
+    agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.hour, coalesce(a.n, 0) AS n
+    FROM dense d LEFT JOIN agg a
+      ON a.event_type = d.event_type AND a.hour = d.hour
+    """,
+    doc="time-series resample with gap fill: dense per-type hourly grid "
+    "(sequence+explode bounded by the type's own time span) left-joined "
+    "to the hourly counts, zeros for silent hours — the hypertable-"
+    "rollup companion for charts/anomaly detection that need explicit "
+    "empty buckets",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    dense = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return dense.join(agg, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n")
+    )

@@ -136,3 +136,43 @@ def window_lag_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (micros_ts - F.lag(micros_ts).over(w)).alias("gap_us"),
     )
+
+
+@register(
+    "window_ntile_price_quartiles",
+    oracle="""
+    WITH q AS (
+        SELECT c.c_mktsegment,
+               ntile(4) OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice, o.o_orderkey) AS quartile,
+               o.o_totalprice
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           quartile,
+           count(*) AS n,
+           CAST(min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM q GROUP BY 1, 2
+    """,
+    doc="ntile(4) price quartiles per market segment (deterministic "
+    "tie-break on orderkey) rolled up to quartile boundaries — the "
+    "banding window the reference approximates with per-class "
+    "filter+limit passes",
+)
+def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    q = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_totalprice", "o_orderkey")
+        .withColumn("quartile", F.ntile(4).over(w))
+    )
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(scaled_long("o_totalprice", 100)).alias("min_cents"),
+        F.max(scaled_long("o_totalprice", 100)).alias("max_cents"),
+    )

@@ -109,6 +109,8 @@ HEADLINE = (
     "salted_join_order_priority",
     "cdc_merge_apply",
     "events_value_histogram",
+    "events_hourly_gapfill",
+    "window_ntile_price_quartiles",
 )
 
 
