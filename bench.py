@@ -111,6 +111,7 @@ HEADLINE = (
     "events_value_histogram",
     "events_hourly_gapfill",
     "window_ntile_price_quartiles",
+    "grouped_agg_weighted_median",
 )
 
 
