@@ -176,3 +176,37 @@ def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(scaled_long("o_totalprice", 100)).alias("min_cents"),
         F.max(scaled_long("o_totalprice", 100)).alias("max_cents"),
     )
+
+
+@register(
+    "window_rank_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           CAST(floor(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT)
+               AS pct_rank_e6,
+           CAST(floor(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT)
+               AS cume_e6,
+           first_value(o_orderkey) OVER w AS first_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="ranking-function battery per status partition: rank, "
+    "dense_rank, percent_rank, cume_dist (scaled to exact integers), "
+    "first_value — deterministic tie-break on orderkey",
+)
+def window_rank_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        scaled_long(F.percent_rank().over(w), 1000000).alias("pct_rank_e6"),
+        scaled_long(F.cume_dist().over(w), 1000000).alias("cume_e6"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+    )

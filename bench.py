@@ -112,6 +112,7 @@ HEADLINE = (
     "events_hourly_gapfill",
     "window_ntile_price_quartiles",
     "grouped_agg_weighted_median",
+    "window_rank_distribution_funcs",
 )
 
 
