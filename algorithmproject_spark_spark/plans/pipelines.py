@@ -27,6 +27,14 @@ from algorithmproject_spark_spark.functions.text import (
     stopword_array,
     tokenize,
 )
+from algorithmproject_spark_spark.functions.htmlops import (
+    html_to_text,
+    sql_html_to_text,
+    sql_tag_entity_words,
+    tag_entity_words,
+)
+from algorithmproject_spark_spark.functions.numeric import hash_mod, sql_hash_mod
+from algorithmproject_spark_spark.operators.core import dedup_exact
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.queries.dedup import (
     JACCARD_THRESHOLD_E6,
@@ -293,3 +301,94 @@ def corpus_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.1 flagship composite: article ingest → dedup → clean → entity-tag →
+# external-dup anti-join → per-class quota. The reference runs this as
+# ArticleInfoProcess.scala:38-220 with seven writes and three
+# dropDuplicates triggering separate jobs; here the whole flow is ONE
+# Catalyst plan (each stage a narrow projection or a single keyed
+# shuffle), so AQE sizes every exchange and nothing materializes
+# mid-pipeline.
+# ---------------------------------------------------------------------------
+
+ENTITY_WORDS = ("spark", "join", "window")
+_TAG_OVERHEAD = len('<i class="apus-entity-words">') + len("</i>")  # 33
+_EXT_DUP_MOD, _EXT_DUP_SLOT = 50, 7
+_CLASS_QUOTA = 60
+
+
+@register(
+    "article_tagging_pipeline",
+    oracle=f"""
+    WITH dedup AS (
+        SELECT min(doc_id) AS doc_id, text, lang
+        FROM (SELECT doc_id, text, lang,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+              FROM documents)
+        WHERE rk = 1 GROUP BY text, lang
+    ),
+    cleaned AS (
+        SELECT doc_id, lang,
+               {sql_html_to_text("'<html><body><p>' || text || '</p><!-- c --></body></html>'")} AS content
+        FROM dedup
+    ),
+    tagged AS (
+        SELECT doc_id, lang, content,
+               {sql_tag_entity_words("content", "['spark', 'join', 'window']")} AS tagged
+        FROM cleaned
+    ),
+    survivors AS (
+        SELECT t.* FROM tagged t
+        WHERE {sql_hash_mod('t.doc_id', _EXT_DUP_MOD)} <> {_EXT_DUP_SLOT}
+    ),
+    quota AS (
+        SELECT doc_id, lang,
+               CAST((length(tagged) - length(content)) / {_TAG_OVERHEAD} AS BIGINT)
+                   AS n_tagged,
+               md5(content) AS fingerprint,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS cls_rank
+        FROM survivors
+    )
+    SELECT doc_id, lang, n_tagged, fingerprint, cls_rank
+    FROM quota WHERE cls_rank <= {_CLASS_QUOTA}
+    """,
+    doc="SURVEY §3.1 flagship composite as one Catalyst plan: exact "
+    "dedup (deterministic survivor) -> synthetic-HTML strip -> "
+    "entity-word tagging (ArticleInfoProcess markup) -> external-dup "
+    "anti-join (hash-mod stand-in for the exported dup list) -> "
+    "per-class quota with rank; tag count recovered exactly from the "
+    "fixed 33-char markup overhead",
+)
+def article_tagging_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d1 = dedup_exact(
+        docs.select("doc_id", "text", "lang"), ["text"], keep_min_of="doc_id"
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p><!-- c --></body></html>")
+    )
+    cleaned = d1.select(
+        "doc_id", "lang", html_to_text(html).alias("content")
+    )
+    tagged = cleaned.withColumn(
+        "tagged",
+        tag_entity_words(
+            F.col("content"), F.array(*[F.lit(w) for w in ENTITY_WORDS])
+        ),
+    )
+    survivors = tagged.filter(
+        hash_mod("doc_id", _EXT_DUP_MOD) != F.lit(_EXT_DUP_SLOT)
+    )
+    w = W.partitionBy("lang").orderBy("doc_id")
+    quota = survivors.select(
+        "doc_id",
+        "lang",
+        (
+            (F.length("tagged") - F.length("content")) / F.lit(_TAG_OVERHEAD)
+        ).cast("bigint").alias("n_tagged"),
+        F.md5(F.col("content").cast("binary")).alias("fingerprint"),
+        F.row_number().over(w).alias("cls_rank"),
+    )
+    return quota.filter(F.col("cls_rank") <= _CLASS_QUOTA)

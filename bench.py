@@ -113,6 +113,7 @@ HEADLINE = (
     "window_ntile_price_quartiles",
     "grouped_agg_weighted_median",
     "window_rank_distribution_funcs",
+    "article_tagging_pipeline",
 )
 
 
