@@ -20,7 +20,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from algorithmproject_spark_spark.functions.text import sql_stopword_list
 from algorithmproject_spark_spark.ml import rake, textrank
@@ -244,4 +244,108 @@ def label_combine_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("combined_e6"),
         F.col("t_term").isNotNull().alias("from_tfidf"),
         F.col("r_term").isNotNull().alias("from_rake"),
+    )
+
+
+# §3.2 composite: the app/user label pipeline end-to-end. The reference
+# runs it as four drivers with parquet hops (AppsTextTokensDriver →
+# AppsLabelCalcCombine → LabelCombine → UserTextLabelCalc.run's
+# broadcast app→labels map + per-user bag + normalized tf·idf top-200);
+# here: combined doc labels (T8+T11 via T12) → deterministic user-doc
+# interaction mapping (events, event_id mod corpus size — the stand-in
+# for the reference's pagename join) → per-user term bags → per-user
+# min-max normalization in exact integer arithmetic → top-3 tags.
+_USER_LABEL_TOPK = 3
+
+
+@register(
+    "user_label_pipeline",
+    oracle=f"""
+    WITH rk AS ({_RAKE_ORACLE.replace("rank <= 10", "rank <= 10 AND len(string_split(phrase, ' ')) = 1")}),
+    {_TFIDF_CTE.format(stoplist=sql_stopword_list())},
+    labels AS (
+        SELECT COALESCE(t.doc_id, r.doc_id) AS doc_id,
+               COALESCE(t.word, r.phrase) AS term,
+               COALESCE(t.score_e6, 0) + COALESCE(r.score_e6, 0) AS combined_e6
+        FROM tfidf t
+        FULL OUTER JOIN rk r ON t.doc_id = r.doc_id AND t.word = r.phrase
+    ),
+    nd AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+    inter AS (
+        SELECT DISTINCT e.user_id, e.event_id % nd.n_docs AS doc_id
+        FROM events e CROSS JOIN nd
+    ),
+    bags AS (
+        SELECT i.user_id, l.term,
+               CAST(sum(l.combined_e6) AS BIGINT) AS score_e6
+        FROM inter i JOIN labels l ON l.doc_id = i.doc_id
+        GROUP BY i.user_id, l.term
+    ),
+    norm AS (
+        SELECT user_id, term, score_e6,
+               min(score_e6) OVER (PARTITION BY user_id) AS lo,
+               max(score_e6) OVER (PARTITION BY user_id) AS hi
+        FROM bags
+    )
+    SELECT user_id, term,
+           CAST(CASE WHEN hi = lo THEN 1000000
+                ELSE floor((score_e6 - lo) * 1000000.0 / (hi - lo)) END
+                AS BIGINT) AS norm_e6,
+           rk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY score_e6 DESC, term) AS rk
+          FROM norm)
+    WHERE rk <= {_USER_LABEL_TOPK}
+    """,
+    doc="SURVEY §3.2 composite: combined doc labels -> user-doc "
+    "interaction join -> per-user term bags -> exact integer min-max "
+    "normalization -> top-3 user tags, one Catalyst plan replacing the "
+    "reference's four drivers with parquet hops",
+)
+def user_label_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = label_combine_keywords(spark, sf_dir).select(
+        "doc_id", "term", "combined_e6"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    inter = (
+        ev.crossJoin(F.broadcast(n_docs))
+        .select("user_id", (F.col("event_id") % F.col("n_docs")).alias("doc_id"))
+        .distinct()
+    )
+    bags = (
+        inter.join(labels, "doc_id")
+        .groupBy("user_id", "term")
+        .agg(F.sum("combined_e6").alias("score_e6"))
+    )
+    wu = W.partitionBy("user_id")
+    norm = bags.select(
+        "user_id",
+        "term",
+        "score_e6",
+        F.min("score_e6").over(wu).alias("lo"),
+        F.max("score_e6").over(wu).alias("hi"),
+    )
+    ranked = norm.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.desc("score_e6"), F.asc("term"))
+        ),
+    ).filter(F.col("rk") <= _USER_LABEL_TOPK)
+    return ranked.select(
+        "user_id",
+        "term",
+        F.when(F.col("hi") == F.col("lo"), F.lit(1000000))
+        .otherwise(
+            F.floor(
+                (F.col("score_e6") - F.col("lo"))
+                * F.lit(1000000.0)
+                / (F.col("hi") - F.col("lo"))
+            )
+        )
+        .cast("bigint")
+        .alias("norm_e6"),
+        "rk",
     )

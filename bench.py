@@ -114,6 +114,7 @@ HEADLINE = (
     "grouped_agg_weighted_median",
     "window_rank_distribution_funcs",
     "article_tagging_pipeline",
+    "user_label_pipeline",
 )
 
 

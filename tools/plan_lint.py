@@ -51,6 +51,7 @@ ARROW_KERNELS = {
     "lda_corpus_uci",
     "curation_pipeline",        # includes the RAKE stage
     "label_combine_keywords",   # inherits the RAKE kernel via rake_topk
+    "user_label_pipeline",      # same inheritance (label combine stage)
 }
 
 # Queries allowed a rangepartitioning exchange. Every plain ORDER BY in
@@ -72,6 +73,7 @@ NESTED_LOOP_OK: set[str] = {
     "tfidf_hashed_top_terms", # text.py:303 — the r1-mandated pattern
     "user_tag_tfidf_norm",    # same: broadcast 1-row n_users agg
     "label_combine_keywords", # inherits tfidf_top_terms's 1-row cross
+    "user_label_pipeline",    # that same cross + its own 1-row n_docs
     "knn_bruteforce_cosine",  # 15-query literal set × corpus — the
                               # exact-baseline semantics; corpus side
                               # streams, build side is 15 rows
