@@ -218,3 +218,70 @@ def test_chunk_dedup_matches_python_model(spark, docs, chunk_w):
         for r in chunk_dedup(df, chunk_w=chunk_w).collect()
     }
     assert got == model()
+
+
+@given(
+    snap=st.dictionaries(st.integers(0, 20), st.integers(0, 99), max_size=12),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 20),                    # key
+            st.sampled_from(["I", "U", "D"]),      # op
+            st.integers(0, 99),                    # value
+        ),
+        max_size=15,
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cdc_apply_matches_python_fold(spark, snap, changes):
+    """cdc_apply == the obvious sequential fold: apply changes in seq
+    order to a dict (D deletes, I/U upsert)."""
+    from pyspark.sql import Row
+
+    from algorithmproject_spark_spark.operators.cdc import cdc_apply
+
+    expected = dict(snap)
+    for _, (k, op, v) in sorted(enumerate(changes), key=lambda t: t[0]):
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    snap_df = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in snap.items()] or [Row(k=0, v=0)]
+    )
+    if not snap:
+        snap_df = snap_df.filter(F.lit(False))
+    chg_df = spark.createDataFrame(
+        [Row(k=k, op=op, v=v, seq=i) for i, (k, op, v) in enumerate(changes)]
+        or [Row(k=0, op="U", v=0, seq=0)]
+    )
+    if not changes:
+        chg_df = chg_df.filter(F.lit(False))
+    got = {r.k: r.v for r in cdc_apply(snap_df, chg_df, "k").collect()}
+    assert got == expected
+
+
+@given(
+    big=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)), max_size=40),
+    small=st.dictionaries(st.integers(0, 5), st.text("ab", max_size=2), max_size=6),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_join_equals_plain_join(spark, big, small, how):
+    from pyspark.sql import Row
+
+    from algorithmproject_spark_spark.operators.skew import salted_join
+
+    big_df = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in big] or [Row(k=0, v=0)]
+    )
+    if not big:
+        big_df = big_df.filter(F.lit(False))
+    small_df = spark.createDataFrame(
+        [Row(k=k, name=n) for k, n in small.items()] or [Row(k=0, name="x")]
+    )
+    if not small:
+        small_df = small_df.filter(F.lit(False))
+    got = sorted(map(tuple, salted_join(big_df, small_df, "k", buckets=3, how=how).collect()))
+    want = sorted(map(tuple, big_df.join(small_df, "k", how).collect()))
+    assert got == want
