@@ -329,3 +329,79 @@ def _install_cluster_oracle() -> None:
 
 
 _install_cluster_oracle()
+
+
+# Inverted-index n-gram Jaccard — the EXACT candidate generator, the
+# deterministic alternative to MinHash banding. Build the shingle
+# posting list, keep only rare shingles (2 <= df <= MAX_POSTING_DF),
+# self-join postings on the shingle — candidate cost is Σ df² over
+# rare shingles, capped at MAX_POSTING_DF × postings — then run the
+# same exact-rational Jaccard verify as the LSH path. Recall contract
+# (documented, not probabilistic): a near-dup pair is found iff it
+# shares at least one rare shingle; boilerplate-free near-dups always
+# do, while MinHash-LSH covers the corpus-wide-common-shingle corner
+# with uniform probabilistic recall. Running both and unioning is the
+# belt-and-braces production setup.
+MAX_POSTING_DF = 10
+
+
+@register(
+    "ngram_jaccard_index_pairs",
+    oracle=f"""
+    WITH sh AS ({_sql_shingle_hashes()}),
+    posts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    rare AS (
+        SELECT g FROM posts GROUP BY g
+        HAVING count(*) BETWEEN 2 AND {MAX_POSTING_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM posts a
+        JOIN rare r ON r.g = a.g
+        JOIN posts b ON b.g = a.g AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(x.sh, y.sh)) AS n_common,
+           len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS n_union
+    FROM cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id
+    WHERE len(list_intersect(x.sh, y.sh)) * 2
+          >= (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+    """,
+    doc="exact n-gram Jaccard near-dup pairs via a rare-shingle "
+    "inverted-index posting join (df-capped, deterministic recall "
+    "contract) — the non-probabilistic sibling of the MinHash-LSH path",
+)
+def ngram_jaccard_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_hashes(spark, sf_dir)
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_POSTING_DF))
+        .select("g")
+    )
+    rare_posts = posts.join(rare, "g")
+    cand = (
+        rare_posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(x, "doc_a").join(y, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("n_common"),
+        union.alias("n_union"),
+    ).filter(F.col("n_common") * 2 >= F.col("n_union"))

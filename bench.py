@@ -115,6 +115,7 @@ HEADLINE = (
     "window_rank_distribution_funcs",
     "article_tagging_pipeline",
     "user_label_pipeline",
+    "ngram_jaccard_index_pairs",
 )
 
 
