@@ -39,6 +39,7 @@ QUERIES = (
     "doc_benchmark_contamination",
     "doc_chunk_dedup",
     "corpus_shard_shuffle",
+    "ngram_jaccard_index_pairs",
 )
 
 
