@@ -473,3 +473,63 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty_c2"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(floor((l_extendedprice * l_discount) * 10000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS revenue_e4,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: single-scan forecast-revenue aggregate — every "
+    "predicate pushes to the parquet scan, zero shuffles past the "
+    "2-column partial agg",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    flt = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return flt.agg(
+        F.sum(scaled_long(rev, 10000)).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q4_priority_with_big_lines",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS as a native left-semi join (orders with "
+    "at least one 45+-quantity line, counted per priority) — the "
+    "correlated subquery compiles to one keyed semi-join shuffle",
+)
+def q4_priority_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(big, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

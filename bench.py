@@ -116,6 +116,8 @@ HEADLINE = (
     "article_tagging_pipeline",
     "user_label_pipeline",
     "ngram_jaccard_index_pairs",
+    "q6_forecast_revenue",
+    "q4_priority_with_big_lines",
 )
 
 

@@ -244,3 +244,20 @@ def test_salted_join_spreads_hot_key(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
     p = plan_of(salted_join(big, small, "k"))
     assert "__salt" in p
+
+
+def test_q6_predicates_push_to_scan(spark):
+    """Q6: every predicate must reach the parquet scan as a pushed
+    filter, and the read schema must be the 4 referenced columns."""
+    p = plan_of(REGISTRY["q6_forecast_revenue"].fn(spark, SF))
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q4_exists_is_semi_join(spark):
+    p = plan_of(REGISTRY["q4_priority_with_big_lines"].fn(spark, SF))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
