@@ -98,16 +98,55 @@ class _RangePartition(InputPartition):
 
 
 class SyntheticEventsReader(DataSourceReader):
+    """Range reader with connector-side filter pushdown: event_id
+    comparisons narrow the generated [lo, hi) BEFORE partition
+    planning, so filtered reads plan fewer/smaller partitions — the
+    same contract a Mongo/JDBC reader honors by turning pushed filters
+    into server-side query predicates."""
+
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 10_000))
         self.n_partitions = int(options.get("n_partitions", 8))
+        self.lo = 0
+        self.hi = self.n_rows
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            # filters without a literal (IsNotNull, ...) fall through
+            if col == "event_id" and isinstance(getattr(f, "value", None), int):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            yield f  # unsupported → Spark re-applies it post-scan
 
     def partitions(self):
-        step = max(1, -(-self.n_rows // self.n_partitions))
+        lo, hi = self.lo, max(self.lo, self.hi)
+        step = max(1, -(-(hi - lo) // self.n_partitions)) if hi > lo else 1
         return [
-            _RangePartition(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
-        ]
+            _RangePartition(a, min(a + step, hi)) for a in range(lo, hi, step)
+        ] or [_RangePartition(lo, lo)]
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
@@ -214,6 +253,12 @@ class SyntheticEventsDataSource(DataSource):
 
 
 def register_datasource(spark) -> None:
+    # The reader implements pushFilters(); Spark refuses to initialize
+    # such a reader unless python filter pushdown is enabled, so the
+    # registration helper turns it on (runtime SQL conf) — REQUIRED for
+    # vanilla sessions (the external driver's) that lack session.py
+    # defaults.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
 
 

@@ -186,3 +186,38 @@ def test_pyds_stream_reader_microbatches(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT count(*) AS n, min(event_id) AS a, max(event_id) AS b FROM pyds_stream").collect()[0]
     assert (rows.n, rows.a, rows.b) == (500, 0, 499)
+
+
+def test_pyds_filter_pushdown_narrows_partitions(spark):
+    """event_id range predicates must reach the reader and shrink the
+    planned row range — correctness identical either way, but the
+    pushed path generates only the matching slice."""
+    from algorithmproject_spark_spark.sources.pydatasource import (
+        SyntheticEventsReader,
+        register_datasource,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    # unit level: the reader consumes supported filters and narrows
+    r = SyntheticEventsReader({"n_rows": "10000", "n_partitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("event_id",), 9000), LessThan(("event_id",), 9500)]
+        )
+    )
+    assert leftover == []
+    assert (r.lo, r.hi) == (9000, 9500)
+    spans = [(p.start, p.end) for p in r.partitions()]
+    assert spans[0][0] == 9000 and spans[-1][1] == 9500
+    assert sum(e - s for s, e in spans) == 500
+
+    # end to end: filtered read returns exactly the slice
+    register_datasource(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 10000)
+        .load()
+        .filter("event_id >= 9000 AND event_id < 9500")
+    )
+    got = df.agg({"event_id": "min"}).collect()[0][0], df.count()
+    assert got == (9000, 500)
