@@ -118,6 +118,7 @@ HEADLINE = (
     "ngram_jaccard_index_pairs",
     "q6_forecast_revenue",
     "q4_priority_with_big_lines",
+    "words_countmin_estimates",
 )
 
 
