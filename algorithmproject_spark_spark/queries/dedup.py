@@ -383,10 +383,16 @@ def ngram_jaccard_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     rare_posts = posts.join(rare, "g")
+    # Both sides of the candidate self-join are restricted to rare
+    # shingles: a.g == b.g and a.g is rare implies b.g is rare, so
+    # joining rare_posts to rare_posts is semantically identical to
+    # joining against the full posting table while shuffling only the
+    # df-capped subset on BOTH sides — at 100 TB the b-side shuffle of
+    # the unfiltered posting relation would dominate this query's cost.
     cand = (
         rare_posts.alias("a")
         .join(
-            posts.alias("b"),
+            rare_posts.alias("b"),
             (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -261,3 +261,15 @@ def test_q4_exists_is_semi_join(spark):
     p = plan_of(REGISTRY["q4_priority_with_big_lines"].fn(spark, SF))
     assert "LeftSemi" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_ngram_jaccard_filters_both_posting_sides(spark):
+    """The rare-shingle (df-capped) filter must reach BOTH children of
+    the candidate self-join: a.g == b.g with a.g rare implies b.g rare,
+    so shuffling the unfiltered posting table on the b-side is pure
+    waste — at 100 TB it would dominate the query."""
+    import re
+
+    df = REGISTRY["ngram_jaccard_index_pairs"].fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"df#\d+L? >= 2", opt)) >= 2
