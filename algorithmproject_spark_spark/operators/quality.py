@@ -17,6 +17,8 @@ processing); this operator is the reusable, testable form.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from algorithmproject_spark_spark.registry import register
@@ -26,7 +28,16 @@ from algorithmproject_spark_spark.sources.catalog import load_table
 def expectation_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """One row per rule: ``(rule, n_violations)``. ``rules`` maps rule
     name -> boolean Column that is TRUE when the row VIOLATES the rule.
-    All rules evaluate in one aggregate over one scan."""
+    All rules evaluate in one aggregate over one scan.
+
+    Rule names become column aliases and are interpolated into the
+    ``stack()`` selectExpr, so they must be plain identifiers — a name
+    with a quote/space/colon would break the expression at runtime."""
+    bad = [n for n in rules if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+    if bad:
+        raise ValueError(
+            f"rule names must match [A-Za-z_][A-Za-z0-9_]*, got: {bad}"
+        )
     aggs = [
         F.count(F.when(cond, 1)).alias(name) for name, cond in rules.items()
     ]

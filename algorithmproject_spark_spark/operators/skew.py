@@ -122,12 +122,21 @@ def salted_join(
     splitting oversized partitions, but it only kicks in when the probe
     side is the skewed one and the join is sort-merge. The manual form
     remains the remedy when the small side is too big to broadcast AND
-    the big side has a hot key: big rows get a deterministic salt in
-    [0, buckets) hashed from their whole row identity, the small side
-    is exploded ``buckets``-fold, and the join key becomes
-    ``(key, salt)`` — the hot key's rows spread across ``buckets``
-    reducers. Replication cost is |small| × buckets, which is the
+    the big side has a hot key: big rows get a salt in [0, buckets)
+    mixing the row-content hash with a positional component
+    (``monotonically_increasing_id``, which encodes partition id +
+    offset), the small side is exploded ``buckets``-fold, and the join
+    key becomes ``(key, salt)`` — the hot key's rows spread across
+    ``buckets`` reducers. The positional mix-in matters for the common
+    log-data case where a hot key's rows are byte-identical duplicates:
+    a content-only hash would send them all to ONE salt bucket, spreading
+    nothing. Replication cost is |small| × buckets, which is the
     explicit trade against one OOM-ing reducer.
+
+    The salt is not stable across recomputes (positional), which is
+    safe here: every salt value joins the one small-side replica
+    carrying that salt, so the JOIN RESULT is salt-independent even if
+    a retried task re-salts its rows differently.
 
     Join semantics for inner/left are unchanged (each big row matches
     exactly the one replica carrying its salt). Result column set =
@@ -135,7 +144,13 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise NotImplementedError("salted_join supports inner/left")
-    salt = F.pmod(F.xxhash64(*big.columns), F.lit(buckets)).alias("__salt")
+    # pmod each term before summing: ANSI mode is on, and raw
+    # xxhash64 + monotonically_increasing_id could overflow BIGINT
+    salt = F.pmod(
+        F.pmod(F.xxhash64(*big.columns), F.lit(buckets))
+        + F.pmod(F.monotonically_increasing_id(), F.lit(buckets)),
+        F.lit(buckets),
+    ).alias("__salt")
     b = big.withColumn("__salt", salt)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

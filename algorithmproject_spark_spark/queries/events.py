@@ -226,13 +226,16 @@ def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(DISTINCT user_id) AS n_users_exact,
-           TRUE AS hll_within_2pct
+           TRUE AS hll_within_5pct
     FROM events
     GROUP BY event_type
     """,
     doc="HLL sketch cardinality (hll_sketch_agg, lgK=14) vs exact "
     "distinct per type; returns the exact count plus a sketch-accuracy "
-    "flag the oracle pins to TRUE",
+    "flag the oracle pins to TRUE. The asserted envelope is 5% — ~6 "
+    "sigma at lgK=14's ~0.8% RSE — so a driver testdata regeneration "
+    "with much higher distinct cardinality cannot fail the gate on an "
+    "ordinary sketch excursion",
 )
 def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -246,9 +249,9 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_users_exact",
             (
-                F.abs(F.col("est") - F.col("n_users_exact")) * F.lit(50)
+                F.abs(F.col("est") - F.col("n_users_exact")) * F.lit(20)
                 <= F.col("n_users_exact")
-            ).alias("hll_within_2pct"),
+            ).alias("hll_within_5pct"),
         )
     )
 

@@ -25,6 +25,7 @@ unchanged.
 from __future__ import annotations
 
 import datetime
+import glob
 import json
 import os
 from dataclasses import dataclass
@@ -119,10 +120,17 @@ class SyntheticEventsReader(DataSourceReader):
             LessThanOrEqual,
         )
 
+        # Eager accumulation, NOT a generator: the narrowing side
+        # effects must run before Spark calls partitions(), and a
+        # returned list guarantees that regardless of when (or whether)
+        # the engine consumes the unsupported-filter iterator.
+        unsupported = []
         for f in filters:
             col = f.attribute[0] if getattr(f, "attribute", None) else None
-            # filters without a literal (IsNotNull, ...) fall through
-            if col == "event_id" and isinstance(getattr(f, "value", None), int):
+            # filters without an int literal (IsNotNull, ...) fall
+            # through; type() is int excludes bool (a bool IS an int to
+            # isinstance, but True/False are not row-range bounds)
+            if col == "event_id" and type(getattr(f, "value", None)) is int:
                 if isinstance(f, GreaterThanOrEqual):
                     self.lo = max(self.lo, f.value)
                     continue
@@ -139,7 +147,8 @@ class SyntheticEventsReader(DataSourceReader):
                     self.lo = max(self.lo, f.value)
                     self.hi = min(self.hi, f.value + 1)
                     continue
-            yield f  # unsupported → Spark re-applies it post-scan
+            unsupported.append(f)  # Spark re-applies these post-scan
+        return unsupported
 
     def partitions(self):
         lo, hi = self.lo, max(self.lo, self.hi)
@@ -193,6 +202,7 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 @dataclass
 class _JsonCommit(WriterCommitMessage):
     path: str
+    part: int
     rows: int
 
 
@@ -214,24 +224,40 @@ class JsonLinesWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         part = ctx.partitionId() if ctx is not None else 0
-        attempt = os.path.join(self.path, f"_attempt-part-{part:05d}.jsonl")
+        # Attempt files are keyed by (partition, taskAttemptId): a
+        # retried or speculative attempt writes its OWN file, so
+        # concurrent attempts never interleave into one path. Only the
+        # winning attempt's message reaches commit(); losers' files are
+        # swept by the glob in commit()/abort().
+        attempt_id = ctx.taskAttemptId() if ctx is not None else 0
+        attempt = os.path.join(
+            self.path, f"_attempt-part-{part:05d}-{attempt_id}.jsonl"
+        )
         os.makedirs(self.path, exist_ok=True)
         n = 0
         with open(attempt, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
-        return _JsonCommit(path=attempt, rows=n)
+        return _JsonCommit(path=attempt, part=part, rows=n)
+
+    def _sweep_strays(self):
+        # Failed/zombie attempts return no commit message, so their
+        # files are invisible to the messages list — remove by glob.
+        for stray in glob.glob(os.path.join(self.path, "_attempt-*")):
+            try:
+                os.remove(stray)
+            except OSError:
+                pass
 
     def commit(self, messages):
         for m in messages:
-            final = m.path.replace("_attempt-", "part-")
+            final = os.path.join(self.path, f"part-{m.part:05d}.jsonl")
             os.replace(m.path, final)
+        self._sweep_strays()
 
     def abort(self, messages):
-        for m in messages:
-            if m.path and os.path.exists(m.path):
-                os.remove(m.path)
+        self._sweep_strays()
 
 
 class SyntheticEventsDataSource(DataSource):
