@@ -46,12 +46,42 @@ NPROBE = 2
 DIM = 64
 N_QUERIES = 5
 TOP_K = 3
+# production sizing target: with n_cells = ceil(n / TARGET_CELL_SIZE)
+# the within-cell join stays O(n · TARGET_CELL_SIZE) as the corpus grows
+TARGET_CELL_SIZE = 256
 
+# Centroids are drawn lazily from one seeded stream (same scheme as
+# annlsh._nd_planes): centroid i is the i-th 64-float tuple of
+# Random(13), whatever k a corpus needs — the first K_CELLS draws are
+# the registered queries' pinned centroid set by construction, so the
+# static DuckDB oracles stay valid while callers scale k freely.
 _rng = random.Random(13)
-CENTROIDS: tuple[tuple[float, ...], ...] = tuple(
-    tuple(round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM))
-    for _ in range(K_CELLS)
-)
+_cent_pool: list[tuple[float, ...]] = []
+
+
+def centroids_for(k: int) -> tuple[tuple[float, ...], ...]:
+    while len(_cent_pool) < k:
+        _cent_pool.append(
+            tuple(round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM))
+        )
+    return tuple(_cent_pool[:k])
+
+
+def cells_for(n_vectors: int, target_cell_size: int = TARGET_CELL_SIZE) -> int:
+    """Cell count that keeps expected cell size ~constant as n grows.
+
+    The mirror of ``annlsh.planes_per_band_for``: with
+    k = ceil(n / target), per-cell membership stays O(target) and the
+    within-cell candidate join O(n · target) — linear in the corpus —
+    instead of the O(n²/k) blow-up a pinned k suffers. Production
+    callers pass ``n_vectors`` from a catalog rowcount estimate (never
+    a plan-building ``count()`` action); the registered sf-pinned
+    queries keep their fixed K for oracle stability.
+    """
+    return max(1, math.ceil(max(1, n_vectors) / max(1, target_cell_size)))
+
+
+CENTROIDS: tuple[tuple[float, ...], ...] = centroids_for(K_CELLS)
 
 
 def _l2sq(v: Column, centroid: tuple[float, ...]) -> Column:
@@ -75,9 +105,9 @@ def _sql_l2sq(emb: str, centroid: tuple[float, ...]) -> str:
     )
 
 
-def _enc_array(emb: Column) -> Column:
-    """array of BIGINT encodings dist_e6 * K + cell, one per centroid.
-    dist ≤ 4·DIM → dist_e6·K < 2^31·... stays far inside BIGINT.
+def _enc_array(emb: Column, k: int = K_CELLS) -> Column:
+    """array of BIGINT encodings dist_e6 * k + cell, one per centroid.
+    dist ≤ 4·DIM → dist_e6·k < 2^31·... stays far inside BIGINT.
 
     The widened vector is bound through a 1-element ``transform`` lambda
     so the 64-cast ``to_double`` runs once, not once per centroid fold
@@ -88,8 +118,8 @@ def _enc_array(emb: Column) -> Column:
             F.array(to_double(emb)),
             lambda v: F.array(
                 *[
-                    micros(_l2sq(v, c)) * F.lit(K_CELLS) + F.lit(i)
-                    for i, c in enumerate(CENTROIDS)
+                    micros(_l2sq(v, c)) * F.lit(k) + F.lit(i)
+                    for i, c in enumerate(centroids_for(k))
                 ]
             ),
         ),
@@ -105,28 +135,29 @@ def _sql_enc_array(emb: str) -> str:
     return f"[{parts}]"
 
 
-def cell_col(emb: Column) -> Column:
-    """Nearest-centroid cell id (exact integer argmin)."""
-    return (F.array_min(_enc_array(emb)) % K_CELLS).cast("int")
+def cell_col(emb: Column, k: int = K_CELLS) -> Column:
+    """Nearest-centroid cell id (exact integer argmin). Pass
+    ``k=cells_for(n_vectors)`` to keep cell sizes bounded at scale."""
+    return (F.array_min(_enc_array(emb, k)) % F.lit(k)).cast("int")
 
 
 def sql_cell(emb: str) -> str:
     return f"CAST(list_min({_sql_enc_array(emb)}) % {K_CELLS} AS INT)"
 
 
-def probe_cells_col(emb: Column) -> Column:
+def probe_cells_col(emb: Column, k: int = K_CELLS) -> Column:
     """The NPROBE nearest cell ids for a query vector.
 
     The sorted encoding array is lambda-bound: each of the NPROBE
     ``element_at`` references would otherwise re-sort — and re-compute —
-    the whole 8-fold encoding array.
+    the whole k-fold encoding array.
     """
     return F.element_at(
         F.transform(
-            F.array(F.array_sort(_enc_array(emb))),
+            F.array(F.array_sort(_enc_array(emb, k))),
             lambda s: F.array(
                 *[
-                    (F.element_at(s, i + 1) % K_CELLS).cast("int")
+                    (F.element_at(s, i + 1) % F.lit(k)).cast("int")
                     for i in range(NPROBE)
                 ]
             ),
@@ -143,10 +174,13 @@ def sql_probe_cells(emb: str) -> str:
     return f"[{parts}]"
 
 
-def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cells(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    k = n_cells or K_CELLS
     return emb.select(
-        "vec_id", "label", "embedding", cell_col(F.col("embedding")).alias("cell")
+        "vec_id", "label", "embedding", cell_col(F.col("embedding"), k).alias("cell")
     )
 
 
@@ -190,15 +224,20 @@ def ann_ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF ANN: probe NPROBE nearest cells, rank candidates by exact "
     "cosine — equi-join on cell key, linear + AQE-skew-safe",
 )
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = cells(spark, sf_dir)
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
+    # n_cells=cells_for(catalog_rowcount) is the production path; the
+    # registered query leaves it None → pinned K_CELLS for the oracle.
+    k = n_cells or K_CELLS
+    b = cells(spark, sf_dir, n_cells)
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
-            F.explode(probe_cells_col(F.col("embedding"))).alias("cell"),
+            F.explode(probe_cells_col(F.col("embedding"), k)).alias("cell"),
         )
     )
     scored = (

@@ -409,6 +409,7 @@ from algorithmproject_spark_spark.functions.vectors import (  # noqa: E402
     to_double,
 )
 from algorithmproject_spark_spark.operators.annivf import (  # noqa: E402
+    K_CELLS,
     cell_col,
     sql_cell,
 )
@@ -571,12 +572,19 @@ SEMDEDUP_COS_E6 = 430_000  # cosine threshold in micros (demo-scaled; prod ~0.95
     "identical fold either way), integer-micros threshold so the drop "
     "set is bit-exact cross-engine",
 )
-def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_semantic_dedup(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
+    # n_cells=cells_for(catalog_rowcount) is the production path (cell
+    # sizes stay bounded as the corpus grows — see annivf.cells_for);
+    # the registered query leaves it None → pinned K_CELLS so the
+    # static oracle's centroid set matches.
     emb = load_table(spark, sf_dir, "embeddings")
+    k = n_cells or K_CELLS
     cn = (
         emb.select(
             "vec_id",
-            cell_col(F.col("embedding")).alias("cell"),
+            cell_col(F.col("embedding"), k).alias("cell"),
             to_double(F.col("embedding")).alias("we"),
         )
         .withColumn("nrm", _norm_d(F.col("we")))
