@@ -105,7 +105,9 @@ def _sql_l2sq(emb: str, centroid: tuple[float, ...]) -> str:
     )
 
 
-def _enc_array(emb: Column, k: int = K_CELLS) -> Column:
+def _enc_array_from(
+    emb: Column, cents: Sequence[tuple[float, ...]]
+) -> Column:
     """array of BIGINT encodings dist_e6 * k + cell, one per centroid.
     dist ≤ 4·DIM → dist_e6·k < 2^31·... stays far inside BIGINT.
 
@@ -113,13 +115,14 @@ def _enc_array(emb: Column, k: int = K_CELLS) -> Column:
     so the 64-cast ``to_double`` runs once, not once per centroid fold
     (CollapseProject inlines projected/nested aliases per reference).
     """
+    k = len(cents)
     return F.element_at(
         F.transform(
             F.array(to_double(emb)),
             lambda v: F.array(
                 *[
                     micros(_l2sq(v, c)) * F.lit(k) + F.lit(i)
-                    for i, c in enumerate(centroids_for(k))
+                    for i, c in enumerate(cents)
                 ]
             ),
         ),
@@ -127,10 +130,34 @@ def _enc_array(emb: Column, k: int = K_CELLS) -> Column:
     )
 
 
-def _sql_enc_array(emb: str) -> str:
+def _enc_array(emb: Column, k: int = K_CELLS) -> Column:
+    return _enc_array_from(emb, centroids_for(k))
+
+
+def _sql_enc_array_from(emb: str, cents: Sequence[tuple[float, ...]]) -> str:
     parts = ", ".join(
-        f"{sql_micros(_sql_l2sq(emb, c))} * {K_CELLS} + {i}"
-        for i, c in enumerate(CENTROIDS)
+        f"{sql_micros(_sql_l2sq(emb, c))} * {len(cents)} + {i}"
+        for i, c in enumerate(cents)
+    )
+    return f"[{parts}]"
+
+
+def _sql_enc_array(emb: str) -> str:
+    return _sql_enc_array_from(emb, CENTROIDS)
+
+
+def sql_cell_from(emb: str, cents: Sequence[tuple[float, ...]]) -> str:
+    return (
+        f"CAST(list_min({_sql_enc_array_from(emb, cents)}) "
+        f"% {len(cents)} AS INT)"
+    )
+
+
+def sql_probe_cells_from(emb: str, cents: Sequence[tuple[float, ...]]) -> str:
+    inner = f"list_sort({_sql_enc_array_from(emb, cents)})"
+    parts = ", ".join(
+        f"CAST(({inner})[{i + 1}] % {len(cents)} AS INT)"
+        for i in range(NPROBE)
     )
     return f"[{parts}]"
 
@@ -141,20 +168,31 @@ def cell_col(emb: Column, k: int = K_CELLS) -> Column:
     return (F.array_min(_enc_array(emb, k)) % F.lit(k)).cast("int")
 
 
+def cell_col_from(emb: Column, cents: Sequence[tuple[float, ...]]) -> Column:
+    """Nearest-centroid cell for an EXPLICIT centroid set — the
+    assignment column for exported/learned centroids."""
+    return (F.array_min(_enc_array_from(emb, cents)) % F.lit(len(cents))).cast(
+        "int"
+    )
+
+
 def sql_cell(emb: str) -> str:
     return f"CAST(list_min({_sql_enc_array(emb)}) % {K_CELLS} AS INT)"
 
 
-def probe_cells_col(emb: Column, k: int = K_CELLS) -> Column:
+def probe_cells_col_from(
+    emb: Column, cents: Sequence[tuple[float, ...]]
+) -> Column:
     """The NPROBE nearest cell ids for a query vector.
 
     The sorted encoding array is lambda-bound: each of the NPROBE
     ``element_at`` references would otherwise re-sort — and re-compute —
     the whole k-fold encoding array.
     """
+    k = len(cents)
     return F.element_at(
         F.transform(
-            F.array(F.array_sort(_enc_array(emb, k))),
+            F.array(F.array_sort(_enc_array_from(emb, cents))),
             lambda s: F.array(
                 *[
                     (F.element_at(s, i + 1) % F.lit(k)).cast("int")
@@ -164,6 +202,10 @@ def probe_cells_col(emb: Column, k: int = K_CELLS) -> Column:
         ),
         1,
     )
+
+
+def probe_cells_col(emb: Column, k: int = K_CELLS) -> Column:
+    return probe_cells_col_from(emb, centroids_for(k))
 
 
 def sql_probe_cells(emb: str) -> str:
@@ -531,13 +573,22 @@ def kmeans_cells(
     the full corpus while ``transform`` still assigns every row.
     Returns the assigned frame and the fitted model (whose
     clusterCenters feed the probe side).
+
+    Determinism: the sampled fit input is coalesced to ONE partition,
+    so the float reductions inside the JVM fit see a fixed row order —
+    same seed + same data ⇒ bit-identical centers across fits (asserted
+    in tests/test_topics.py). The sample is bounded (~256·k rows in
+    production sizing), so a single-partition fit is never a scale
+    problem; assignment remains a fully distributed map-only pass.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn("features", array_to_vector(to_double(F.col("embedding"))))
     fit_input = feat.filter(hash_mod("vec_id", fit_mod) == 0) if fit_mod > 1 else feat
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(fit_input)
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(
+        fit_input.coalesce(1).sortWithinPartitions("vec_id")
+    )
     assigned = model.transform(feat).select(
         "vec_id", "label", "embedding", F.col("prediction").cast("int").alias("cell")
     )
@@ -546,7 +597,15 @@ def kmeans_cells(
 
 @register(
     "ann_ivf_ml_kmeans_topk",
-    oracle=None,  # seeded but float-iterative ML training — rows-only
+    # Rows-only BY CONTRACT, not by accident: the oracle must be a
+    # static ANSI-SQL string fixed at registration, and no SQL string
+    # can re-derive a live JVM float-iterative fit (reduction order and
+    # BLAS codepaths are engine-internal). The fit IS deterministic
+    # (seeded single-partition sample; same-seed-twice asserted in
+    # tests/test_topics.py), and the fully-green production pattern —
+    # fit once, freeze centers as literals — is registered as
+    # ``ann_ivf_export_centroids_topk`` below.
+    oracle=None,
     doc="IVF ANN with pyspark.ml KMeans centroids (float-iterative "
     "production slot, deterministic sampled fit): probe NPROBE nearest "
     "learned cells, rank by exact cosine",
@@ -603,3 +662,198 @@ def ann_ivf_ml_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "neighbor_id", "cosine_e6", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# EXPORTED learned centroids — the production pattern that turns a
+# float-iterative ML fit into a fully oracle-checkable query: fit the
+# quantizer ONCE (kmeans_cells, seeded + single-partition sample →
+# bit-deterministic), round the centers to 6 decimals, and freeze them
+# as literals. Everything downstream — assignment, probe, ranking — is
+# then pure deterministic expression logic that a static SQL oracle
+# re-derives exactly, and the expensive fit never re-runs per query.
+# This is the green sibling of ``ann_ivf_ml_kmeans_topk`` (whose oracle
+# cannot re-derive a live JVM fit from a static SQL string).
+# Provenance: kmeans_cells(embeddings @ sf0.01, k=8, seed=42) — the
+# values are a valid fixed quantizer for ANY corpus, like CENTROIDS.
+# --------------------------------------------------------------------------
+EXPORTED_CENTROIDS: tuple[tuple[float, ...], ...] = (
+    (
+        -0.039724, 0.051662, 0.085364, -0.013575, -0.114763, 0.033507,
+        0.078907, 0.023166, -0.006358, 0.003848, -0.050541, -0.156898,
+        -0.109169, -0.072177, -0.066901, -0.071872, -0.063187, -0.061392,
+        -0.035192, 0.138427, -0.05995, -0.010984, 0.015893, 0.01813, 0.029059,
+        -0.047123, 0.025449, 0.00609, 0.031844, -0.009202, -0.007017,
+        -0.08502, 0.037516, -0.070837, 0.113262, -0.051796, -0.007063,
+        -0.019853, -0.038077, 0.033981, -0.127855, 0.007215, 0.00016,
+        -0.110612, -0.109824, 0.07358, -0.108165, 0.043337, -0.030139,
+        0.040411, 0.066602, -0.083078, 0.108237, -0.13063, -0.004277,
+        -0.097538, 0.053578, 0.062499, 0.137312, 0.055583, -0.096687,
+        -0.001526, -0.031352, -0.080617,
+    ),
+    (
+        0.116602, 0.032628, 0.040573, -0.028525, 0.065771, -0.055065,
+        -0.065308, 0.05663, 0.042699, -0.000998, -0.018987, -0.037089,
+        0.006726, -0.013138, -0.020212, 0.079096, 0.007303, -0.039847,
+        -0.11119, 0.008044, -0.013986, -0.005714, 0.062903, 0.009088,
+        0.009469, 0.022247, -0.022997, -0.019275, -0.020323, 0.028724,
+        0.039515, 0.002071, -0.020003, 0.011257, 0.041776, -0.011734,
+        -0.054899, 0.044424, 0.041858, -0.068696, -0.007512, -0.026247,
+        -0.006359, -0.010771, -0.004533, 0.028455, 0.001867, -0.034617,
+        0.043134, -0.010136, 0.031619, -0.007298, 0.005259, 0.016121,
+        0.052457, -0.049336, 0.007291, -0.005057, -0.079075, -0.043009,
+        0.02065, -0.079698, 0.049887, -0.037105,
+    ),
+    (
+        -0.027338, 0.023076, -0.005697, -0.019398, 0.025455, 0.046424,
+        -0.075505, -0.002904, -0.048611, -0.062631, 0.021615, -0.025935,
+        0.051987, 0.058161, -0.010521, 0.098821, -0.043303, 0.030621,
+        -0.02826, -0.009204, 9e-06, -0.029675, 0.022963, -0.008518, -0.024995,
+        3e-05, -0.015001, -0.000934, 0.041631, 0.004535, -0.004473, -0.001943,
+        0.007967, -0.019366, -0.017754, -0.024216, -0.015899, -0.020564,
+        -0.030134, 0.017338, 0.003409, -0.029711, 0.067398, -0.013502,
+        -0.053772, 0.010111, 0.008268, 0.023942, 0.020719, -0.012764,
+        -0.006418, 0.026545, -0.029121, 0.014414, -0.039086, 0.034938,
+        0.01876, 0.011827, -0.00514, 0.075623, -0.044219, -0.007935, 0.043312,
+        0.014857,
+    ),
+    (
+        -0.044313, -0.009236, 0.052361, 0.035027, 0.018225, -0.087767,
+        -0.009746, 0.043761, 0.041493, 0.039407, 0.004144, -0.014931,
+        0.021219, -0.05385, -0.039298, 0.049228, 0.119384, -0.016166,
+        0.046876, 0.021406, -0.010583, -0.013781, 0.018831, -0.060203,
+        0.021451, -0.006551, -0.039493, -0.06413, -0.04516, 0.006451,
+        -0.039084, 0.038041, 0.067385, -0.027011, -0.017785, 0.057437,
+        -0.005577, -0.109096, -0.05808, 0.05517, 0.0778, 0.022356, -0.056892,
+        0.020675, -0.036893, -0.049254, -0.033017, 0.024684, -0.065631,
+        -0.035779, 0.046536, 0.07602, 0.053264, 0.037807, 0.044068, -0.024703,
+        -0.0253, -0.008165, 0.004553, -0.056944, 0.009295, -0.063758,
+        -0.040027, -0.035543,
+    ),
+    (
+        0.033589, -0.021214, -0.060784, -0.098934, -0.00033, 0.024748,
+        0.060233, 0.002261, 0.007306, -0.027873, -0.007696, 0.033468,
+        0.032166, 0.0398, 0.015066, 0.010524, -0.035168, -0.064777, 0.119139,
+        0.078942, -0.01511, -0.021492, -0.031027, 0.032199, 0.073575,
+        0.111606, -0.11844, 0.087542, -0.055257, 0.038958, -0.074705,
+        0.024807, 0.038402, -0.077484, 0.011611, -0.040637, 0.079808,
+        0.001212, -0.018678, -0.056713, 0.039382, -0.024447, 0.000596,
+        -0.001021, 0.017553, -0.095926, 0.03, -0.164617, 0.082673, 0.09825,
+        0.09019, 0.049861, 0.063414, -0.009993, 0.002514, -0.001774, 0.06625,
+        0.009791, 0.038287, 0.01152, 0.135498, -0.058994, -0.07186, 0.007904,
+    ),
+    (
+        -0.029199, -0.044737, -0.009718, -0.034472, 0.012153, 0.028184,
+        -0.022418, 0.016235, 0.008327, 0.010825, 0.032307, -0.024427,
+        -0.012224, -0.044942, 0.002786, -0.033848, 0.015686, 0.021332,
+        0.046212, 0.004175, 0.027483, 0.018546, -0.005335, -0.005981,
+        0.003142, 0.029903, 0.043281, -0.001935, 0.002401, 0.007835,
+        -0.003959, 0.001221, 0.033129, 0.035859, 0.045809, 0.003565, 0.012241,
+        0.033543, 0.020781, -0.009587, -0.021476, -0.040183, -0.03731,
+        0.023638, -0.000653, 0.021664, 0.008751, -0.003554, -0.00174,
+        -0.022487, -0.020638, -0.032255, -0.003839, -0.02286, -0.002295,
+        -0.001854, 0.002002, -0.015863, 0.023398, -0.020832, 0.021347,
+        0.046058, -0.029944, -0.011823,
+    ),
+    (
+        0.033906, 0.017238, -0.027124, 0.0378, -0.046665, 0.009713, 0.011889,
+        -0.04411, -0.017375, 0.044004, -0.018117, 0.091699, -0.031051, 0.0075,
+        -0.017463, -0.01662, 0.052315, 0.038881, 0.012596, -0.005446,
+        -0.057077, 0.015494, -0.016802, -0.030077, 0.026454, -0.038115,
+        -0.015545, 0.062594, 0.017331, -0.064704, 0.025611, -0.069198,
+        -0.029254, -0.025945, 0.019716, 0.026994, -0.009515, -0.049821,
+        -0.035247, -0.03943, -0.009197, 0.071583, -0.018569, -0.04497,
+        0.009509, -0.039843, -0.007614, 0.075293, -0.045535, 0.011963,
+        -0.021863, -0.030561, 0.011684, -0.001817, 0.022576, -0.009779,
+        -0.022266, 0.001636, 0.011903, -0.041541, -0.012979, 0.067256,
+        0.019144, 0.012104,
+    ),
+    (
+        0.060681, 0.006872, -0.082746, 0.097817, 0.030354, 0.172693, 0.064188,
+        -0.108432, 0.044707, -0.017943, 0.073006, -0.00285, -0.088146,
+        -0.012526, 0.091439, -0.1283, -0.01289, 0.018885, -0.093756, 0.044277,
+        0.108187, -0.057005, -0.091691, -0.024729, 0.076856, -0.104013,
+        -0.019627, -0.000575, -0.040379, 0.032567, 0.108421, 0.083397,
+        0.046274, -0.10315, -0.014568, 0.028025, -0.018237, 0.043181,
+        -0.06048, -0.0122, -0.034911, -0.063127, -0.101131, -0.004382,
+        0.098531, 0.173597, -0.022421, -0.068915, 0.057211, -0.026825,
+        0.013344, -0.034329, 0.037919, -0.025758, -0.037839, 0.000265,
+        0.067126, 0.027197, 0.039804, 0.143677, -0.054988, -0.170282,
+        0.138368, -0.122605,
+    ),
+)
+
+
+@register(
+    "ann_ivf_export_centroids_topk",
+    oracle=None,  # installed below — the string embeds EXPORTED_CENTROIDS
+    doc="IVF ANN over EXPORTED learned centroids (one seeded ml-KMeans "
+    "fit, frozen as literals): probe NPROBE nearest cells, rank by "
+    "exact cosine — fully oracle-checked, the production shape where "
+    "the quantizer is fit once and shipped with the job",
+)
+def ann_ivf_export_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        cell_col_from(F.col("embedding"), EXPORTED_CENTROIDS).alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            probe_cells_col_from(F.col("embedding"), EXPORTED_CENTROIDS)
+        ).alias("cell"),
+    )
+    scored = (
+        b.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine_e6", "rk")
+    )
+
+
+def _install_export_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    oracle = f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {sql_cell_from('embedding', EXPORTED_CENTROIDS)} AS cell
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb,
+               unnest({sql_probe_cells_from('embedding', EXPORTED_CENTROIDS)}) AS cell
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               {sql_micros(sql_cosine("q.q_emb", "c.embedding"))} AS cosine_e6
+        FROM q JOIN b c USING (cell)
+        WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cosine_e6, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine_e6 DESC, neighbor_id
+        ) AS rk FROM scored
+    ) WHERE rk <= {TOP_K}
+    """
+    REGISTRY["ann_ivf_export_centroids_topk"] = replace(
+        REGISTRY["ann_ivf_export_centroids_topk"], oracle=oracle
+    )
+
+
+_install_export_oracle()

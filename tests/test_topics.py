@@ -158,3 +158,19 @@ def test_word2vec_seeded_rerun_is_deterministic(spark):
     a = word2vec_neighbors(spark, "/root/testdata/sf0.001").collect()
     b = word2vec_neighbors(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_ml_kmeans_seeded_rerun_is_deterministic(spark):
+    """kmeans_cells fits on a single-partition seeded sample, so two
+    independent fits on the same data must produce bit-identical
+    centers — the contract that makes exporting them as literals
+    (ann_ivf_export_centroids_topk) a sound production pattern."""
+    from algorithmproject_spark_spark.operators.annivf import kmeans_cells
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    _, m1 = kmeans_cells(emb)
+    _, m2 = kmeans_cells(emb)
+    c1 = [tuple(float(x) for x in c) for c in m1.clusterCenters()]
+    c2 = [tuple(float(x) for x in c) for c in m2.clusterCenters()]
+    assert c1 == c2
