@@ -119,6 +119,8 @@ HEADLINE = (
     "q6_forecast_revenue",
     "q4_priority_with_big_lines",
     "words_countmin_estimates",
+    # round-5: exported-learned-centroid IVF (the fit-once production shape)
+    "ann_ivf_export_centroids_topk",
 )
 
 
@@ -145,17 +147,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # Also persist the COMPLETE per-query record: the driver's capture
+    # truncates long stdout tails, so round-over-round diffs read this
+    # file instead (commit it as BENCH_LOCAL_r{N}.json at round close).
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
+    with open(out, "w", encoding="utf-8") as fh:
+        fh.write(line + "\n")
     spark.stop()
 
 
