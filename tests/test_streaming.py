@@ -302,3 +302,96 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_watermark_evicts_late_rows(spark, scratch):
+    """End-to-end micro-batch watermark semantics: after batch 0
+    advances the watermark to 10:30, batch 1's 06:00 row must be
+    dropped and watermark-expired state evicted. Asserted from the
+    state-store metrics AND the output. Note on metrics: Spark 4
+    pre-filters late input BEFORE every stateful operator (the
+    correctness-safe plan), so the operator-level
+    ``numRowsDroppedByWatermark`` counter stays 0 here — the observable
+    contracts are (a) the late row never reaches output/state and
+    (b) ``numRowsRemoved`` > 0, i.e. the watermark really evicted
+    closed-window state rather than letting state grow forever."""
+    import pandas as pd
+
+    from algorithmproject_spark_spark.streaming import (
+        stream_read_parquet,
+        stream_write_memory,
+        windowed_value_agg,
+    )
+
+    path = scratch / "late_events_in"
+    fresh = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [10, 11],
+            "event_type": ["click", "view"],
+            "ts": pd.to_datetime(
+                ["2026-01-01 12:00:00", "2026-01-01 12:30:00"]
+            ),
+            "value": [1.0, 2.0],
+        }
+    )
+    # 06:00 is far below the post-batch-0 watermark (12:30 - 2h = 10:30)
+    late = pd.DataFrame(
+        {
+            "event_id": [3],
+            "user_id": [12],
+            "event_type": ["click"],
+            "ts": pd.to_datetime(["2026-01-01 06:00:00"]),
+            "value": [3.0],
+        }
+    )
+    sdf = spark.createDataFrame(fresh)
+    sdf.coalesce(1).write.mode("overwrite").parquet(str(path))
+
+    stream = stream_read_parquet(spark, str(path), sdf.schema)
+    agg = windowed_value_agg(stream, window="1 hour", watermark="2 hours")
+    # update mode: results stream out per batch while watermark-closed
+    # windows are REMOVED from the store (append would also hold
+    # results back until close; eviction is what's under test)
+    q = stream_write_memory(agg, "late_agg", output_mode="update")
+    try:
+        # drain batch 0 FIRST so the watermark advances to 10:30 before
+        # the late file exists — deterministic batch order, no reliance
+        # on file mod-time ordering
+        q.processAllAvailable()
+        spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(
+            str(path)
+        )
+        q.processAllAvailable()
+        # batch 2: a 16:00 row pushes the watermark to 14:00, past the
+        # 12:00-13:00 windows' end — THEY must now leave the store
+        fresher = fresh.assign(
+            event_id=[4, 5],
+            ts=pd.to_datetime(
+                ["2026-01-01 16:00:00", "2026-01-01 16:05:00"]
+            ),
+        )
+        spark.createDataFrame(fresher).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(path))
+        q.processAllAvailable()
+        progresses = list(q.recentProgress)
+        out = spark.sql(
+            "SELECT window_start, event_type, n FROM late_agg"
+        ).collect()
+    finally:
+        q.stop()
+
+    assert len(progresses) >= 3, "expected one micro-batch per file"
+    # final watermark advanced off batch 2's max event time (16:05 - 2h)
+    wm = progresses[-1]["eventTime"]["watermark"]
+    assert wm.startswith("2026-01-01T14:0")
+    # the 06:00 late row was dropped: its window never reached output
+    assert all(str(r.window_start) != "2026-01-01 06:00:00" for r in out)
+    # and watermark-expired state was evicted, not retained forever
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, "no state rows were evicted by the watermark"
