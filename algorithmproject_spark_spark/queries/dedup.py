@@ -373,13 +373,19 @@ MAX_POSTING_DF = 10
     "inverted-index posting join (df-capped, deterministic recall "
     "contract) — the non-probabilistic sibling of the MinHash-LSH path",
 )
-def ngram_jaccard_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_index_pairs(
+    spark: SparkSession, sf_dir: str, max_posting_df: int = MAX_POSTING_DF
+) -> DataFrame:
+    # max_posting_df is THE recall/cost knob at scale: candidate cost is
+    # bounded by max_posting_df × |rare postings| while the recall
+    # contract covers any pair sharing at least one shingle with
+    # df ≤ cap. tools/scale_sweep.py sweeps its sensitivity.
     sh = _shingle_hashes(spark, sf_dir)
     posts = sh.select("doc_id", F.explode("sh").alias("g"))
     rare = (
         posts.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_POSTING_DF))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_posting_df))
         .select("g")
     )
     rare_posts = posts.join(rare, "g")

@@ -533,3 +533,172 @@ def q4_priority_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# Deeper TPC-H shapes, round 5: Q14 (join + conditional aggregate),
+# Q19 (OR-of-ANDs disjunctive pushdown), Q8 (6-way join tree). Each
+# returns exact scaled-integer components instead of float ratios so
+# the oracle hash-matches bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+           CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_rev_e4,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+    doc="TPC-H Q14 shape: one-month lineitem slice joined to part, "
+    "promo-vs-total revenue as exact e4 components (the float ratio is "
+    "the caller's division) — date predicates push to the scan, part "
+    "side broadcasts",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    flt = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = scaled_long(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 10000
+    )
+    return (
+        flt.join(F.broadcast(part), flt.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_rev_e4"),
+            F.sum(rev).alias("total_rev_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst "
+    "must push the derivable conjuncts (quantity range union to the "
+    "lineitem scan, brand/size union to the part scan) and keep the "
+    "residual disjunction above the broadcast join",
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 30))
+    )
+    rev = scaled_long(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 10000
+    )
+    return j.filter(cond).agg(
+        F.sum(rev).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                    THEN CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS nation_volume_e4,
+           CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_volume_e4
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey  = o.o_custkey
+    JOIN nation n1   ON n1.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey  = n1.n_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s  ON s.s_suppkey  = l.l_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s.s_nationkey
+    GROUP BY year(o.o_orderdate)
+    """,
+    doc="TPC-H Q8 shape: 6-way join tree (lineitem-orders-customer-"
+    "nation-region x supplier-nation) with per-year supplier-nation "
+    "market share as exact e4 components — dimensions broadcast, the "
+    "two fact joins shuffle on their keys once each",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust_in_region = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = scaled_long(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 10000
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_in_region, orders.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp_nation),
+            li.l_suppkey == supp_nation.s_suppkey,
+        )
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_volume_e4"),
+            F.sum(rev).alias("total_volume_e4"),
+        )
+    )

@@ -119,8 +119,12 @@ HEADLINE = (
     "q6_forecast_revenue",
     "q4_priority_with_big_lines",
     "words_countmin_estimates",
-    # round-5: exported-learned-centroid IVF (the fit-once production shape)
+    # round-5: exported-learned-centroid IVF (the fit-once production
+    # shape) and the deeper TPC-H join/pushdown shapes
     "ann_ivf_export_centroids_topk",
+    "q14_promo_revenue",
+    "q19_disjunctive_filter",
+    "q8_market_share",
 )
 
 

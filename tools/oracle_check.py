@@ -7,11 +7,16 @@ stricter than a value hash, and it prints the first differing rows on
 mismatch instead of a bare hash.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Set ORACLE_CHECK_JSON=<path> to also write a machine-readable artifact
+({query: {"status": pass|fail|rows_only, "rows": N, "sec": s}, ...})
+— committed per round as ORACLE_FULL_r{N}.json, this closes the
+driver's 50-query-per-round rotation blind spot.
 """
 
 from __future__ import annotations
 
 import datetime
+import json
 import math
 import os
 import sys
@@ -72,6 +77,14 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_noracle = 0
+    record: dict[str, dict] = {}
+
+    def _rec(name, status, rows, t0, detail=None):
+        entry = {"status": status, "rows": rows, "sec": round(time.time() - t0, 2)}
+        if detail:
+            entry["detail"] = detail
+        record[name] = entry
+
     for name, spec in targets.items():
         t0 = time.time()
         try:
@@ -80,10 +93,12 @@ def main() -> int:
             scols = sdf.columns
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
+            _rec(name, "fail", 0, t0, f"spark error: {exc}")
             n_fail += 1
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            _rec(name, "rows_only", len(srows), t0)
             n_noracle += 1
             continue
         try:
@@ -92,16 +107,19 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
+            _rec(name, "fail", len(srows), t0, f"duckdb error: {exc}")
             n_fail += 1
             continue
         scols_n, srows_n = _normalize([tuple(r) for r in srows], scols)
         dcols_n, drows_n = _normalize(drows, dcols)
         if scols_n != dcols_n:
             print(f"FAIL  {name}: columns differ spark={scols_n} duck={dcols_n}")
+            _rec(name, "fail", len(srows), t0, "columns differ")
             n_fail += 1
             continue
         if len(srows_n) != len(drows_n):
             print(f"FAIL  {name}: rowcount spark={len(srows_n)} duck={len(drows_n)}")
+            _rec(name, "fail", len(srows), t0, "rowcount differs")
             n_fail += 1
             continue
         bad = [
@@ -109,12 +127,30 @@ def main() -> int:
         ]
         if bad:
             print(f"FAIL  {name}: {len(bad)} differing rows; first: spark={bad[0][0]} duck={bad[0][1]}")
+            _rec(name, "fail", len(srows), t0, f"{len(bad)} differing rows")
             n_fail += 1
             continue
         print(f"PASS  {name}: {len(srows_n)} rows [{time.time()-t0:.1f}s]")
+        _rec(name, "pass", len(srows_n), t0)
         n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    out = os.environ.get("ORACLE_CHECK_JSON")
+    if out:
+        with open(out, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_noracle,
+                    "queries": record,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
     spark.stop()
     return 1 if n_fail else 0
 

@@ -40,7 +40,16 @@ QUERIES = (
     "doc_chunk_dedup",
     "corpus_shard_shuffle",
     "ngram_jaccard_index_pairs",
+    # round-5 additions: sketch counters and the §3.2 composite
+    "words_countmin_estimates",
+    "user_label_pipeline",
 )
+
+# user_label_pipeline joins events; tile them alongside documents with
+# per-copy user/event id offsets so interactions-per-user stay constant
+# while the corpus grows (the realistic growth mode).
+BASE_EVENTS = 100_000
+BASE_USERS = 1_000_000_000  # offset stride, far above any real user_id
 
 
 def build_corpus(spark, n_docs: int) -> str:
@@ -73,7 +82,67 @@ def build_corpus(spark, n_docs: int) -> str:
         )
         tiled = remap if tiled is None else tiled.unionAll(remap)
     tiled.write.mode("overwrite").parquet(path)
+
+    ev_path = os.path.join(out, "events.parquet")
+    base_ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    ev_tiled = None
+    for k in range(copies):
+        remap = base_ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(k * BASE_EVENTS)
+        ).withColumn("user_id", F.col("user_id") + F.lit(k * BASE_USERS))
+        ev_tiled = remap if ev_tiled is None else ev_tiled.unionAll(remap)
+    ev_tiled.write.mode("overwrite").parquet(ev_path)
     return out
+
+
+# Fact-table sweep: cdc_merge_apply (customer+orders) and the salted
+# join (lineitem+orders), tiled by key offsets — every copy is a
+# distinct key range, so group/join cardinalities grow linearly.
+FACT_BASE = {"orders": 150_000 * 10, "lineitem": 150_000 * 10, "customer": 150_000 * 10}
+FACT_SIZES = (1, 4, 16)  # tiling factors over sf0.1
+FACT_QUERIES = ("cdc_merge_apply", "salted_join_order_priority")
+
+
+def build_fact_corpus(spark, copies: int) -> str:
+    out = os.path.join(SWEEP_DIR, f"fact{copies}")
+    done = os.path.join(out, "lineitem.parquet")
+    if os.path.exists(done):
+        return out
+    keycols = {
+        "orders": ("o_orderkey", "o_custkey"),
+        "lineitem": ("l_orderkey",),
+        "customer": ("c_custkey",),
+    }
+    for table, cols in keycols.items():
+        base = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
+        stride = FACT_BASE[table]
+        tiled = None
+        for k in range(copies):
+            remap = base
+            for c in cols:
+                remap = remap.withColumn(c, F.col(c) + F.lit(k * stride))
+            tiled = remap if tiled is None else tiled.unionAll(remap)
+        tiled.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    return out
+
+
+def posting_df_sweep(spark) -> None:
+    """MAX_POSTING_DF sensitivity at fixed n=20k: the recall/cost knob.
+    Reports runtime and verified-pair yield per df cap."""
+    from algorithmproject_spark_spark.queries.dedup import (
+        ngram_jaccard_index_pairs,
+    )
+
+    sf_dir = build_corpus(spark, 20_000)
+    print("\nngram_jaccard MAX_POSTING_DF sensitivity (n=20000):")
+    for cap in (5, 10, 20, 40):
+        t0 = time.time()
+        pairs = ngram_jaccard_index_pairs(spark, sf_dir, max_posting_df=cap)
+        n_pairs = pairs.count()
+        print(
+            f"  df_cap={cap:>3}  {time.time() - t0:6.2f} s"
+            f"  verified_pairs={n_pairs}"
+        )
 
 
 EMB_BASE_N = 2_000
@@ -201,14 +270,19 @@ def _report(results) -> None:
 
 
 def main() -> None:
-    names = sys.argv[1:] or list(QUERIES) + list(EMB_QUERIES)
+    names = sys.argv[1:] or (
+        list(QUERIES) + list(EMB_QUERIES) + list(FACT_QUERIES) + ["posting_df"]
+    )
     spark = get_spark("scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(100).count()  # session warmup, as in bench.py
 
     doc_names = [n for n in names if n in QUERIES]
     emb_names = [n for n in names if n in EMB_QUERIES]
-    results: dict[str, list[tuple[int, float]]] = {n: [] for n in names}
+    fact_names = [n for n in names if n in FACT_QUERIES]
+    results: dict[str, list[tuple[int, float]]] = {
+        n: [] for n in names if n != "posting_df"
+    }
     for n_docs in SIZES if doc_names else ():
         sf_dir = build_corpus(spark, n_docs)
         for name in doc_names:
@@ -225,8 +299,20 @@ def main() -> None:
                 "overwrite"
             ).save()
             results[name].append((n_vecs, round(time.time() - t0, 2)))
+    for copies in FACT_SIZES if fact_names else ():
+        sf_dir = build_fact_corpus(spark, copies)
+        for name in fact_names:
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results[name].append(
+                (copies * 150_000, round(time.time() - t0, 2))
+            )
 
     _report(results)
+    if "posting_df" in names:
+        posting_df_sweep(spark)
     shutil.rmtree(SWEEP_DIR, ignore_errors=True)
 
 
