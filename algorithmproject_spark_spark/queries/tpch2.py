@@ -1,0 +1,718 @@
+"""TPC-H shapes Q2/Q7/Q9/Q11/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22 — the
+correlated-subquery half of the benchmark, completing all 22 shapes.
+
+The testdata has no ``partsupp`` and lineitem lacks commit/receipt
+dates and shipmode, so each query keeps the *structural* essence of its
+TPC-H namesake (what Catalyst must plan: correlated scalar subqueries,
+nested aggregates, EXISTS/NOT-EXISTS chains, scalar-threshold filters,
+outer-join distributions) re-targeted at the available columns.
+Reference parity: these generalize the reference's join/agg patterns
+(SURVEY.md §2.3-§2.4; videoFeaturProcess joins at
+``VideoTagsProcessNew.scala:?`` are simple inner equi-joins — the
+shapes here are the superset a user migrating real warehouse queries
+needs).
+
+Determinism contract (same as relational.py): every money/quantity
+aggregate goes through ``scaled_long`` fixed-point BIGINTs; every
+threshold that TPC-H states as a float ratio (``0.2 * avg(...)``,
+``0.5 * sum(...)``, ``> avg(...)``) is cross-multiplied into a pure
+integer inequality so Spark and DuckDB agree bit-for-bit at any SF and
+any partitioning.
+
+Scalar subqueries compile to ``crossJoin(broadcast(<1-row agg>))`` —
+the bounded BroadcastNestedLoopJoin pattern allow-listed in
+tools/plan_lint.py; per-group correlated subqueries (Q2's min-cost per
+part, Q17's per-part avg) compile to a re-keyed aggregate joined back
+on the group key — one extra keyed shuffle, never a per-row subquery
+execution, which is the only formulation that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import scaled_long
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+
+def _rev_e4() -> F.Column:
+    """Per-line discounted revenue as exact e4 fixed-point."""
+    return scaled_long(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 10000
+    )
+
+
+_SQL_REV_E4 = (
+    "CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier per part: the correlated scalar MIN subquery.
+# --------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH spc AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cost_e2
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, s.cost_e2
+    FROM spc s
+    JOIN eur e ON e.s_suppkey = s.l_suppkey
+    JOIN part p ON p.p_partkey = s.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+      AND s.cost_e2 = (
+          SELECT min(s2.cost_e2) FROM spc s2
+          JOIN eur e2 ON e2.s_suppkey = s2.l_suppkey
+          WHERE s2.l_partkey = s.l_partkey
+      )
+    ORDER BY s.cost_e2, p.p_partkey, e.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: cheapest EUROPE supplier per STANDARD part. "
+    "The correlated `= (SELECT min ...)` compiles to one per-part "
+    "min re-aggregation joined back on the group key — a keyed "
+    "shuffle, not a per-row subquery; dims broadcast",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    eur = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "n_name")
+    )
+    spc = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(scaled_long("l_extendedprice", 100)).alias("cost_e2"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == eur.s_suppkey)
+        .select("l_partkey", "cost_e2", "s_name", "n_name")
+    )
+    min_per_part = spc.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost_e2").alias("min_cost_e2")
+    )
+    return (
+        spc.join(
+            min_per_part,
+            (spc.l_partkey == min_per_part.mk)
+            & (spc.cost_e2 == min_per_part.min_cost_e2),
+        )
+        .join(F.broadcast(part), spc.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "cost_e2")
+        .orderBy("cost_e2", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations: dual dim lineage + year rollup.
+# --------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_SQL_REV_E4}) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume by year. Both "
+    "nation filters reach their dimension scans before the broadcast "
+    "joins; the two fact joins (orders, customer) shuffle on their "
+    "keys once each",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp_n = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = cust.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_rev_e4()).alias("revenue_e4"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year (retailprice as cost proxy).
+# --------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                    - p.p_retailprice * l.l_quantity) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS profit_e4
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="TPC-H Q9 shape: per-nation/year profit over a part-name "
+    "pattern slice; p_retailprice*quantity stands in for the missing "
+    "partsupp supplycost. The LIKE filter prunes the broadcast part "
+    "dim before the fact join; profit is one per-row IEEE expression "
+    "fixed-pointed to e4",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = scaled_long(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity"),
+        10000,
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(F.sum(profit).alias("profit_e4"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock: scalar-subquery threshold over a grouped value.
+# --------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH natsupp AS (
+        SELECT s_suppkey FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+    ),
+    pv AS (
+        SELECT l.l_partkey,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_e2
+        FROM lineitem l JOIN natsupp ns ON ns.s_suppkey = l.l_suppkey
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_e2
+    FROM pv
+    WHERE value_e2 * 1000 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pv)
+    ORDER BY value_e2 DESC, l_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q11 shape: per-part stock value restricted to one "
+    "nation's suppliers, kept only where value exceeds 1/1000 of the "
+    "grand total. The scalar subquery is a broadcast 1-row aggregate "
+    "cross-joined under every row (plan-lint allow-listed); the "
+    "fraction compare is integer cross-multiplied",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    natsupp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(natsupp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(scaled_long("l_extendedprice", 100)).alias("value_e2"))
+    )
+    total = pv.agg(F.sum("value_e2").alias("total_e2"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e2") * 1000 > F.col("total_e2"))
+        .select("l_partkey", "value_e2")
+        .orderBy(F.desc("value_e2"), "l_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — late-shipment priority counts: join + dual conditional aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape (l_returnflag stands in for the missing "
+    "l_shipmode): lines shipped 90+ days after order date, split into "
+    "high/low-priority counts per flag — the join-then-CASE-aggregate "
+    "pattern, one keyed shuffle",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution: outer join + double aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customers (including order-less ones, via "
+    "left outer join with the filter INSIDE the join condition — not a "
+    "WHERE, which would turn it inner) counted per order count, then "
+    "the distribution of those counts. Two keyed shuffles",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier: scalar MAX subquery over a revenue aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum({_SQL_REV_E4}) AS BIGINT) AS total_revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+    FROM supplier s JOIN rev r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, keep the "
+    "max. The `= (SELECT max ...)` is a broadcast 1-row aggregate "
+    "cross-joined and filtered (plan-lint allow-listed) — the revenue "
+    "relation computes once and is reused for both the max and the "
+    "final filter via cache",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_e4()).alias("total_revenue_e4"))
+    )
+    mx = rev.agg(F.max("total_revenue_e4").alias("max_rev_e4"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_e4") == F.col("max_rev_e4"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier relationship: NOT IN anti-join + grouped count distinct.
+# --------------------------------------------------------------------------
+@register(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size <= 8
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 100
+    """,
+    doc="TPC-H Q16 shape: distinct supplier count per (brand, type, "
+    "size) excluding negative-balance suppliers (the 'complaints' "
+    "NOT IN, compiled to a native left_anti join against a broadcast "
+    "supplier slice). count(DISTINCT) partial-aggregates map-side",
+)
+def q16_parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 8)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity revenue: correlated per-group AVG threshold.
+# --------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+               count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS small_qty_revenue_cents,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT) * 5 * pq.cnt
+          < pq.sum_qty_e2
+    """,
+    doc="TPC-H Q17 shape: lines under 20% of their part's average "
+    "quantity, for one brand. The correlated `< 0.2 * (SELECT avg)` "
+    "becomes a per-part (sum, count) aggregate joined back on partkey "
+    "with the threshold integer cross-multiplied "
+    "(qty*5*cnt < sum ⟺ qty < 0.2*avg) — exact in both engines",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#2"
+    ).select("p_partkey")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(scaled_long("l_quantity", 100)).alias("sum_qty_e2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, li.l_partkey == pq.pk)
+        .filter(
+            scaled_long("l_quantity", 100) * 5 * F.col("cnt")
+            < F.col("sum_qty_e2")
+        )
+        .agg(
+            F.sum(scaled_long("l_extendedprice", 100)).alias(
+                "small_qty_revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — excess-stock suppliers: nested aggregate → semi-join chain.
+# --------------------------------------------------------------------------
+@register(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               CAST(sum(CASE WHEN year(l.l_shipdate) = 1996
+                        THEN CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS qty96_e2,
+               CAST(sum(CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qtyall_e2
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'small%'
+        GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM sp WHERE qty96_e2 * 2 > qtyall_e2
+    )
+    """,
+    doc="TPC-H Q20 shape: EUROPE suppliers who shipped more than half "
+    "of a 'small%' part's all-time volume in 1996 alone. The nested "
+    "correlated aggregate becomes one (supp, part) rollup with a "
+    "conditional year slice; the IN becomes a native left_semi join; "
+    "the half threshold is integer-doubled, never a float ratio",
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    qty_e2 = scaled_long("l_quantity", 100)
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1996, qty_e2).otherwise(
+                    F.lit(0)
+                )
+            ).alias("qty96_e2"),
+            F.sum(qty_e2).alias("qtyall_e2"),
+        )
+    )
+    excess = (
+        sp.filter(F.col("qty96_e2") * 2 > F.col("qtyall_e2"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        supp.join(excess, "s_suppkey", "left_semi")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — waiting orders: the EXISTS / NOT-EXISTS chain, aggregate-compiled.
+# --------------------------------------------------------------------------
+@register(
+    "q21_sole_returned_supplier",
+    oracle="""
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (returnflag='R' stands in for the missing "
+    "receipt>commit lateness): suppliers who were the ONLY supplier "
+    "with a returned line on a multi-supplier order. The oracle keeps "
+    "the textbook EXISTS/NOT-EXISTS self-join pair; the Spark plan "
+    "compiles both to ONE per-order aggregate (distinct-supplier and "
+    "distinct-R-supplier counts) joined back — two scans of lineitem "
+    "instead of three, and no per-row correlated execution, which is "
+    "the only way this shape survives 100 TB",
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rpairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    ostats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    return (
+        rpairs.join(ostats, rpairs.l_orderkey == ostats.ok)
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(supp), rpairs.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity: scalar AVG subquery + anti-join.
+# --------------------------------------------------------------------------
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e2,
+               count(*) AS cnt
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_e2
+    FROM customer c, pos
+    WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * pos.cnt > pos.sum_e2
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (nationkey stands in for the phone country "
+    "code): customers with no order since 1999 and above-average "
+    "positive balance, counted per nation. The AVG scalar subquery is "
+    "a broadcast 1-row (sum, count) cross-join with the compare "
+    "integer cross-multiplied; the NOT EXISTS is a native left_anti "
+    "join whose date filter pushes to the orders scan",
+)
+def q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(scaled_long("c_acctbal", 100)).alias("sum_e2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        cust.join(orders, "c_custkey", "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .filter(scaled_long("c_acctbal", 100) * F.col("cnt") > F.col("sum_e2"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(scaled_long("c_acctbal", 100)).alias("totacctbal_e2"),
+        )
+    )

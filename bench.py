@@ -125,6 +125,19 @@ HEADLINE = (
     "q14_promo_revenue",
     "q19_disjunctive_filter",
     "q8_market_share",
+    # round-5: the correlated-subquery half of TPC-H — all 22 shapes now
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_sole_returned_supplier",
+    "q22_global_sales_opportunity",
 )
 
 

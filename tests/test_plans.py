@@ -273,3 +273,54 @@ def test_ngram_jaccard_filters_both_posting_sides(spark):
     df = REGISTRY["ngram_jaccard_index_pairs"].fn(spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert len(re.findall(r"df#\d+L? >= 2", opt)) >= 2
+
+
+def test_q2_correlated_min_is_reaggregation_not_subquery(spark):
+    """Q2's `= (SELECT min ...)` must compile to a per-part min
+    re-aggregation joined back on the group key — two HashAggregates
+    over the same grouped relation and only hash/broadcast joins, never
+    a per-row nested-loop subquery execution."""
+    p = plan_of(REGISTRY["q2_min_cost_supplier"].fn(spark, SF))
+    assert p.count("HashAggregate") >= 4  # partial+final × (spc, min_per_part)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q17_avg_threshold_joins_on_group_key(spark):
+    """Q17's `< 0.2*avg(...)` correlated subquery must become a keyed
+    join against the per-part aggregate (SortMergeJoin/ShuffledHashJoin
+    on l_partkey), with the threshold as a plain integer filter."""
+    p = plan_of(REGISTRY["q17_small_quantity_revenue"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_q21_exists_chain_is_one_aggregate_two_scans(spark):
+    """Q21's EXISTS/NOT-EXISTS pair compiles to ONE per-order aggregate
+    joined back — the plan must scan lineitem exactly twice (the R-pairs
+    side and the order-stats side), not three times as the textbook
+    triple self-join would."""
+    p = plan_of(REGISTRY["q21_sole_returned_supplier"].fn(spark, SF))
+    assert p.count("lineitem.parquet") == 2
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q16_not_in_is_native_anti_join(spark):
+    p = plan_of(REGISTRY["q16_parts_supplier_relationship"].fn(spark, SF))
+    assert "LeftAnti" in p
+    # count(DISTINCT) partial-aggregates before the final exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q20_nested_aggregate_is_semi_join(spark):
+    p = plan_of(REGISTRY["q20_excess_stock_suppliers"].fn(spark, SF))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q22_anti_join_date_filter_pushes_to_scan(spark):
+    """Q22's NOT EXISTS becomes a native anti-join whose date
+    restriction reaches the orders parquet scan as a pushed filter."""
+    p = plan_of(REGISTRY["q22_global_sales_opportunity"].fn(spark, SF))
+    assert "LeftAnti" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed)

@@ -80,6 +80,9 @@ NESTED_LOOP_OK: set[str] = {
     "ann_pq_recall",          # recall@k queries join ANN results to the
     "ann_lsh_recall",         # same 15-query brute-force ground truth
     "ann_ivf_recall",
+    "q11_important_stock",    # TPC-H scalar subqueries: crossJoin of a
+    "q15_top_supplier",       # broadcast 1-row aggregate (total / max /
+    "q22_global_sales_opportunity",  # positive-balance avg)
 }
 
 PY_NODES = re.compile(
