@@ -25,6 +25,7 @@ from algorithmproject_spark_spark.functions.hashing import (
     sql_token_hash_array,
     token_hash_array,
 )
+from algorithmproject_spark_spark.functions.numeric import sql_hash_mod
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -417,3 +418,121 @@ def ngram_jaccard_index_pairs(
         inter.alias("n_common"),
         union.alias("n_union"),
     ).filter(F.col("n_common") * 2 >= F.col("n_union"))
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest dedup — the production shape for a continuously
+# growing corpus: dedup a NEW batch against the HISTORICAL corpus
+# without ever re-running the full self-join. At 100 TB the historical
+# band index is a maintained table; here both sides derive from the
+# documents table via a deterministic hash split (80% historical / 20%
+# new) so the whole pipeline stays oracle-checkable.
+# --------------------------------------------------------------------------
+INCR_SPLIT_MOD = 10
+INCR_NEW_FROM = 8  # hash_mod(doc_id, 10) >= 8 → the "new batch" (~20%)
+
+
+@register(
+    "incremental_near_dup_ingest",
+    oracle=f"""
+    WITH sh AS ({_sql_shingle_hashes()}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{sql_minhash_value('sh', a, b)} AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES]))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_HASHES // BAND_ROWS))}
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+        FROM bands n JOIN bands h
+          ON n.band_idx = h.band_idx AND n.band_key = h.band_key
+        WHERE {sql_hash_mod('n.doc_id', INCR_SPLIT_MOD)} >= {INCR_NEW_FROM}
+          AND {sql_hash_mod('h.doc_id', INCR_SPLIT_MOD)} < {INCR_NEW_FROM}
+    ),
+    hits AS (
+        SELECT c.new_id,
+               count(*) AS n_hist_matches,
+               CAST(max(CAST(floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS max_jaccard_e6
+        FROM cand c
+        JOIN sh x ON c.new_id = x.doc_id
+        JOIN sh y ON c.hist_id = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh)) * 2
+              >= (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+        GROUP BY c.new_id
+    )
+    SELECT s.doc_id, coalesce(t.n_hist_matches, 0) AS n_hist_matches,
+           t.max_jaccard_e6,
+           (t.new_id IS NULL) AS admitted
+    FROM sh s LEFT JOIN hits t ON t.new_id = s.doc_id
+    WHERE {sql_hash_mod('s.doc_id', INCR_SPLIT_MOD)} >= {INCR_NEW_FROM}
+    """,
+    doc="Incremental ingest dedup: each new-batch doc LSH-probed "
+    "against the historical corpus only (bands join bands across the "
+    "split, never a full self-join), exact-Jaccard verified at 0.5, "
+    "then every new doc labeled admitted/duplicate. The historical "
+    "side is what a production pipeline keeps as a maintained band "
+    "index: per-batch cost is O(batch × bands), independent of corpus "
+    "size at equal bucket occupancy",
+)
+def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.functions.numeric import hash_mod
+
+    sig = minhash_signatures(spark, sf_dir)
+    sh = _shingle_hashes(spark, sf_dir)
+    n_bands = N_HASHES // BAND_ROWS
+    band_keys = F.array(
+        *[
+            (
+                F.col(f"mh{b * BAND_ROWS}") * F.lit(2147483659)
+                + F.col(f"mh{b * BAND_ROWS + 1}")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    is_new = hash_mod("doc_id", INCR_SPLIT_MOD) >= INCR_NEW_FROM
+    new_bands = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
+    )
+    hist_bands = bands.filter(~is_new).select(
+        F.col("doc_id").alias("hist_id"), "band_idx", "band_key"
+    )
+    cand = (
+        new_bands.join(hist_bands, ["band_idx", "band_key"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.floor(
+        inter.cast("double") / union * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    hits = (
+        cand.join(x, "new_id")
+        .join(y, "hist_id")
+        .filter(inter * 2 >= union)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hist_matches"),
+            F.max(jac).alias("max_jaccard_e6"),
+        )
+    )
+    new_docs = sh.filter(is_new).select("doc_id")
+    return (
+        new_docs.join(hits, new_docs.doc_id == hits.new_id, "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hist_matches"), F.lit(0)).alias(
+                "n_hist_matches"
+            ),
+            "max_jaccard_e6",
+            F.col("new_id").isNull().alias("admitted"),
+        )
+    )

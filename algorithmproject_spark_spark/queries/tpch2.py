@@ -632,29 +632,34 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "receipt>commit lateness): suppliers who were the ONLY supplier "
     "with a returned line on a multi-supplier order. The oracle keeps "
     "the textbook EXISTS/NOT-EXISTS self-join pair; the Spark plan "
-    "compiles both to ONE per-order aggregate (distinct-supplier and "
-    "distinct-R-supplier counts) joined back — two scans of lineitem "
-    "instead of three, and no per-row correlated execution, which is "
-    "the only way this shape survives 100 TB",
+    "compiles all three correlated references to ONE lineitem scan: "
+    "a distinct-pair pre-aggregate on (order, supplier) — which "
+    "combines map-side, unlike countDistinct whose Expand would "
+    "triple the shuffle volume — then a plain per-order aggregate "
+    "where max(when(returned, suppkey)) recovers the sole R-supplier, "
+    "so nothing ever joins back to the fact. The textbook triple "
+    "self-join would scan the 100 TB fact three times",
 )
 def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    rpairs = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    pairs = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").alias("is_r"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_r").alias("has_r"))
     )
-    ostats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    ostats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("has_r").cast("int")).alias("n_r_supp"),
+        F.max(F.when(F.col("has_r"), F.col("l_suppkey"))).alias("r_supp"),
     )
     return (
-        rpairs.join(ostats, rpairs.l_orderkey == ostats.ok)
-        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-        .join(F.broadcast(supp), rpairs.l_suppkey == supp.s_suppkey)
+        ostats.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(supp), F.col("r_supp") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

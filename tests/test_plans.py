@@ -294,13 +294,16 @@ def test_q17_avg_threshold_joins_on_group_key(spark):
     assert "HashAggregate" in p
 
 
-def test_q21_exists_chain_is_one_aggregate_two_scans(spark):
+def test_q21_exists_chain_is_one_aggregate_one_scan(spark):
     """Q21's EXISTS/NOT-EXISTS pair compiles to ONE per-order aggregate
-    joined back — the plan must scan lineitem exactly twice (the R-pairs
-    side and the order-stats side), not three times as the textbook
-    triple self-join would."""
+    over a SINGLE lineitem scan (max(when(R, suppkey)) recovers the
+    sole R-supplier, so nothing joins back to the fact) — the textbook
+    triple self-join would scan it three times. The distinct-pair
+    pre-aggregate must be a plain groupBy (map-side combine), never a
+    countDistinct whose Expand node would triple the shuffle volume."""
     p = plan_of(REGISTRY["q21_sole_returned_supplier"].fn(spark, SF))
-    assert p.count("lineitem.parquet") == 2
+    assert p.count("lineitem.parquet") == 1
+    assert "Expand" not in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
@@ -324,3 +327,54 @@ def test_q22_anti_join_date_filter_pushes_to_scan(spark):
     assert "LeftAnti" in p
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed)
+
+
+def test_incremental_ingest_probes_split_sides_only(spark):
+    """Incremental dedup must join the NEW band slice against the
+    HISTORICAL band slice — both children of the candidate join carry
+    the hash-split filter, so the per-batch cost is O(batch × bands),
+    never the full-corpus self-join."""
+    import re
+
+    df = REGISTRY["incremental_near_dup_ingest"].fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r">= 8", opt)) >= 2  # new side + final slice
+    assert len(re.findall(r"< 8", opt)) >= 1   # historical side
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """At 100 TB scale Spark injects a runtime bloom filter on the
+    probe side of a shuffle join whose build side is selectively
+    filtered (default thresholds: build ≤ 10 MB after filter, probe
+    scan ≥ 10 GB — i.e. exactly the big-fact × filtered-dim case).
+    The testdata never crosses 10 GB, so pin the machinery by lowering
+    the application-side threshold and asserting the injected
+    might_contain probe appears in the physical plan."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan_of(j)
+        assert "might_contain" in p, "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

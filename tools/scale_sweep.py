@@ -43,6 +43,9 @@ QUERIES = (
     # round-5 additions: sketch counters and the §3.2 composite
     "words_countmin_estimates",
     "user_label_pipeline",
+    # round-5: new-batch-vs-historical LSH probe — per-batch cost must
+    # stay linear as the corpus (both splits) grows
+    "incremental_near_dup_ingest",
 )
 
 # user_label_pipeline joins events; tile them alongside documents with
@@ -100,7 +103,22 @@ def build_corpus(spark, n_docs: int) -> str:
 # distinct key range, so group/join cardinalities grow linearly.
 FACT_BASE = {"orders": 150_000 * 10, "lineitem": 150_000 * 10, "customer": 150_000 * 10}
 FACT_SIZES = (1, 4, 16)  # tiling factors over sf0.1
-FACT_QUERIES = ("cdc_merge_apply", "salted_join_order_priority")
+FACT_QUERIES = (
+    "cdc_merge_apply",
+    "salted_join_order_priority",
+    # round-5 TPC-H correlated shapes: orders tile by key range
+    # (order count grows), parts/suppliers stay fixed — so per-part
+    # line counts and per-supplier order counts grow linearly, the
+    # realistic growth mode for the re-aggregation joins these compile
+    # to (q17's per-part avg, q21's per-order supplier stats, q13's
+    # per-customer order counts)
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_sole_returned_supplier",
+)
+# Dimension tables the TPC-H shapes read alongside the tiled facts —
+# copied through unchanged (fixed-size dims are the 100 TB reality).
+FACT_DIMS = ("supplier", "nation", "region", "part")
 
 
 def build_fact_corpus(spark, copies: int) -> str:
@@ -123,6 +141,10 @@ def build_fact_corpus(spark, copies: int) -> str:
                 remap = remap.withColumn(c, F.col(c) + F.lit(k * stride))
             tiled = remap if tiled is None else tiled.unionAll(remap)
         tiled.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    for table in FACT_DIMS:
+        spark.read.parquet(os.path.join(BASE, f"{table}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{table}.parquet"))
     return out
 
 
