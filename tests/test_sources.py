@@ -131,3 +131,86 @@ def test_events_ts_normalized_across_physical_forms(spark, io_dir):
         assert df.schema["ts"].dataType.typeName() == "timestamp", unit
         got = sorted(r.ts for r in df.select("ts").collect())
         assert got == vals, unit
+
+
+def test_clustered_write_enables_row_group_skipping(spark, tmp_path):
+    """write_clustered_parquet must produce row groups whose min/max
+    spans on the cluster key are tight: a point predicate overlaps
+    far fewer row groups than in the natural (arrival-order) layout —
+    the measurable property data skipping at 100 TB depends on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from algorithmproject_spark_spark.sources.writers import (
+        write_clustered_parquet,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    natural = str(tmp_path / "natural")
+    clustered = str(tmp_path / "clustered")
+    li.repartition(8).write.parquet(natural)
+    write_clustered_parquet(li, clustered, ("l_shipdate",), num_files=8)
+
+    def covering_row_groups(path: str, probe) -> tuple[int, int]:
+        total, cover = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema
+                    == "l_shipdate"
+                )
+                total += 1
+                st = col.statistics
+                if st.min <= probe <= st.max:
+                    cover += 1
+        return total, cover
+
+    import datetime
+
+    probe = datetime.datetime(1997, 6, 1)
+    nat_total, nat_cover = covering_row_groups(natural, probe)
+    clu_total, clu_cover = covering_row_groups(clustered, probe)
+    # natural layout: every row group spans ~the full date range
+    assert nat_cover == nat_total
+    # clustered: a point lands in ~1 of the 8 range partitions
+    assert clu_cover * 4 <= clu_total
+    # same data round-trips
+    assert (
+        spark.read.parquet(clustered).count()
+        == spark.read.parquet(natural).count()
+    )
+
+
+def test_idempotent_foreach_batch_replay_is_noop(spark, tmp_path):
+    """Replaying a micro-batch id must not duplicate rows (the
+    exactly-once contract), and read_upserted must resolve each key to
+    its latest batch."""
+    from algorithmproject_spark_spark.streaming.exactly_once import (
+        idempotent_batch_writer,
+        read_upserted,
+    )
+
+    target = str(tmp_path / "upsert")
+    write = idempotent_batch_writer(target)
+    b0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["user_id", "state"]
+    )
+    b1 = spark.createDataFrame(
+        [(2, "b2"), (3, "c")], ["user_id", "state"]
+    )
+    write(b0, 0)
+    write(b1, 1)
+    write(b1, 1)  # replay of batch 1 — must be a structural no-op
+    raw = spark.read.parquet(target)
+    assert raw.count() == 4  # 2 + 2, not 2 + 2 + 2
+    cur = {
+        r["user_id"]: r["state"]
+        for r in read_upserted(spark, target, ["user_id"]).collect()
+    }
+    assert cur == {1: "a", 2: "b2", 3: "c"}

@@ -395,3 +395,47 @@ def test_watermark_evicts_late_rows(spark, scratch):
         for op in p.get("stateOperators", [])
     )
     assert removed > 0, "no state rows were evicted by the watermark"
+
+
+def test_foreach_batch_exactly_once_sink_end_to_end(spark, tmp_path):
+    """Rate source → foreachBatch(idempotent parquet writer): the
+    micro-batch loop writes hive-partitioned batch_id dirs, and the
+    upsert read reconstructs one row per key."""
+    from algorithmproject_spark_spark.streaming.exactly_once import (
+        idempotent_batch_writer,
+        read_upserted,
+    )
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "eo_sink")
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .select(
+            (F.col("value") % 5).alias("user_id"),
+            F.col("value").alias("state"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(idempotent_batch_writer(target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            import glob
+
+            if glob.glob(f"{target}/batch_id=*"):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    cur = read_upserted(spark, target, ["user_id"])
+    rows = cur.collect()
+    assert 0 < len(rows) <= 5  # one row per user_id key
+    assert len({r["user_id"] for r in rows}) == len(rows)
