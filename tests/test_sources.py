@@ -214,3 +214,52 @@ def test_idempotent_foreach_batch_replay_is_noop(spark, tmp_path):
         for r in read_upserted(spark, target, ["user_id"]).collect()
     }
     assert cur == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """Z-order clustering must make row-group stats simultaneously
+    tight on BOTH interleaved keys: single-column range clustering is
+    perfect on its key and blind on the other; the Morton layout skips
+    a majority of row groups on each."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from algorithmproject_spark_spark.sources.writers import (
+        write_clustered_parquet,
+        write_zorder_parquet,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    single = str(tmp_path / "single")
+    zord = str(tmp_path / "zorder")
+    write_clustered_parquet(li, single, ("l_orderkey",), num_files=16)
+    write_zorder_parquet(li, zord, "l_orderkey", "l_partkey", num_files=16)
+
+    def covering(path: str, col: str, probe) -> tuple[int, int]:
+        total, cover = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                c = next(
+                    g.column(i)
+                    for i in range(g.num_columns)
+                    if g.column(i).path_in_schema == col
+                )
+                total += 1
+                st = c.statistics
+                if st.min <= probe <= st.max:
+                    cover += 1
+        return total, cover
+
+    # single-column layout: blind on the non-clustered key
+    tot, cov = covering(single, "l_partkey", 1000)
+    assert cov == tot
+    # z-order: majority of row groups skipped on EACH key
+    for col, probe in (("l_orderkey", 7500), ("l_partkey", 1000)):
+        tot, cov = covering(zord, col, probe)
+        assert cov * 3 <= tot * 2, (col, cov, tot)
+    assert spark.read.parquet(zord).count() == li.count()
