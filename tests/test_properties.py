@@ -285,3 +285,42 @@ def test_salted_join_equals_plain_join(spark, big, small, how):
     got = sorted(map(tuple, salted_join(big_df, small_df, "k", buckets=3, how=how).collect()))
     want = sorted(map(tuple, big_df.join(small_df, "k", how).collect()))
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@SLOW
+def test_morton_interleave_roundtrips_and_matches_python(spark, pairs):
+    """The codegen'd Morton key must equal the Python reference
+    interleave for arbitrary 16-bit inputs (bit-exactness of the
+    shiftright%2 + disjoint-add construction)."""
+    from algorithmproject_spark_spark.sources.writers import _morton_interleave
+
+    def py_morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a",
+            "b",
+            _morton_interleave(
+                F.col("a").cast("long"), F.col("b").cast("long")
+            ).alias("z"),
+        ).collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == py_morton(a, b)
