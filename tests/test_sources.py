@@ -263,3 +263,21 @@ def test_zorder_write_skips_on_both_columns(spark, tmp_path):
         tot, cov = covering(zord, col, probe)
         assert cov * 3 <= tot * 2, (col, cov, tot)
     assert spark.read.parquet(zord).count() == li.count()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction must collapse a many-small-file directory to the
+    byte-budgeted count and preserve the exact row multiset."""
+    from algorithmproject_spark_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "smallfiles")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(64).write.parquet(path)  # simulate accreted appends
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) >= 32
+    before = li.count()
+    n = compact_parquet(spark, path, target_file_bytes=8 * 1024 * 1024)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n and n <= 4
+    assert spark.read.parquet(path).count() == before

@@ -425,13 +425,17 @@ def test_foreach_batch_exactly_once_sink_end_to_end(spark, tmp_path):
     try:
         import time
 
+        # Wait for ROWS, not just a batch dir: the rate source's first
+        # micro-batch is often empty (0 elapsed seconds), and an empty
+        # batch still creates its batch_id directory.
         deadline = time.time() + 30
         while time.time() < deadline:
             q.processAllAvailable()
-            import glob
-
-            if glob.glob(f"{target}/batch_id=*"):
-                break
+            try:
+                if spark.read.parquet(target).count() > 0:
+                    break
+            except Exception:
+                pass  # no batch dir yet
             time.sleep(0.5)
     finally:
         q.stop()
