@@ -138,6 +138,7 @@ HEADLINE = (
     "q20_excess_stock_suppliers",
     "q21_sole_returned_supplier",
     "q22_global_sales_opportunity",
+    "incremental_near_dup_ingest",
 )
 
 
