@@ -25,6 +25,7 @@ from algorithmproject_spark_spark.queries import (  # noqa: F401,E402
     textops2,
     llmprep,
     tpch2,
+    fuzzy,
 )
 from algorithmproject_spark_spark.plans import pipelines  # noqa: F401,E402
 from algorithmproject_spark_spark.ml import topics  # noqa: F401,E402

@@ -378,3 +378,11 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_edit1_is_blocked_equi_join(spark):
+    """The edit-distance join must be an equi-join on deletion keys
+    (linear key volume) — never a nested-loop all-pairs levenshtein."""
+    p = plan_of(REGISTRY["fuzzy_name_edit1_pairs"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "levenshtein" in p  # verify runs on candidates only
