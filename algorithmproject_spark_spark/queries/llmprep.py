@@ -656,3 +656,110 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling + mixture sampling — the data-mixing
+# half of a training pipeline: pick documents with probability ∝ a
+# per-row weight (quality/length), and compose a corpus from per-source
+# quotas. Both engine-portable: priorities are integer rationals
+# (hash·SCALE div weight), never float pow/log, so Spark and DuckDB
+# rank identically and a re-run on different partitioning returns the
+# same sample — the property sample() and rand() cannot give.
+# --------------------------------------------------------------------------
+WSAMPLE_K = 100
+WSAMPLE_SCALE = 1_000_000
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST(({sql_hash_mod('doc_id', 1000003)} * {WSAMPLE_SCALE}) // n_chars AS BIGINT)
+               AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    doc="Deterministic weighted sampling (probability ∝ n_chars): "
+    "priority = hash(doc)·SCALE div weight, take the k smallest — the "
+    "integer-rational analogue of the A-ES exponential-clock sampler. "
+    "Longer documents get proportionally smaller priorities, the "
+    "ranking is exact in both engines, and the k-limit compiles to "
+    "TakeOrderedAndProject (per-partition heaps, no global sort)",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.functions.numeric import sql_hash_mod as _shm
+
+    docs = load_table(spark, sf_dir, "documents")
+    # SQL `div` (exact integer division; PySpark Columns have no
+    # integer-div operator, and floor(a/b) rounds through a double)
+    priority = F.expr(
+        f"CAST(({_shm('doc_id', 1000003)}) * {WSAMPLE_SCALE}"
+        f" div n_chars AS BIGINT)"
+    )
+    return (
+        docs.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+# Per-source quotas: heads get more, the rest a long-tail allowance —
+# the literal mixture recipe a training run pins in its config.
+MIXTURE_QUOTAS = {"src0": 15, "src1": 12, "src2": 10, "src3": 8}
+MIXTURE_DEFAULT_QUOTA = 4
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH quota AS (
+        SELECT * FROM (VALUES {", ".join(f"('{s}', {q})" for s, q in MIXTURE_QUOTAS.items())}) AS q(source, quota)
+    ),
+    ranked AS (
+        SELECT d.source, d.doc_id,
+               coalesce(q.quota, {MIXTURE_DEFAULT_QUOTA}) AS quota,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY {sql_hash_mod('d.doc_id', 1000003)}, d.doc_id
+               ) AS rn
+        FROM documents d LEFT JOIN quota q ON q.source = d.source
+    )
+    SELECT source, count(*) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rn <= quota
+    GROUP BY source
+    """,
+    doc="Corpus mixture sampling: each source contributes its quota of "
+    "documents (heads oversampled, long tail capped), members chosen "
+    "by deterministic hash order so the mixture is reproducible "
+    "across runs, partitionings, and engines. One per-source window "
+    "+ one broadcast quota join; the output checksums the sampled id "
+    "set per source so the oracle verifies membership, not just "
+    "counts",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quota = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_QUOTAS.items() for x in kv]
+    )
+    w = W.partitionBy("source").orderBy(
+        hash_mod("doc_id", 1000003), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.coalesce(quota[F.col("source")], F.lit(MIXTURE_DEFAULT_QUOTA)).alias(
+                "quota"
+            ),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
