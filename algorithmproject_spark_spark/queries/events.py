@@ -303,3 +303,118 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.join(agg, ["event_type", "hour"], "left").select(
         "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+@register(
+    "events_gapfill_interpolate",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS val_e6
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM agg GROUP BY 1
+    ),
+    dense AS (
+        SELECT b.event_type, gs.h AS hour
+        FROM bounds b, LATERAL (
+            SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        ) gs
+    ),
+    grid AS (
+        SELECT d.event_type, d.hour,
+               CAST(epoch(d.hour) // 3600 AS BIGINT) AS hidx,
+               a.val_e6
+        FROM dense d LEFT JOIN agg a
+          ON a.event_type = d.event_type AND a.hour = d.hour
+    ),
+    ctx AS (
+        SELECT event_type, hour, hidx, val_e6,
+               last_value(val_e6 IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN val_e6 IS NOT NULL THEN hidx END IGNORE NULLS) OVER w_prev AS ph,
+               first_value(val_e6 IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN val_e6 IS NOT NULL THEN hidx END IGNORE NULLS) OVER w_next AS nh
+        FROM grid
+        WINDOW
+          w_prev AS (PARTITION BY event_type ORDER BY hidx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY event_type ORDER BY hidx
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour,
+           CAST(CASE WHEN val_e6 IS NOT NULL THEN val_e6
+                ELSE pv + CAST(floor(CAST((nv - pv) * (hidx - ph) AS DOUBLE) / (nh - ph)) AS BIGINT)
+           END AS BIGINT) AS filled_e6,
+           (val_e6 IS NOT NULL) AS was_present
+    FROM ctx
+    """,
+    doc="Gap-fill with LINEAR INTERPOLATION: the dense hourly grid "
+    "(bounded per type by its own present span, so an interior gap "
+    "always has both neighbors) carries each silent hour the "
+    "prev/next present values via ignore-nulls window frames, then "
+    "fills floor(pv + (nv-pv)*(h-hp)/(hn-hp)) in exact e6 fixed-point "
+    "— the float division is a single IEEE op on <2^53 integers, so "
+    "floor is bit-stable in both engines. Two frames over one keyed "
+    "sort, no self-join per gap",
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from algorithmproject_spark_spark.functions.numeric import scaled_long
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(scaled_long("value", 1000000)).alias("val_e6"))
+    bounds = agg.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    dense = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        ),
+    )
+    grid = dense.join(agg, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        (F.unix_timestamp("hour") / 3600).cast("long").alias("hidx"),
+        "val_e6",
+    )
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    present_h = F.when(F.col("val_e6").isNotNull(), F.col("hidx"))
+    ctx = grid.select(
+        "event_type",
+        "hour",
+        "hidx",
+        "val_e6",
+        F.last("val_e6", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(present_h, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("val_e6", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(present_h, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    interp = F.col("pv") + F.floor(
+        ((F.col("nv") - F.col("pv")) * (F.col("hidx") - F.col("ph"))).cast(
+            "double"
+        )
+        / (F.col("nh") - F.col("ph"))
+    ).cast("long")
+    return ctx.select(
+        "event_type",
+        "hour",
+        F.when(F.col("val_e6").isNotNull(), F.col("val_e6"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("filled_e6"),
+        F.col("val_e6").isNotNull().alias("was_present"),
+    )

@@ -139,6 +139,10 @@ HEADLINE = (
     "q21_sole_returned_supplier",
     "q22_global_sales_opportunity",
     "incremental_near_dup_ingest",
+    "fuzzy_name_edit1_pairs",
+    "weighted_sample_topk",
+    "corpus_mixture_sample",
+    "events_gapfill_interpolate",
 )
 
 
