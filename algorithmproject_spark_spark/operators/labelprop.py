@@ -1,0 +1,86 @@
+"""Label-propagation community detection (synchronous LPA), the
+mode-update sibling of min-label connected components.
+
+CC answers "which vertices are reachable"; LPA answers "which vertices
+are DENSELY tied" — on a near-dup graph it splits a weakly-bridged
+component into its tight clusters, the right granularity for choosing
+dedup survivors when two template families share one boilerplate pair.
+
+Determinism contract: classic LPA is order- and tie-unstable. This
+variant is fully deterministic — synchronous rounds (all updates read
+the PREVIOUS round's labels), the new label is the most frequent
+neighbor label with ties broken by MIN label, and the round count is
+fixed — so a DuckDB oracle re-derives it exactly with one unrolled CTE
+per round (the same pattern as components.py / fixed-point PageRank).
+
+Scale: each round is one equi-join on vertex id (shuffle O(edges)) +
+one (v, lbl) partial-agg count + one per-vertex top-1 window.
+``localCheckpoint`` per round cuts the 2^k lineage nesting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+LPA_ITERS = 3
+
+
+def label_propagation(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iterations: int = LPA_ITERS,
+) -> DataFrame:
+    """(v, community): synchronous LPA labels after `iterations` rounds
+    over the undirected graph given as unordered pairs."""
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionAll(
+            pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+    )
+    top1 = W.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iterations):
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("v", "d"), "d"
+        ).select(F.col("s").alias("v"), "lbl")
+        labels = (
+            neighbor_labels.groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("v", F.col("lbl").alias("community"))
+
+
+def sql_label_propagation(
+    edges_cte: str, iterations: int = LPA_ITERS
+) -> str:
+    """DuckDB twin: one unrolled CTE per synchronous round. `edges_cte`
+    must name a relation with columns (s, d), already bidirected."""
+    parts = [
+        f"lp0 AS (SELECT DISTINCT s AS v, s AS lbl FROM {edges_cte})"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""lp{i} AS (
+        SELECT v, lbl FROM (
+            SELECT e.s AS v, l.lbl, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.s ORDER BY count(*) DESC, l.lbl
+                   ) AS rn
+            FROM {edges_cte} e JOIN lp{i - 1} l ON l.v = e.d
+            GROUP BY e.s, l.lbl
+        ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(parts)

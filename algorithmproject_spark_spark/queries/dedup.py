@@ -536,3 +536,51 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_id").isNull().alias("admitted"),
         )
     )
+
+
+@register(
+    "dedup_label_prop_communities",
+    oracle=None,  # installed below (needs the dup-pairs CTE + LPA unroll)
+    doc="Label-propagation communities over the verified near-dup "
+    "graph: synchronous LPA, most-frequent-neighbor label with min "
+    "tie-break, 3 fixed rounds — splits weakly-bridged components "
+    "into tight clusters (finer than connected components). Each "
+    "round is one O(edges) equi-join + a per-vertex top-1 window; "
+    "the DuckDB oracle unrolls one CTE per round",
+)
+def dedup_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    pairs = jaccard_pairs_above(spark, sf_dir).select("doc_a", "doc_b")
+    return label_propagation(pairs).select(
+        F.col("v").alias("doc_id"), "community"
+    )
+
+
+def _install_lpa_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.operators.labelprop import (
+        LPA_ITERS,
+        sql_label_propagation,
+    )
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    oracle = f"""
+    WITH {sql_dup_pairs_cte()},
+    lp_edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM dup_pairs
+    ),
+    {sql_label_propagation('lp_edges', LPA_ITERS)}
+    SELECT v AS doc_id, lbl AS community FROM lp{LPA_ITERS}
+    """
+    REGISTRY["dedup_label_prop_communities"] = replace(
+        REGISTRY["dedup_label_prop_communities"], oracle=oracle
+    )
+
+
+_install_lpa_oracle()
