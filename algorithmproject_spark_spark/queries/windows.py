@@ -210,3 +210,46 @@ def window_rank_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFram
         scaled_long(F.cume_dist().over(w), 1000000).alias("cume_e6"),
         F.first("o_orderkey").over(w).alias("first_key"),
     )
+
+
+@register(
+    "window_trailing_2h_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_2h_e6,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_2h_n
+    FROM events
+    WHERE user_id % 97 = 0
+    """,
+    doc="True RANGE window frame: per-user trailing-2-hour sum/count "
+    "keyed by event TIME, not row position (rangeBetween over epoch "
+    "seconds — uneven event spacing means a rows-frame would be "
+    "wrong). One keyed sort per user partition; the frame bound is a "
+    "pointer walk within the sorted run, no self-join per row. "
+    "Values are exact e6 fixed-point so the trailing sums "
+    "hash-match",
+)
+def window_trailing_2h_range_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 97 == 0
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7200, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(scaled_long("value", 1000000)).over(w).alias("trailing_2h_e6"),
+        F.count(F.lit(1)).over(w).alias("trailing_2h_n"),
+    )

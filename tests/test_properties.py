@@ -324,3 +324,30 @@ def test_morton_interleave_roundtrips_and_matches_python(spark, pairs):
     }
     for a, b in pairs:
         assert got[(a, b)] == py_morton(a, b)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=24,
+    ),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@SLOW
+def test_label_propagation_partition_invariant(spark, edges, parts):
+    """LPA labels must not depend on the physical partitioning of the
+    edge relation — the synchronous-update + min-tie-break contract."""
+    from algorithmproject_spark_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    df1 = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    df2 = df1.repartition(parts)
+    r1 = sorted(map(tuple, label_propagation(df1).collect()))
+    r2 = sorted(map(tuple, label_propagation(df2).collect()))
+    assert r1 == r2
