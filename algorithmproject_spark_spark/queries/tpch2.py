@@ -721,3 +721,49 @@ def q22_global_sales_opportunity(
             F.sum(scaled_long("c_acctbal", 100)).alias("totacctbal_e2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE — Spark 4's WITH RECURSIVE frontier (SURVEY §2.1 S10:
+# the SQL-over-views surface). Shape chosen for scale sanity: a parent
+# walk up the implicit binary tree custkey → custkey div 2, which is
+# strictly linear per seed (one row per level, ~log2(custkey) levels,
+# no cycles) — unlike naive BFS over a clique-heavy graph, whose
+# path count explodes combinatorially without a visited-set.
+# --------------------------------------------------------------------------
+@register(
+    "sql_recursive_ancestor_chain",
+    oracle="""
+    WITH RECURSIVE chain(custkey, anc, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT custkey, anc // 2, depth + 1 FROM chain WHERE anc > 0
+    )
+    SELECT custkey,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(sum(anc) AS BIGINT) AS path_checksum
+    FROM chain
+    GROUP BY custkey
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): walk each seed "
+    "customer's ancestor chain up the implicit custkey div 2 binary "
+    "tree and report depth + path checksum. Linear per seed (no "
+    "combinatorial path growth), each recursion step is one keyed "
+    "self-join the engine materializes level by level",
+)
+def sql_recursive_ancestor_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(custkey, anc, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey % 13 = 0
+            UNION ALL
+            SELECT custkey, anc DIV 2, depth + 1 FROM chain WHERE anc > 0
+        )
+        SELECT custkey,
+               CAST(max(depth) AS BIGINT) AS depth_to_root,
+               CAST(sum(anc) AS BIGINT) AS path_checksum
+        FROM chain
+        GROUP BY custkey
+        """
+    )
