@@ -386,3 +386,18 @@ def test_fuzzy_edit1_is_blocked_equi_join(spark):
     p = plan_of(REGISTRY["fuzzy_name_edit1_pairs"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "levenshtein" in p  # verify runs on candidates only
+
+
+def test_sql_udf_inlines_no_python(spark):
+    """The SQL UDF must be Catalyst-inlined — its plan is identical in
+    kind to hand-written expressions: partial aggregation, no Python
+    eval node anywhere."""
+    p = plan_of(REGISTRY["sql_udf_net_revenue"].fn(spark, SF))
+    assert "EvalPython" not in p and "BatchEval" not in p
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_variant_parse_stays_jvm_side(spark):
+    p = plan_of(REGISTRY["variant_props_stats"].fn(spark, SF))
+    assert "EvalPython" not in p
+    assert "variant_get" in p or "from_json" in p  # typed access in-plan
