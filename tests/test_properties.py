@@ -351,3 +351,62 @@ def test_label_propagation_partition_invariant(spark, edges, parts):
     r1 = sorted(map(tuple, label_propagation(df1).collect()))
     r2 = sorted(map(tuple, label_propagation(df2).collect()))
     assert r1 == r2
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=10),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SLOW
+def test_bpe_merges_match_python_model(spark, docs):
+    """The relational BPE loop must equal a sequential Python reference:
+    same argmax pair (count desc, lexicographic ties) and same
+    left-to-right a!=b merge, for 2 rounds on arbitrary corpora."""
+    from collections import Counter
+
+    from algorithmproject_spark_spark.queries.bpe import bpe_learn_merges
+
+    def py_round(corpus):
+        counts = Counter()
+        for t in corpus:
+            for x, y in zip(t, t[1:]):
+                if x != y:
+                    counts[(x, y)] += 1
+        if not counts:
+            return None, corpus
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out = []
+        for t in corpus:
+            nt, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and (t[i], t[i + 1]) == best:
+                    nt.append(f"{best[0]}_{best[1]}")
+                    i += 2
+                else:
+                    nt.append(t[i])
+                    i += 1
+            out.append(nt)
+        return best, out
+
+    expected, corpus = [], docs
+    for _ in range(2):
+        best, corpus = py_round(corpus)
+        if best is None:
+            break
+        expected.append(best)
+    if not expected:
+        return  # degenerate corpus (all-equal adjacent pairs)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = [
+        (r["a"], r["b"])
+        for r in bpe_learn_merges(df, rounds=len(expected))
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == expected
