@@ -157,3 +157,39 @@ def _sql_round(r: int) -> str:
 def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs)
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=f"""
+    WITH tok0 AS (
+        SELECT doc_id, string_split(text, chr(32)) AS t FROM documents
+    ),
+    {", ".join(_sql_round(r) for r in range(1, BPE_ROUNDS + 1))}
+    SELECT t0.doc_id,
+           CAST(len(t0.t) AS BIGINT) AS n_tokens_raw,
+           CAST(len(t4.t) AS BIGINT) AS n_tokens_bpe,
+           CAST(len(t0.t) - len(t4.t) AS BIGINT) AS n_merged
+    FROM tok0 t0 JOIN tok{BPE_ROUNDS} t4 ON t4.doc_id = t0.doc_id
+    """,
+    doc="BPE encode step: apply the 4 learned merges to every document "
+    "and report raw-vs-encoded token counts — the inference half of "
+    "the tokenizer loop, 4 chained map-only HOF passes over the "
+    "corpus (the training rounds' broadcast pairs drive the same "
+    "merge expression)",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok0 = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tok = tok0
+    for _ in range(BPE_ROUNDS):
+        best = _pair_best(tok).localCheckpoint(eager=True)
+        tok = _merge_round(tok, best).localCheckpoint(eager=True)
+    raw = tok0.select("doc_id", F.size("t").cast("long").alias("n_tokens_raw"))
+    enc = tok.select("doc_id", F.size("t").cast("long").alias("n_tokens_bpe"))
+    return raw.join(enc, "doc_id").select(
+        "doc_id",
+        "n_tokens_raw",
+        "n_tokens_bpe",
+        (F.col("n_tokens_raw") - F.col("n_tokens_bpe")).alias("n_merged"),
+    )

@@ -143,6 +143,13 @@ HEADLINE = (
     "weighted_sample_topk",
     "corpus_mixture_sample",
     "events_gapfill_interpolate",
+    "dedup_label_prop_communities",
+    "window_trailing_2h_range_frame",
+    "sql_recursive_ancestor_chain",
+    "variant_props_stats",
+    "sql_udf_net_revenue",
+    "bpe_merge_induction",
+    "bpe_encode_stats",
 )
 
 
