@@ -102,3 +102,18 @@ def stream_click_attribution_batch_twin(
         F.countDistinct("click_id").alias("n_clicks"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the CURRENT state of the static (batch) side — Spark re-plans the
+    static side per batch, so a dimension refreshed in place is picked
+    up without restarting the query, and no streaming state is kept
+    for the join at all (the static side is broadcast when small).
+
+    This is the streaming face of the reference's dictionary joins
+    (tag/category lookups): the batch jobs broadcast the same dims
+    (SURVEY §2.3 J6); here the lookup rides every micro-batch."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -496,3 +496,41 @@ def test_transform_with_state_profile(spark, tmp_path):
     finally:
         q.stop()
     assert rows and all(r["n_events"] > 0 for r in rows)
+
+
+def test_stream_static_enrichment_join(spark, events_dir):
+    """Stream-static join: every micro-batch row is enriched from the
+    batch-side dimension with no streaming state; result equals the
+    batch join."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+    from algorithmproject_spark_spark.streaming.joins import (
+        enrich_with_static,
+    )
+
+    batch = spark.read.parquet(str(events_dir))
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    expected = batch.join(dim, "user_id").count()
+
+    stream = stream_read_parquet(spark, str(events_dir), batch.schema)
+    q = stream_write_memory(
+        enrich_with_static(stream, dim, "user_id", how="inner"),
+        "enriched_out",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT count(*) AS n, count(segment) AS ns FROM enriched_out"
+        ).first()
+    finally:
+        q.stop()
+    assert got.n == expected
+    assert got.ns == expected  # every row carried the dim attribute

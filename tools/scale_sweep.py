@@ -46,6 +46,9 @@ QUERIES = (
     # round-5: new-batch-vs-historical LSH probe — per-batch cost must
     # stay linear as the corpus (both splits) grows
     "incremental_near_dup_ingest",
+    # round-5: BPE learning — per round one O(tokens) pair shuffle +
+    # a map-only merge; rounds are fixed, so total cost must be linear
+    "bpe_merge_induction",
 )
 
 # user_label_pipeline joins events; tile them alongside documents with
