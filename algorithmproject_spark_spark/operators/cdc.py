@@ -113,3 +113,61 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("seq"),
     )
     return cdc_apply(snapshot, changes, "c_custkey")
+
+
+ASOF_SEQ = 7500
+
+
+@register(
+    "cdc_snapshot_asof",
+    oracle=f"""
+    WITH snap AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 <> 3
+    ),
+    raw_changes AS (
+        SELECT o_custkey AS c_custkey,
+               CASE WHEN o_custkey % 7 = 0 THEN 'D'
+                    WHEN o_custkey % 10 = 3 THEN 'I' ELSE 'U' END AS op,
+               o_totalprice AS c_acctbal,
+               o_orderkey AS seq
+        FROM orders
+        WHERE o_orderkey <= {ASOF_SEQ}
+    ),
+    latest AS (
+        SELECT c_custkey, op, c_acctbal
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+              FROM raw_changes)
+        WHERE rn = 1
+    )
+    SELECT coalesce(s.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN c.op IS NOT NULL THEN c.c_acctbal
+                ELSE s.c_acctbal END AS c_acctbal
+    FROM snap s
+    FULL OUTER JOIN latest c ON s.c_custkey = c.c_custkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    doc="Time travel over a CDC log: reconstruct the keyed snapshot AS "
+    "OF sequence bound S by bounding the change log (pushed to the "
+    "scan) before the same compaction + merge — the query shape a "
+    "table format's VERSION AS OF compiles to, with cost proportional "
+    "to the bounded log, not to history length",
+)
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= ASOF_SEQ
+    )
+    snapshot = cust.filter(F.col("c_custkey") % 10 != 3).select(
+        "c_custkey", "c_acctbal"
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_custkey") % 7 == 0, "D")
+        .when(F.col("o_custkey") % 10 == 3, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return cdc_apply(snapshot, changes, "c_custkey")
