@@ -401,3 +401,37 @@ def test_variant_parse_stays_jvm_side(spark):
     p = plan_of(REGISTRY["variant_props_stats"].fn(spark, SF))
     assert "EvalPython" not in p
     assert "variant_get" in p or "from_json" in p  # typed access in-plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join-strategy hints: users migrating hand-tuned jobs need
+    explicit control when stats mislead — merge and shuffle_hash hints
+    must survive into the physical plan."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    p = plan_of(li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey))
+    assert "SortMergeJoin" in p
+    p = plan_of(
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    )
+    assert "ShuffledHashJoin" in p
+
+
+def test_observation_metrics_single_pass(spark):
+    """df.observe: pipeline health counters (rows, nulls, revenue sum)
+    captured DURING the job — no second scan, the aggregate rides the
+    same plan."""
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation("health")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("int")).alias("null_qty"),
+    ).filter(F.col("l_quantity") > 10)
+    n_filtered = out.count()
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["null_qty"] == 0
+    assert 0 < n_filtered < got["n_rows"]
