@@ -83,6 +83,7 @@ NESTED_LOOP_OK: set[str] = {
     "q11_important_stock",    # TPC-H scalar subqueries: crossJoin of a
     "q15_top_supplier",       # broadcast 1-row aggregate (total / max /
     "q22_global_sales_opportunity",  # positive-balance avg)
+    "events_ordered_funnel",  # broadcast 1-row min(ts) window anchor
 }
 
 PY_NODES = re.compile(
