@@ -1,0 +1,82 @@
+"""Cross-engine table checksum — migration validation as an operator.
+
+Comparing a migrated table against its source is exactly what this
+repo's oracle methodology does per query; this operator productizes
+it: one row summarizing the full value multiset of a relation, built
+ONLY from primitives both engines (and most warehouses) compute
+bit-identically:
+
+- per-row hash: md5 of the unit-separator-joined string forms of the
+  chosen columns (md5 is specified byte-exact everywhere; the \\x1f
+  separator prevents ("ab","c") / ("a","bc") collisions),
+- xor_hash: bit_xor of the first 15 hex digits as a 60-bit int — an
+  ORDER-INDEPENDENT, OVERFLOW-FREE aggregate (xor never overflows, so
+  unlike a modular sum it needs no row-count bound at 100 TB),
+- n_rows / n_distinct_rows, min/max row hash as cheap extra witnesses
+  (xor alone cannot see a row repeated an even number of times —
+  n_rows + n_distinct close that gap for multiset equality).
+
+Two tables match iff every column of the two checksum rows matches;
+each side is ONE aggregation pass with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SEP = "\x1f"  # ASCII unit separator
+
+
+def row_hash(cols: list[str]) -> F.Column:
+    """md5 hex string of the row's chosen columns (null-safe: nulls
+    render as the empty string, distinguished by the separator)."""
+    return F.md5(F.concat_ws(SEP, *[F.col(c).cast("string") for c in cols]))
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """1-row multiset checksum of ``df[cols]``."""
+    h = row_hash(cols).alias("h")
+    hashed = df.select(h)
+    hex60 = F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+    return hashed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("h").alias("n_distinct_rows"),
+        F.bit_xor(hex60).alias("xor_hash"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+    )
+
+
+def sql_table_checksum(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`table_checksum`."""
+    joined = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_rows,
+           CAST(bit_xor(CAST(concat('0x', substr(h, 1, 15)) AS BIGINT)) AS BIGINT) AS xor_hash,
+           min(h) AS min_hash,
+           max(h) AS max_hash
+    FROM (SELECT md5(concat_ws(chr(31), {joined})) AS h FROM {table})
+    """
+
+
+def _register() -> None:
+    from algorithmproject_spark_spark.registry import register
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+    @register(
+        "table_checksum_orders",
+        oracle=sql_table_checksum("orders", cols),
+        doc="Cross-engine migration-validation checksum of the orders "
+        "table: order-independent bit_xor of 60-bit md5 prefixes + "
+        "row/distinct counts + min/max hash witnesses, one "
+        "aggregation pass per side — the operator form of this "
+        "repo's own oracle gate",
+    )
+    def table_checksum_orders(spark, sf_dir):
+        return table_checksum(load_table(spark, sf_dir, "orders"), cols)
+
+
+_register()

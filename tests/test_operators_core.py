@@ -222,3 +222,38 @@ def test_driver_cc_query_is_converged_at_sf001(spark):
     )
     exact = sorted((r.v, r.lbl) for r in connected_components(pairs).collect())
     assert fixed == exact
+
+
+def test_table_checksum_detects_any_change(spark):
+    """Checksums must be partition-order independent, and any single
+    value change, row loss, or duplicate-parity trick must move at
+    least one witness column."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.checksum import table_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    base = table_checksum(df, ["k", "v"]).first()
+    same = table_checksum(df.repartition(7), ["k", "v"]).first()
+    assert tuple(base) == tuple(same)
+
+    mutated = table_checksum(
+        df.withColumn("v", F.when(F.col("k") == 3, "X").otherwise(F.col("v"))),
+        ["k", "v"],
+    ).first()
+    assert mutated["xor_hash"] != base["xor_hash"]
+
+    dropped = table_checksum(df.filter(F.col("k") != 2), ["k", "v"]).first()
+    assert tuple(dropped) != tuple(base)
+
+    # a row duplicated twice XORs itself away — n_rows/n_distinct catch it
+    doubled = table_checksum(
+        df.unionAll(df.filter(F.col("k") == 1)).unionAll(
+            df.filter(F.col("k") == 1)
+        ),
+        ["k", "v"],
+    ).first()
+    assert doubled["xor_hash"] == base["xor_hash"]  # the xor blind spot...
+    assert doubled["n_rows"] != base["n_rows"]      # ...closed by counts
