@@ -435,3 +435,42 @@ def test_observation_metrics_single_pass(spark):
     assert got["n_rows"] == li.count()
     assert got["null_qty"] == 0
     assert 0 < n_filtered < got["n_rows"]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join must split the hot partition at runtime: a join
+    where one key carries 75% of the big side finishes as
+    SortMergeJoin(skew=true) in the final adaptive plan — the runtime
+    remedy (alongside operators/skew.py's explicit salting) that keeps
+    a 1000-executor cluster from serializing on one straggler task.
+    Thresholds are lowered to make test-sized data register as skewed;
+    production defaults (256 MB) express the same mechanism."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 300_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
