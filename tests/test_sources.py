@@ -281,3 +281,28 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) == n and n <= 4
     assert spark.read.parquet(path).count() == before
+
+
+def test_file_metadata_provenance_column(spark, tmp_path):
+    """The hidden _metadata struct gives per-row file provenance with
+    no extra scan — the lineage primitive for tracing a bad record
+    back to its source file in a multi-million-file lake."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "prov")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(4).write.parquet(path)
+    prov = (
+        spark.read.parquet(path)
+        .select(
+            "l_orderkey",
+            F.col("_metadata.file_path").alias("src"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .groupBy("src", "sz")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = prov.collect()
+    assert len(rows) == 4  # one provenance group per physical file
+    assert sum(r["n"] for r in rows) == li.count()
+    assert all(r["sz"] > 0 and r["src"].endswith(".parquet") for r in rows)
