@@ -151,6 +151,31 @@ def build_fact_corpus(spark, copies: int) -> str:
     return out
 
 
+FUZZY_SIZES = (10_000, 40_000, 160_000)
+
+
+def fuzzy_sweep(spark) -> None:
+    """Edit-distance-1 join growth: synthetic zero-padded ids are the
+    WORST case for deletion blocking (deleting a digit position
+    collides many near-ids into one bucket), so this measures the
+    candidate-volume risk directly, not a friendly corpus."""
+    from algorithmproject_spark_spark.queries.fuzzy import edit1_pairs
+
+    print("\nfuzzy edit1 sweep (synthetic u%06d names):")
+    prev = None
+    for n in FUZZY_SIZES:
+        names = spark.range(n).selectExpr("format_string('u%06d', id) AS w")
+        t0 = time.time()
+        n_pairs = edit1_pairs(names, "w").count()
+        sec = round(time.time() - t0, 2)
+        exp = ""
+        if prev:
+            e = math.log(sec / prev[1]) / math.log(n / prev[0])
+            exp = f"  exponent vs prev: {e:.2f}"
+        print(f"  n={n:>7}  {sec:6.2f} s  pairs={n_pairs}{exp}")
+        prev = (n, sec)
+
+
 def posting_df_sweep(spark) -> None:
     """MAX_POSTING_DF sensitivity at fixed n=20k: the recall/cost knob.
     Reports runtime and verified-pair yield per df cap."""
@@ -338,6 +363,8 @@ def main() -> None:
     _report(results)
     if "posting_df" in names:
         posting_df_sweep(spark)
+    if "fuzzy" in names:
+        fuzzy_sweep(spark)
     shutil.rmtree(SWEEP_DIR, ignore_errors=True)
 
 
