@@ -584,3 +584,44 @@ def _install_lpa_oracle() -> None:
 
 
 _install_lpa_oracle()
+
+
+@register(
+    "dedup_triangle_counts",
+    oracle=None,  # installed below (needs the dup-pairs CTE)
+    doc="Per-doc triangle participation over the verified near-dup "
+    "graph (degree-ordered wedge joins — each triangle generated "
+    "once from its minimum-(degree,id) vertex, hot-vertex wedge "
+    "blowup eliminated). Dense triangle clusters flag template spam",
+)
+def dedup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.operators.triangles import (
+        vertex_triangle_counts,
+    )
+
+    edges = jaccard_pairs_above(spark, sf_dir).select("doc_a", "doc_b")
+    return vertex_triangle_counts(edges).select(
+        F.col("v").alias("doc_id"), "n_triangles"
+    )
+
+
+def _install_triangle_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.operators.triangles import (
+        sql_vertex_triangle_counts,
+    )
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    oracle = f"""
+    WITH {sql_dup_pairs_cte()},
+    tc_edges AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs),
+    {sql_vertex_triangle_counts('tc_edges')}
+    SELECT v AS doc_id, n_triangles FROM tc_counts
+    """
+    REGISTRY["dedup_triangle_counts"] = replace(
+        REGISTRY["dedup_triangle_counts"], oracle=oracle
+    )
+
+
+_install_triangle_oracle()
