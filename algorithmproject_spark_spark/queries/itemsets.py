@@ -1,0 +1,195 @@
+"""Frequent-itemset pair mining + association rules (A-Priori, size 2).
+
+The market-basket primitive over documents: which token pairs co-occur
+in an unusually large fraction of the corpus. The naive form self-joins
+the doc-token relation — O(m²) pairs per doc for the FULL vocabulary.
+The A-Priori downward-closure prune (Agrawal & Srikant, VLDB 1994)
+makes it scale: a pair can only be frequent if BOTH singletons are, so
+the per-doc pair expansion runs over each doc's *frequent* tokens only.
+
+Spark shape:
+1. distinct doc-token relation (map-only explode);
+2. singleton document frequencies — one keyed groupBy with map-side
+   partial agg; the frequent set is vocabulary-sized, so it BROADCASTS
+   back (no shuffle of the big relation for the prune);
+3. per-doc sorted bag of surviving tokens (one doc_id shuffle);
+4. ordered pair expansion as a nested array HOF — map-side, bounded
+   by (frequent tokens per doc)², never (vocabulary)²;
+5. pair-keyed count + the same relative-support cut.
+
+Support thresholds are RELATIVE (permille of corpus docs) so the
+operator means the same thing at any scale; the 1-row corpus count is
+a broadcast scalar (the plan-linter-sanctioned pattern from the TF-IDF
+family), never a driver-side action.
+
+Reference parity: none — the reference has no itemset mining; this
+extends the text-analytics family with the co-occurrence structure
+miner used for tag suggestion / template detection.
+
+Oracle: DuckDB mirrors with a doc_id self-join (its optimizer handles
+the small frequent relation); counts and the rational support /
+confidence cuts are exact integers in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+MINSUP_PERMILLE = 640  # pair must occur in ≥64% of docs (sf-relative)
+MINCONF_PERMILLE = 840  # rule confidence cut
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+
+
+def _n_docs(docs: DataFrame) -> DataFrame:
+    return docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _singleton_df(docs: DataFrame) -> DataFrame:
+    """Document frequency of every token: (tok, df)."""
+    return _doc_tokens(docs).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+
+def frequent_token_pairs(
+    docs: DataFrame, minsup_permille: int = MINSUP_PERMILLE
+) -> DataFrame:
+    """Token pairs co-occurring in ≥ minsup_permille‰ of docs:
+    ``(tok_a, tok_b, support)`` with ``tok_a < tok_b``."""
+    dtok = _doc_tokens(docs)
+    n = _n_docs(docs)
+    freq = (
+        _singleton_df(docs)
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 1000 >= F.col("n_docs") * minsup_permille)
+        .select("tok")
+    )
+    ft = dtok.join(F.broadcast(freq), "tok", "left_semi")
+    bags = ft.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks")
+    )
+    toks = F.col("toks")
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda t, i: F.transform(
+                F.slice(toks, i + 2, F.size(toks)),
+                lambda u: F.struct(t.alias("tok_a"), u.alias("tok_b")),
+            ),
+        )
+    )
+    return (
+        bags.select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("support") * 1000 >= F.col("n_docs") * minsup_permille)
+        .select("tok_a", "tok_b", "support")
+    )
+
+
+def association_rules(
+    docs: DataFrame,
+    minsup_permille: int = MINSUP_PERMILLE,
+    minconf_permille: int = MINCONF_PERMILLE,
+) -> DataFrame:
+    """Directed rules antecedent→consequent from the frequent pairs:
+    confidence = support(pair)/df(antecedent), exact permille floor."""
+    pairs = frequent_token_pairs(docs, minsup_permille)
+    both = pairs.select(
+        F.col("tok_a").alias("antecedent"),
+        F.col("tok_b").alias("consequent"),
+        "support",
+    ).unionAll(
+        pairs.select(
+            F.col("tok_b").alias("antecedent"),
+            F.col("tok_a").alias("consequent"),
+            "support",
+        )
+    )
+    sup1 = _singleton_df(docs).select(
+        F.col("tok").alias("antecedent"), "df"
+    )
+    return (
+        both.join(F.broadcast(sup1), "antecedent")
+        .withColumn(
+            "confidence_permille",
+            F.expr("1000 * support div df"),
+        )
+        .filter(F.col("confidence_permille") >= minconf_permille)
+        .select("antecedent", "consequent", "support", "confidence_permille")
+    )
+
+
+def _sql_pairs_cte(minsup_permille: int = MINSUP_PERMILLE) -> str:
+    return f"""
+    is_dtok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, chr(32))) AS tok
+        FROM documents
+    ),
+    is_n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    is_df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM is_dtok GROUP BY tok
+    ),
+    is_freq AS (
+        SELECT tok FROM is_df
+        WHERE df * 1000 >= (SELECT n_docs FROM is_n) * {minsup_permille}
+    ),
+    is_ft AS (SELECT doc_id, tok FROM is_dtok JOIN is_freq USING (tok)),
+    is_pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM is_ft a JOIN is_ft b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING COUNT(*) * 1000 >= (SELECT n_docs FROM is_n) * {minsup_permille}
+    )
+    """
+
+
+@register(
+    "token_cooccurrence_pairs",
+    oracle=f"""
+    WITH {_sql_pairs_cte()}
+    SELECT tok_a, tok_b, support FROM is_pairs
+    """,
+    doc="A-Priori frequent token pairs (≥64% relative support): "
+    "singleton-pruned, broadcast frequent set, map-side HOF pair "
+    "expansion over per-doc frequent bags",
+)
+def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frequent_token_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_assoc_rules",
+    oracle=f"""
+    WITH {_sql_pairs_cte()},
+    is_rules AS (
+        SELECT tok_a AS antecedent, tok_b AS consequent, support
+        FROM is_pairs
+        UNION ALL
+        SELECT tok_b AS antecedent, tok_a AS consequent, support
+        FROM is_pairs
+    )
+    SELECT r.antecedent, r.consequent, r.support,
+           (1000 * r.support) // d.df AS confidence_permille
+    FROM is_rules r JOIN is_df d ON r.antecedent = d.tok
+    WHERE (1000 * r.support) // d.df >= {MINCONF_PERMILLE}
+    """,
+    doc="Association rules from the frequent pairs: directed "
+    "antecedent→consequent with exact integer permille confidence "
+    "(support(pair)/df(antecedent)) ≥ 840",
+)
+def token_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return association_rules(load_table(spark, sf_dir, "documents"))

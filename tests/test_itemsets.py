@@ -1,0 +1,53 @@
+"""A-Priori pair mining / association rules (queries/itemsets.py) on a
+corpus with hand-computable supports."""
+
+from __future__ import annotations
+
+from algorithmproject_spark_spark.queries.itemsets import (
+    association_rules,
+    frequent_token_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_pair_supports_exact(spark):
+    # x,y together in 3/4 docs; x,z in 2/4; y,z in 2/4
+    docs = _docs(spark, ["x y z", "x y", "x y z", "x q z"])
+    out = {(r.tok_a, r.tok_b): r.support
+           for r in frequent_token_pairs(docs, minsup_permille=500).collect()}
+    assert out == {("x", "y"): 3, ("x", "z"): 3, ("y", "z"): 2}
+
+
+def test_singleton_prune_blocks_rare_token_pairs(spark):
+    # "q" appears in 1/4 docs — below 50% — so no pair with q survives
+    # even though (x,q) co-occurs in that doc
+    docs = _docs(spark, ["x q", "x y", "x y", "x y"])
+    out = frequent_token_pairs(docs, minsup_permille=500).collect()
+    assert {(r.tok_a, r.tok_b) for r in out} == {("x", "y")}
+
+
+def test_duplicate_tokens_in_doc_count_once(spark):
+    docs = _docs(spark, ["x x y y", "x y"])
+    out = {(r.tok_a, r.tok_b): r.support
+           for r in frequent_token_pairs(docs, minsup_permille=500).collect()}
+    assert out == {("x", "y"): 2}
+
+
+def test_rule_confidence_is_directional(spark):
+    # y always implies x (conf 1000‰); x implies y in only 3/4 (750‰)
+    docs = _docs(spark, ["x y", "x y", "x y", "x"])
+    rules = {(r.antecedent, r.consequent): r.confidence_permille
+             for r in association_rules(
+                 docs, minsup_permille=500, minconf_permille=800
+             ).collect()}
+    assert rules == {("y", "x"): 1000}
+    both = {(r.antecedent, r.consequent): r.confidence_permille
+            for r in association_rules(
+                docs, minsup_permille=500, minconf_permille=700
+            ).collect()}
+    assert both == {("y", "x"): 1000, ("x", "y"): 750}

@@ -84,6 +84,8 @@ NESTED_LOOP_OK: set[str] = {
     "q15_top_supplier",       # broadcast 1-row aggregate (total / max /
     "q22_global_sales_opportunity",  # positive-balance avg)
     "events_ordered_funnel",  # broadcast 1-row min(ts) window anchor
+    "token_cooccurrence_pairs",  # broadcast 1-row n_docs agg (relative
+    "token_assoc_rules",         # support cut — same TF-IDF pattern)
 }
 
 PY_NODES = re.compile(
