@@ -49,3 +49,4 @@ from algorithmproject_spark_spark.operators import cdc  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import groupedagg  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import countmin  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import checksum  # noqa: F401,E402
+from algorithmproject_spark_spark.operators import tablediff  # noqa: F401,E402
