@@ -1,0 +1,139 @@
+"""k-core extraction — dense-subgraph peeling, fixed-round relational.
+
+The k-core of a graph is the maximal subgraph where every vertex has
+degree ≥ k; it is THE standard dense-cluster certificate (a vertex in
+a k-core sits in a blob of mutually-connected duplicates — template
+spam in a near-dup graph). Peeling computes it by repeatedly deleting
+vertices with degree < k.
+
+Relational form, same contract as the LPA operator (labelprop.py): a
+FIXED number of unrolled peel rounds, each round one degree aggregate
++ one semi-join filter of the edge list — O(edges) keyed work per
+round, no driver-side iteration state. Peeling converges when a round
+removes nothing; ``KCORE_ROUNDS`` rounds guarantee convergence for
+any graph whose peel depth is ≤ that (the near-dup graphs here peel
+in ≤2; production would loop-with-AQE until a streamed-count metric
+stabilizes, trading plan size for generality — see SCALE.md).
+
+Reference parity: none (the reference has no graph ops); completes
+the graph family: connected components (global structure), label
+propagation (communities), triangles (local density), k-core (dense
+subgraph membership).
+
+Oracle: DuckDB unrolls the identical rounds as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def kcore_vertices(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Vertices surviving ``rounds`` peel rounds at threshold ``k``,
+    with their degree inside the surviving subgraph: ``(v, deg)``.
+    ``edges(a, b)`` must be distinct undirected pairs, ``a != b``.
+
+    Each round's survivor edge list is ``localCheckpoint``ed (the LPA
+    operator's lineage-truncation trade): without it the unrolled plan
+    re-derives the (expensive) input edge relation once per round and
+    the plan tree grows multiplicatively."""
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = _degrees(e).filter(F.col("deg") >= k).select("v")
+        e = (
+            e.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return _degrees(e)
+
+
+def sql_kcore_vertices(
+    edges_cte: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """DuckDB twin: CTE chain ending in ``kc_out(v, deg)``. Requires a
+    CTE named ``edges_cte`` with columns (a, b)."""
+    # MATERIALIZED: every kc_e{r} is referenced three times by round
+    # r+1; without the hint DuckDB may inline, re-deriving the whole
+    # upstream chain per reference — multiplicative blowup across
+    # rounds (the oracle twin of the Spark side's localCheckpoint)
+    parts = [f"kc_e0 AS MATERIALIZED (SELECT a, b FROM {edges_cte})"]
+    for r in range(rounds):
+        parts.append(f"""
+    kc_keep{r} AS MATERIALIZED (
+        SELECT v FROM (
+            SELECT v, COUNT(*) AS deg
+            FROM (SELECT a AS v FROM kc_e{r}
+                  UNION ALL SELECT b AS v FROM kc_e{r})
+            GROUP BY v
+        ) WHERE deg >= {k}
+    ),
+    kc_e{r + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM kc_e{r} e
+        JOIN kc_keep{r} ka ON e.a = ka.v
+        JOIN kc_keep{r} kb ON e.b = kb.v
+    )""")
+    parts.append(f"""
+    kc_out AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS v FROM kc_e{rounds}
+              UNION ALL SELECT b AS v FROM kc_e{rounds})
+        GROUP BY v
+    )""")
+    return ",".join(parts)
+
+
+def _register() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.registry import REGISTRY, register
+
+    @register(
+        "dedup_kcore_members",
+        oracle=None,  # installed below (needs the dup-pairs CTE)
+        doc="2-core of the verified near-dup graph (4 unrolled peel "
+        "rounds, one degree agg + one edge semi-join each): vertices "
+        "inside mutually-connected duplicate blobs, with in-core "
+        "degree — the dense-cluster certificate tree/chain components "
+        "never trigger",
+    )
+    def dedup_kcore_members(spark, sf_dir):
+        from algorithmproject_spark_spark.queries.dedup import (
+            jaccard_pairs_above,
+        )
+
+        edges = jaccard_pairs_above(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        return kcore_vertices(edges).select(
+            F.col("v").alias("doc_id"), "deg"
+        )
+
+    from algorithmproject_spark_spark.queries.dedup import sql_dup_pairs_cte
+
+    oracle = f"""
+    WITH {sql_dup_pairs_cte()},
+    kc_edges AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs),
+    {sql_kcore_vertices('kc_edges')}
+    SELECT v AS doc_id, deg FROM kc_out
+    """
+    REGISTRY["dedup_kcore_members"] = replace(
+        REGISTRY["dedup_kcore_members"], oracle=oracle
+    )
+
+
+_register()

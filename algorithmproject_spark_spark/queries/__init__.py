@@ -50,3 +50,4 @@ from algorithmproject_spark_spark.operators import groupedagg  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import countmin  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import checksum  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import tablediff  # noqa: F401,E402
+from algorithmproject_spark_spark.operators import kcore  # noqa: F401,E402
