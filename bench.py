@@ -150,6 +150,15 @@ HEADLINE = (
     "sql_udf_net_revenue",
     "bpe_merge_induction",
     "bpe_encode_stats",
+    # round-5 late additions: substring-span dedup, graph density
+    # (triangles / k-core), itemset mining, URL keys, snapshot diff
+    "doc_dup_span_stats",
+    "dedup_triangle_counts",
+    "dedup_kcore_members",
+    "token_cooccurrence_pairs",
+    "token_assoc_rules",
+    "url_canonicalize_collapse",
+    "orders_snapshot_diff",
 )
 
 

@@ -49,6 +49,19 @@ QUERIES = (
     # round-5: BPE learning — per round one O(tokens) pair shuffle +
     # a map-only merge; rounds are fixed, so total cost must be linear
     "bpe_merge_induction",
+    # round-5 late additions. Span dedup: the token-window relation is
+    # linear in corpus tokens; copies are content-unique so the
+    # duplicated fraction stays constant — cost must be linear.
+    # Graph ops: near-dup cluster structure repeats per copy (edge
+    # count linear, degree bounded), so triangle wedges and peel
+    # rounds must be linear too. Itemsets: per-doc frequent-bag sizes
+    # are corpus-independent (relative support), linear. URL
+    # canonicalize: map-only, the sanity row.
+    "doc_dup_span_stats",
+    "dedup_triangle_counts",
+    "dedup_kcore_members",
+    "token_cooccurrence_pairs",
+    "url_canonicalize_collapse",
 )
 
 # user_label_pipeline joins events; tile them alongside documents with
@@ -118,6 +131,8 @@ FACT_QUERIES = (
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q21_sole_returned_supplier",
+    # round-5: keyed snapshot diff — one full-outer hash join, linear
+    "orders_snapshot_diff",
 )
 # Dimension tables the TPC-H shapes read alongside the tiled facts —
 # copied through unchanged (fixed-size dims are the 100 TB reality).
