@@ -150,3 +150,55 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.floor(sim * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("centroid_cos_e3"),
     )
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neg_id, e.label AS neg_label,
+               {sql_micros(sql_cosine("q.q_emb", "e.embedding"))} AS cosine_e6
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label <> q.q_label
+    )
+    SELECT q_id, neg_id, neg_label, cosine_e6, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine_e6 DESC, neg_id
+        ) AS rk FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+    doc="Contrastive-training hard-negative mining: per query, the "
+    "top-k most-similar vectors with a DIFFERENT label (the "
+    "highest-loss negatives). Same broadcast-bounded-query shape as "
+    "the KNN baseline; production swaps the corpus scan for the "
+    "IVF/LSH candidate join with the label filter pushed into it",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias(
+                "cosine_e6"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neg_id", "neg_label", "cosine_e6", "rk")
+    )

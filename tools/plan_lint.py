@@ -74,6 +74,7 @@ NESTED_LOOP_OK: set[str] = {
     "user_tag_tfidf_norm",    # same: broadcast 1-row n_users agg
     "label_combine_keywords", # inherits tfidf_top_terms's 1-row cross
     "user_label_pipeline",    # that same cross + its own 1-row n_docs
+    "ann_hard_negatives",     # same broadcast bounded-query shape
     "knn_bruteforce_cosine",  # 15-query literal set × corpus — the
                               # exact-baseline semantics; corpus side
                               # streams, build side is 15 rows
