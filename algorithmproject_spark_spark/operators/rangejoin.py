@@ -102,3 +102,105 @@ def range_join_type_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def bucketed_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_us: int = BUCKET_US,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (half-open: ``a.s < b.e AND
+    b.s < a.e``) — the second theta-join Spark lacks natively.
+
+    Both sides explode into the integer-micro buckets they cover and
+    equi-join on the bucket id. A pair overlapping k shared buckets
+    would match k times; instead of a distinct (a full extra shuffle
+    of the result), each pair is kept only in its FIRST shared bucket
+    — the bucket containing ``max(a.s, b.s)`` — which every true
+    overlap has exactly one of. Start/end columns must be BIGINT
+    epoch micros (exact integer bucket math, engine-portable).
+    """
+    ea = a.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_start) / F.lit(bucket_us)),
+                F.floor((F.col(a_end) - F.lit(1)) / F.lit(bucket_us)),
+            )
+        ),
+    )
+    eb = b.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_start) / F.lit(bucket_us)),
+                F.floor((F.col(b_end) - F.lit(1)) / F.lit(bucket_us)),
+            )
+        ),
+    )
+    return (
+        ea.join(eb, "__bkt")
+        .filter(
+            (F.col(a_start) < F.col(b_end))
+            & (F.col(b_start) < F.col(a_end))
+        )
+        .filter(
+            F.col("__bkt")
+            == F.floor(
+                F.greatest(F.col(a_start), F.col(b_start)) / F.lit(bucket_us)
+            )
+        )
+        .drop("__bkt")
+    )
+
+
+STORM_ERRORS = 7  # errors/hour that make an "error storm"
+
+
+@register(
+    "user_day_overlap_error_storms",
+    oracle=f"""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(epoch_us(ts)) AS a_s, MAX(epoch_us(ts)) + 1 AS a_e
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    storm AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS b_s,
+               epoch_us(date_trunc('hour', ts)) + 3600000000 AS b_e
+        FROM events WHERE event_type = 'error'
+        GROUP BY date_trunc('hour', ts) HAVING COUNT(*) >= {STORM_ERRORS}
+    )
+    SELECT ud.user_id, ud.day, CAST(COUNT(*) AS BIGINT) AS n_storms
+    FROM ud JOIN storm ON ud.a_s < storm.b_e AND storm.b_s < ud.a_e
+    GROUP BY ud.user_id, ud.day
+    """,
+    doc="Interval-overlap join (bucketed, first-shared-bucket dedup — "
+    "no distinct shuffle): per-user daily activity spans × "
+    "high-error-rate storm hours; which user-days were exposed to a "
+    "storm and to how many",
+)
+def user_day_overlap_error_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min(F.unix_micros("ts")).alias("a_s"),
+        (F.max(F.unix_micros("ts")) + F.lit(1)).alias("a_e"),
+    )
+    storm = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= STORM_ERRORS)
+        .select(
+            F.unix_micros("h").alias("b_s"),
+            (F.unix_micros("h") + F.lit(3_600_000_000)).alias("b_e"),
+        )
+    )
+    joined = bucketed_overlap_join(ud, storm, "a_s", "a_e", "b_s", "b_e")
+    return joined.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_storms")
+    )

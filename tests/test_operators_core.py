@@ -257,3 +257,58 @@ def test_table_checksum_detects_any_change(spark):
     ).first()
     assert doubled["xor_hash"] == base["xor_hash"]  # the xor blind spot...
     assert doubled["n_rows"] != base["n_rows"]      # ...closed by counts
+
+
+def test_overlap_join_counts_each_pair_once(spark):
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.rangejoin import (
+        bucketed_overlap_join,
+    )
+
+    H = 3_600_000_000  # 1h in micros
+    # a0 spans 5 buckets; b0 overlaps it across 3 shared buckets — the
+    # first-shared-bucket rule must yield exactly ONE output row
+    a = spark.createDataFrame(
+        [(0, 0, 5 * H), (1, 10 * H, 11 * H)], ["a_id", "a_s", "a_e"]
+    )
+    b = spark.createDataFrame(
+        [
+            (100, 2 * H, 8 * H),    # overlaps a0 in buckets 2,3,4
+            (101, 5 * H, 6 * H),    # touches a0 at its end — NOT overlap
+            (102, 10 * H + 5, 10 * H + 6),  # inside a1
+        ],
+        ["b_id", "b_s", "b_e"],
+    )
+    out = bucketed_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e")
+    pairs = sorted((r.a_id, r.b_id) for r in out.collect())
+    assert pairs == [(0, 100), (1, 102)]
+
+
+def test_overlap_join_matches_naive_on_random_intervals(spark):
+    from algorithmproject_spark_spark.operators.rangejoin import (
+        bucketed_overlap_join,
+    )
+
+    H = 3_600_000_000
+    # deterministic pseudo-random intervals with varied widths/offsets
+    a_rows = [
+        (i, (i * 7919) % 50 * H // 4, (i * 7919) % 50 * H // 4
+         + ((i * 104729) % 10 + 1) * H // 3)
+        for i in range(40)
+    ]
+    b_rows = [
+        (j, (j * 15485863) % 50 * H // 4, (j * 15485863) % 50 * H // 4
+         + ((j * 32452843) % 8 + 1) * H // 2)
+        for j in range(40)
+    ]
+    expected = sorted(
+        (ai, bj)
+        for ai, as_, ae in a_rows
+        for bj, bs, be in b_rows
+        if as_ < be and bs < ae
+    )
+    a = spark.createDataFrame(a_rows, ["a_id", "a_s", "a_e"])
+    b = spark.createDataFrame(b_rows, ["b_id", "b_s", "b_e"])
+    out = bucketed_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e")
+    assert sorted((r.a_id, r.b_id) for r in out.collect()) == expected
