@@ -486,3 +486,92 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_view_then_click"),
         F.count("t_purchase").alias("n_full_funnel"),
     )
+
+
+WINSOR_PCT = 5  # clip 5% in each tail
+
+
+@register(
+    "events_value_winsorized",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_e2,
+               event_id
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, v_e2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY v_e2, event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    k AS (SELECT *, (n * {WINSOR_PCT}) // 100 AS kt FROM r)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = kt + 1 THEN v_e2 END) AS BIGINT) AS lo_thr_e2,
+           CAST(MAX(CASE WHEN rn = n - kt THEN v_e2 END) AS BIGINT) AS hi_thr_e2,
+           CAST(SUM(CASE WHEN rn > kt AND rn <= n - kt THEN v_e2 ELSE 0 END)
+                + MAX(kt) * MAX(CASE WHEN rn = kt + 1 THEN v_e2 END)
+                + MAX(kt) * MAX(CASE WHEN rn = n - kt THEN v_e2 END)
+                AS BIGINT) AS winsorized_sum_e2,
+           CAST((SUM(CASE WHEN rn > kt AND rn <= n - kt THEN v_e2 ELSE 0 END)
+                + MAX(kt) * MAX(CASE WHEN rn = kt + 1 THEN v_e2 END)
+                + MAX(kt) * MAX(CASE WHEN rn = n - kt THEN v_e2 END)
+                ) * 100 // MAX(n) AS BIGINT) AS wmean_e4
+    FROM k GROUP BY event_type
+    """,
+    doc="Exact winsorized statistics per event type: clip 5% in each "
+    "tail at exact order-statistic thresholds (deterministic "
+    "tie-break), all arithmetic in scaled integers. One per-type "
+    "window pass + one aggregate; production swaps exact order "
+    "statistics for approx_percentile thresholds (A6) when per-group "
+    "volumes make a sort unreasonable",
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorized_value_stats(
+        load_table(spark, sf_dir, "events"), pct=WINSOR_PCT
+    )
+
+
+def winsorized_value_stats(events: DataFrame, pct: int = WINSOR_PCT) -> DataFrame:
+    """Exact winsorized per-type stats over ``events(event_type,
+    value, event_id)`` — clip ``pct``% in each tail at exact order
+    statistics, scaled-integer arithmetic throughout."""
+    from pyspark.sql import Window as W
+
+    ev = events.select(
+        "event_type", scaled_long("value").alias("v_e2"), "event_id"
+    )
+    wo = W.partitionBy("event_type").orderBy("v_e2", "event_id")
+    wp = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "v_e2",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).withColumn("kt", F.expr("n * {} div 100".format(pct)))
+    mid_sum = F.sum(
+        F.when(
+            (F.col("rn") > F.col("kt")) & (F.col("rn") <= F.col("n") - F.col("kt")),
+            F.col("v_e2"),
+        ).otherwise(F.lit(0))
+    )
+    lo_thr = F.max(F.when(F.col("rn") == F.col("kt") + 1, F.col("v_e2")))
+    hi_thr = F.max(F.when(F.col("rn") == F.col("n") - F.col("kt"), F.col("v_e2")))
+    kt = F.max("kt")
+    wsum = mid_sum + kt * lo_thr + kt * hi_thr
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        lo_thr.alias("lo_thr_e2"),
+        hi_thr.alias("hi_thr_e2"),
+        wsum.alias("winsorized_sum_e2"),
+        F.expr(
+            "(sum(CASE WHEN rn > kt AND rn <= n - kt THEN v_e2 ELSE 0L END)"
+            " + max(kt) * max(CASE WHEN rn = kt + 1 THEN v_e2 END)"
+            " + max(kt) * max(CASE WHEN rn = n - kt THEN v_e2 END)) * 100"
+            " div max(n)"
+        ).alias("wmean_e4"),
+    )

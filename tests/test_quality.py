@@ -69,3 +69,33 @@ def test_row_rules_compile_to_single_scan(spark):
     )
     assert len(re.findall(r"^\(\d+\) Range", p, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2  # partial+final
+
+
+def test_winsorized_stats_exact_small_case(spark):
+    # 20 values 1.00..20.00, one type: 5% tails clip exactly one value
+    # per side at thresholds 2.00 / 19.00
+    from algorithmproject_spark_spark.queries.events import (
+        winsorized_value_stats,
+    )
+
+    rows = [(i, "t", float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = winsorized_value_stats(df, pct=5).collect()[0]
+    # middle = 2..19 inclusive -> sum e2 = 100*(2+..+19) = 18900;
+    # + 1*200 (clipped 1.00->2.00) + 1*1900 (20.00->19.00)
+    assert out.n == 20
+    assert out.lo_thr_e2 == 200 and out.hi_thr_e2 == 1900
+    assert out.winsorized_sum_e2 == 18900 + 200 + 1900
+    assert out.wmean_e4 == (18900 + 200 + 1900) * 100 // 20
+
+
+def test_winsorized_zero_clip_below_20_rows(spark):
+    # n=10 at 5% -> kt=0: nothing clipped, wsum = plain sum
+    from algorithmproject_spark_spark.queries.events import (
+        winsorized_value_stats,
+    )
+
+    rows = [(i, "t", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = winsorized_value_stats(df, pct=5).collect()[0]
+    assert out.winsorized_sum_e2 == 100 * sum(range(1, 11))
