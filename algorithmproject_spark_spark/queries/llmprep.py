@@ -763,3 +763,48 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+SPLIT_MOD = 100  # permille-free: hash buckets 0..99
+SPLIT_TRAIN_LT = 80  # [0,80) train
+SPLIT_VAL_LT = 90    # [80,90) val, [90,100) test
+
+
+@register(
+    "corpus_train_val_test_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CASE WHEN {sql_hash_mod('doc_id', SPLIT_MOD)} < {SPLIT_TRAIN_LT}
+                    THEN 'train'
+                    WHEN {sql_hash_mod('doc_id', SPLIT_MOD)} < {SPLIT_VAL_LT}
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM s GROUP BY split, lang
+    """,
+    doc="Deterministic stratified train/val/test split (80/10/10 by "
+    "multiplicative doc_id hash — stable under re-runs, "
+    "repartitioning, and engine changes, disjoint and exhaustive by "
+    "construction); per-(split, lang) counts + id checksums certify "
+    "the partition",
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_mod("doc_id", SPLIT_MOD)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
