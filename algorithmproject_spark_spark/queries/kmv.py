@@ -1,0 +1,115 @@
+"""KMV (k-minimum-values) distinct-count sketch — the deterministic
+sketch, exactly oracle-checkable INCLUDING its estimate.
+
+HLL's estimate depends on implementation-specific hashing, so the HLL
+query (events.py) can only oracle-pin an accuracy envelope. KMV has no
+such gap: the sketch is the k smallest values of one fixed integer
+hash, and the estimator
+
+    D̂ = (k - 1) * M / h_k      (h_k = k-th smallest hash, M = hash space)
+
+is a pure function of the data (Bar-Yossef et al. 2002). Both engines
+compute the identical k-minima and the identical integer-division
+estimate — a *sketch* whose output hash-matches cross-engine.
+
+Sketches merge by unioning and re-taking k minima, which is how a
+100 TB scan builds it: per-partition k-minima (map-side), one k-row
+combine per group — the registered query's per-type sketch costs one
+keyed aggregate of ≤k-element arrays, never a distinct.
+
+Spark shape: per-type ``slice(array_sort(collect_set(hash)), 1, k)``.
+collect_set is bounded here by the value domain (user ids, ≤150 at
+sf0.01); the true 100 TB form keeps only k minima per partition via
+partial aggregation — documented trade, same result.
+
+Reference parity: none (the reference has no sketches); extends the
+sketch family: Count-Min (frequency), HLL (cardinality envelope), KMV
+(cardinality, exact-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import (
+    HASH_MULT,
+    HASH_REDUCE,
+)
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+KMV_K = 32
+KMV_MOD = 2_147_483_647  # hash space M (2^31 - 1, matches hashing.py)
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    return ((col % F.lit(HASH_REDUCE)) * F.lit(HASH_MULT)) % F.lit(KMV_MOD)
+
+
+def _sql_kmv_hash(expr: str) -> str:
+    return f"((({expr}) % {HASH_REDUCE}) * {HASH_MULT}) % {KMV_MOD}"
+
+
+def kmv_distinct_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV sketch + estimate + exact count for comparison:
+    ``(group, n_exact, kmv_size, kth_min, est_distinct)``. When the
+    group has < k distinct keys the sketch IS the exact set and the
+    estimate falls back to its size."""
+    h = _kmv_hash(F.col(key_col).cast("long"))
+    sk = df.select(
+        F.col(group_col).alias("g"), h.alias("h"), key_col
+    ).groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins"),
+        F.countDistinct(key_col).alias("n_exact"),
+    )
+    size = F.size("mins")
+    kth = F.element_at("mins", size)
+    # `div` (integer division) on both sides: float `/` + cast would
+    # round in DuckDB but truncate in Spark — a silent off-by-one class
+    est = F.when(size < F.lit(k), size.cast("long")).otherwise(
+        F.expr(
+            f"CAST({k - 1} AS BIGINT) * {KMV_MOD} div element_at(mins, size(mins))"
+        )
+    )
+    return sk.select(
+        F.col("g").alias(group_col),
+        "n_exact",
+        size.cast("long").alias("kmv_size"),
+        kth.cast("long").alias("kth_min"),
+        est.alias("est_distinct"),
+    )
+
+
+def _sql_kmv(group_col: str, key_col: str, table: str, k: int = KMV_K) -> str:
+    h = _sql_kmv_hash(f"CAST({key_col} AS BIGINT)")
+    return f"""
+    WITH sk AS (
+        SELECT {group_col} AS g,
+               list_slice(list_sort(list(DISTINCT {h})), 1, {k}) AS mins,
+               CAST(COUNT(DISTINCT {key_col}) AS BIGINT) AS n_exact
+        FROM {table} GROUP BY {group_col}
+    )
+    SELECT g AS {group_col}, n_exact,
+           CAST(len(mins) AS BIGINT) AS kmv_size,
+           CAST(mins[len(mins)] AS BIGINT) AS kth_min,
+           CASE WHEN len(mins) < {k} THEN CAST(len(mins) AS BIGINT)
+                ELSE CAST({k - 1} AS BIGINT) * {KMV_MOD} // mins[len(mins)]
+           END AS est_distinct
+    FROM sk
+    """
+
+
+@register(
+    "events_kmv_distinct_users",
+    oracle=_sql_kmv("event_type", "user_id", "events"),
+    doc="KMV distinct-user sketch per event type: k=32 minima of a "
+    "fixed multiplicative hash + the (k-1)M/h_k estimator — the "
+    "deterministic sketch, estimate hash-matched cross-engine "
+    "(exact-set fallback below k distinct keys)",
+)
+def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_distinct_per_group(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
