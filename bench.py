@@ -159,6 +159,12 @@ HEADLINE = (
     "token_assoc_rules",
     "url_canonicalize_collapse",
     "orders_snapshot_diff",
+    "ann_hard_negatives",
+    "doc_sliding_chunks",
+    "user_day_overlap_error_storms",
+    "events_value_winsorized",
+    "corpus_train_val_test_split",
+    "events_kmv_distinct_users",
 )
 
 
