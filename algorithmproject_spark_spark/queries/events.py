@@ -575,3 +575,62 @@ def winsorized_value_stats(events: DataFrame, pct: int = WINSOR_PCT) -> DataFram
             " div max(n)"
         ).alias("wmean_e4"),
     )
+
+
+@register(
+    "events_exact_global_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_e2
+        FROM events
+    ),
+    dist AS (SELECT v_e2, COUNT(*) AS c FROM v GROUP BY v_e2),
+    cum AS (
+        SELECT v_e2,
+               SUM(c) OVER (ORDER BY v_e2) AS cum,
+               SUM(c) OVER () AS n
+        FROM dist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN v_e2 END) AS BIGINT) AS p50_e2,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN v_e2 END) AS BIGINT) AS p90_e2,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN v_e2 END) AS BIGINT) AS p99_e2
+    FROM cum
+    """,
+    doc="Exact global quantiles WITHOUT a global sort of the data: "
+    "compact the value column to its (value, count) distribution "
+    "(one keyed groupBy with map-side partials), then a cumulative "
+    "sum over the bounded distinct-value relation selects the exact "
+    "order statistics. The single-partition window runs over "
+    "distribution rows (distinct values), never data rows — the "
+    "standard scalable exact-quantile shape for bounded-cardinality "
+    "domains; unbounded domains fall back to approx_percentile (A6)",
+)
+def events_exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        scaled_long("value").alias("v_e2")
+    )
+    dist = ev.groupBy("v_e2").agg(F.count(F.lit(1)).alias("c"))
+    cum = dist.select(
+        "v_e2",
+        F.sum("c").over(
+            W.orderBy("v_e2").rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("c").over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    def pick(q: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * q, F.col("v_e2"))
+        )
+    return cum.agg(
+        F.max("n").alias("n"),
+        pick(50).alias("p50_e2"),
+        pick(90).alias("p90_e2"),
+        pick(99).alias("p99_e2"),
+    )

@@ -165,6 +165,7 @@ HEADLINE = (
     "events_value_winsorized",
     "corpus_train_val_test_split",
     "events_kmv_distinct_users",
+    "events_exact_global_quantiles",
 )
 
 
