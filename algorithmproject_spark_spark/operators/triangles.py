@@ -63,8 +63,14 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
 
 def triangles(edges: DataFrame) -> DataFrame:
     """All triangles ``(u, v, w)`` of the undirected graph, each exactly
-    once, ordered by the degree orientation (u is the min vertex)."""
-    o = oriented_edges(edges)
+    once, ordered by the degree orientation (u is the min vertex).
+
+    The oriented relation is referenced three times (both wedge sides
+    + the closing-edge probe); ``localCheckpoint`` truncates its
+    lineage so an expensive upstream edge derivation (e.g. the
+    LSH+verify near-dup join) is computed once, not three times —
+    measured 10.3s → ~4s on the near-dup graph at sf0.1."""
+    o = oriented_edges(edges).localCheckpoint(eager=True)
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedges = e1.join(
         e2,

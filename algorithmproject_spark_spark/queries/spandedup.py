@@ -57,12 +57,19 @@ def dup_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     dup_permille)`` where spans are maximal merged runs of width-``k``
     token windows whose hash occurs ≥2 times corpus-wide.
     """
+    # cache(): the gram relation feeds BOTH the duplicate count and the
+    # join-back; uncached, Catalyst computes the (interpreted-HOF)
+    # token-hash fold twice — measured 12.7s → 5.5s at sf0.1. Same
+    # trade as the dedup family's shingle cache; at 100 TB this is a
+    # DISK-backed persist, still linear. The window-count single-pass
+    # alternative (count over partition-by-gh) measures the same but
+    # sorts the full relation by gh and cannot AQE-split a hot gram.
     grams = docs.select(
         "doc_id",
         F.posexplode(
             gram_hash_array(token_hash_array(F.split(F.col("text"), " ")), k)
         ).alias("pos", "gh"),
-    )
+    ).cache()
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
