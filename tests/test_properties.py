@@ -410,3 +410,92 @@ def test_bpe_merges_match_python_model(spark, docs):
         .collect()
     ]
     assert got == expected
+
+
+url_path_chars = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(
+    host=st.text(alphabet="abcXYZ.", min_size=1, max_size=12),
+    path=url_path_chars,
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "utm_x", "ref", "zz"]),
+            st.integers(0, 99),
+        ),
+        max_size=5,
+    ),
+    frag=st.booleans(),
+)
+@SLOW
+def test_url_canonicalization_is_idempotent(spark, host, path, params, frag):
+    """canon(canon(u)) == canon(u): the canonical form is a fixpoint."""
+    from algorithmproject_spark_spark.queries.urls import canonicalize_url
+
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = f"http://{host}/{path}" + (f"?{q}" if q else "") + ("#f" if frag else "")
+    df = spark.createDataFrame([(url,)], ["u"])
+    once, twice = df.select(
+        canonicalize_url(F.col("u")).alias("c1"),
+    ).select(
+        "c1",
+        canonicalize_url(F.col("c1")).alias("c2"),
+    ).collect()[0]
+    assert once == twice
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("pqrs"), min_size=1, max_size=6).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SLOW
+def test_itemset_support_monotonicity(spark, texts):
+    """Raising the support bar can only shrink the pair set, and every
+    surviving pair at the higher bar exists at the lower one."""
+    from algorithmproject_spark_spark.queries.itemsets import (
+        frequent_token_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    lo = {(r.tok_a, r.tok_b): r.support
+          for r in frequent_token_pairs(docs, minsup_permille=250).collect()}
+    hi = {(r.tok_a, r.tok_b): r.support
+          for r in frequent_token_pairs(docs, minsup_permille=600).collect()}
+    assert set(hi) <= set(lo)
+    for p, s in hi.items():
+        assert lo[p] == s
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["t0", "t1", "t2", "t3"]), min_size=1,
+                 max_size=30).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SLOW
+def test_dup_span_coverage_bounded_by_doc_length(spark, texts):
+    """dup_tokens ≤ n_tokens always; exact duplicate docs reach
+    equality whenever they are long enough to contain a window."""
+    from algorithmproject_spark_spark.queries.spandedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = dup_span_stats(docs, k=4).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert r.dup_permille == 1000 * r.dup_tokens // r.n_tokens

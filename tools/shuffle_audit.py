@@ -47,6 +47,16 @@ DEFAULT_QUERIES = (
     # dedup family: banded candidate join
     "minhash_lsh_candidates",
     "incremental_near_dup_ingest",
+    # round-5 late additions: map-only normalizers must read ~0; the
+    # span/graph/itemset ops shuffle keyed compact payloads
+    "url_canonicalize_collapse",
+    "doc_sliding_chunks",
+    "doc_dup_span_stats",
+    "dedup_triangle_counts",
+    "token_cooccurrence_pairs",
+    "orders_snapshot_diff",
+    "events_kmv_distinct_users",
+    "events_exact_global_quantiles",
 )
 
 
