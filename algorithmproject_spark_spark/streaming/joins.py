@@ -36,10 +36,19 @@ def click_view_attribution(
     clicks: DataFrame,
     max_gap: str = MAX_GAP,
     watermark: str = WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
     """Attribute each click to every view by the same user within
     ``[view_ts, view_ts + max_gap)``. Works on streaming inputs (state
-    bounded by watermark + gap) and batch inputs (same logical plan)."""
+    bounded by watermark + gap) and batch inputs (same logical plan).
+
+    ``how="left_outer"`` is the OUTER stream-stream join: a view with
+    no matching click is emitted with null click columns — but only
+    once the watermark guarantees no match can still arrive (the
+    engine holds the view in state until ``watermark`` passes
+    ``view_ts + max_gap``, then emits the null row and evicts). Outer
+    stream-stream joins REQUIRE both the watermark and the time bound;
+    without them unmatched rows could never be finalized."""
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
@@ -59,7 +68,7 @@ def click_view_attribution(
             "v_user = c_user AND click_ts >= view_ts "
             f"AND click_ts < view_ts + INTERVAL {max_gap}"
         ),
-        "inner",
+        how,
     ).select(
         F.col("v_user").alias("user_id"),
         "view_id",
@@ -117,3 +126,42 @@ def enrich_with_static(
     (tag/category lookups): the batch jobs broadcast the same dims
     (SURVEY §2.3 J6); here the lookup rides every micro-batch."""
     return stream.join(F.broadcast(dim), key, how)
+
+
+@register(
+    "stream_unattributed_views_batch_twin",
+    oracle="""
+    WITH pairs AS (
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = v.user_id
+         AND c.ts >= v.ts
+         AND c.ts < v.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
+           CAST(COUNT(DISTINCT CASE WHEN click_id IS NULL THEN view_id END)
+                AS BIGINT) AS n_unattributed
+    FROM pairs GROUP BY user_id
+    """,
+    doc="batch twin of the LEFT OUTER stream-stream interval join: "
+    "views with no click within 30 min emit null click columns — in "
+    "streaming, only after the watermark passes view_ts + gap "
+    "(finalized-and-evicted), asserted by the execution test",
+)
+def stream_unattributed_views_batch_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = click_view_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        how="left_outer",
+    )
+    return pairs.groupBy("user_id").agg(
+        F.countDistinct("view_id").alias("n_views"),
+        F.countDistinct(
+            F.when(F.col("click_id").isNull(), F.col("view_id"))
+        ).alias("n_unattributed"),
+    )

@@ -166,6 +166,7 @@ HEADLINE = (
     "corpus_train_val_test_split",
     "events_kmv_distinct_users",
     "events_exact_global_quantiles",
+    "stream_unattributed_views_batch_twin",
 )
 
 

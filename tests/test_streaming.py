@@ -534,3 +534,88 @@ def test_stream_static_enrichment_join(spark, events_dir):
         q.stop()
     assert got.n == expected
     assert got.ns == expected  # every row carried the dim attribute
+
+
+def test_outer_stream_join_finalizes_after_watermark(spark, scratch):
+    """LEFT OUTER stream-stream join: an unmatched view's null row is
+    held back while a match could still arrive, and emitted exactly
+    once after the watermark passes view_ts + gap."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.streaming import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+    from algorithmproject_spark_spark.streaming.joins import (
+        click_view_attribution,
+    )
+
+    path = scratch / "outer_join_in"
+    batch0 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [10, 10, 20],
+            "event_type": ["view", "click", "view"],
+            # user 10's view at 12:00 gets a click at 12:10 (inside the
+            # 30-min gap); user 20's view at 12:00 never gets a click
+            "ts": pd.to_datetime(
+                ["2026-01-01 12:00:00", "2026-01-01 12:10:00",
+                 "2026-01-01 12:00:00"]
+            ),
+            "value": [1.0, 1.0, 1.0],
+        }
+    )
+    sdf = spark.createDataFrame(batch0)
+    sdf.coalesce(1).write.mode("overwrite").parquet(str(path))
+
+    stream = stream_read_parquet(spark, str(path), sdf.schema)
+    joined = click_view_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        how="left_outer",
+    )
+    q = stream_write_memory(joined, "outer_join_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        early = spark.sql("SELECT * FROM outer_join_out").collect()
+        # matched pair may emit, but user 20's null row MUST NOT yet:
+        # watermark (max 12:10 - 1h) hasn't passed 12:00 + 30min
+        assert all(r.click_id is not None for r in early)
+
+        # batch 1: advance BOTH sides to 14:00 — the global watermark
+        # is the MIN of the two sides' watermarks, so a view-only batch
+        # would leave the click side's watermark at 11:10 and user 20's
+        # view could still (in principle) get a click. With both sides
+        # at 14:00 the watermark reaches 13:00 > 12:00 + 30min.
+        late = pd.DataFrame(
+            {
+                "event_id": [4, 5],
+                "user_id": [30, 31],
+                "event_type": ["view", "click"],
+                "ts": pd.to_datetime(
+                    ["2026-01-01 14:00:00", "2026-01-01 14:00:00"]
+                ),
+                "value": [1.0, 1.0],
+            }
+        )
+        spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(
+            str(path)
+        )
+        q.processAllAvailable()
+        # outer results propagate one micro-batch after the watermark
+        # moves; drain an empty batch to flush finalized rows
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, view_id, click_id FROM outer_join_out"
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {(r.user_id, r.view_id): r.click_id for r in rows}
+    assert got[(10, 1)] == 2          # attributed inside the gap
+    assert (20, 3) in got and got[(20, 3)] is None  # finalized null row
+    # only user 20's view is both unmatched AND watermark-finalized
+    # (batch 1's 14:00 view is unmatched but not yet past its gap)
+    n_null = sum(1 for c in got.values() if c is None)
+    assert n_null == 1                # emitted exactly once
