@@ -28,9 +28,20 @@ SEP = "\x1f"  # ASCII unit separator
 
 
 def row_hash(cols: list[str]) -> F.Column:
-    """md5 hex string of the row's chosen columns (null-safe: nulls
-    render as the empty string, distinguished by the separator)."""
-    return F.md5(F.concat_ws(SEP, *[F.col(c).cast("string") for c in cols]))
+    """md5 hex string of the row's chosen columns.
+
+    Null-safe the hard way: ``concat_ws`` DROPS null inputs *and their
+    separator*, so (NULL,'x') and ('x',NULL) would concatenate
+    identically. Each value is therefore presence-tagged — ``1<value>``
+    for non-null, ``0`` for null — before joining, making every column
+    position distinguishable."""
+    tagged = [
+        F.coalesce(
+            F.concat(F.lit("1"), F.col(c).cast("string")), F.lit("0")
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws(SEP, *tagged))
 
 
 def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -47,16 +58,23 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def sql_row_hash_expr(cols: list[str]) -> str:
+    """DuckDB twin of :func:`row_hash` (same presence tagging)."""
+    tagged = ", ".join(
+        f"COALESCE('1' || CAST({c} AS VARCHAR), '0')" for c in cols
+    )
+    return f"md5(concat_ws(chr(31), {tagged}))"
+
+
 def sql_table_checksum(table: str, cols: list[str]) -> str:
     """DuckDB twin of :func:`table_checksum`."""
-    joined = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
     return f"""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_rows,
            CAST(bit_xor(CAST(concat('0x', substr(h, 1, 15)) AS BIGINT)) AS BIGINT) AS xor_hash,
            min(h) AS min_hash,
            max(h) AS max_hash
-    FROM (SELECT md5(concat_ws(chr(31), {joined})) AS h FROM {table})
+    FROM (SELECT {sql_row_hash_expr(cols)} AS h FROM {table})
     """
 
 

@@ -27,17 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from algorithmproject_spark_spark.operators.triangles import (
+    sql_vertex_degrees,
+    vertex_degrees as _degrees,
+)
+
 KCORE_K = 2
 KCORE_ROUNDS = 4
-
-
-def _degrees(edges: DataFrame) -> DataFrame:
-    return (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
 
 
 def kcore_vertices(
@@ -75,12 +71,7 @@ def sql_kcore_vertices(
     for r in range(rounds):
         parts.append(f"""
     kc_keep{r} AS MATERIALIZED (
-        SELECT v FROM (
-            SELECT v, COUNT(*) AS deg
-            FROM (SELECT a AS v FROM kc_e{r}
-                  UNION ALL SELECT b AS v FROM kc_e{r})
-            GROUP BY v
-        ) WHERE deg >= {k}
+        SELECT v FROM ({sql_vertex_degrees(f'kc_e{r}')}) WHERE deg >= {k}
     ),
     kc_e{r + 1} AS MATERIALIZED (
         SELECT e.a, e.b FROM kc_e{r} e
@@ -88,12 +79,7 @@ def sql_kcore_vertices(
         JOIN kc_keep{r} kb ON e.b = kb.v
     )""")
     parts.append(f"""
-    kc_out AS (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
-        FROM (SELECT a AS v FROM kc_e{rounds}
-              UNION ALL SELECT b AS v FROM kc_e{rounds})
-        GROUP BY v
-    )""")
+    kc_out AS ({sql_vertex_degrees(f'kc_e{rounds}')})""")
     return ",".join(parts)
 
 

@@ -57,8 +57,11 @@ def sql_table_diff_summary(
 ) -> str:
     """DuckDB twin: summary of the keyed diff between two relations
     given as SQL subqueries with a single key column ``key``."""
-    joined = ", ".join(f"CAST({c} AS VARCHAR)" for c in val_cols)
-    h = f"md5(concat_ws(chr(31), {joined}))"
+    from algorithmproject_spark_spark.operators.checksum import (
+        sql_row_hash_expr,
+    )
+
+    h = sql_row_hash_expr(val_cols)
     return f"""
     WITH td_a AS (SELECT {key} AS k, {h} AS ha FROM ({a_sql})),
     td_b AS (SELECT {key} AS k, {h} AS hb FROM ({b_sql})),

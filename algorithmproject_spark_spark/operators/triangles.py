@@ -36,6 +36,30 @@ def _lt(da, va, db, vb):
     return (da < db) | ((da == db) & (va < vb))
 
 
+def vertex_degrees(edges: DataFrame) -> DataFrame:
+    """``(v, deg)`` over distinct undirected ``edges(a, b)`` — the
+    shared degree primitive of the graph family (orientation here,
+    peel threshold in operators/kcore.py)."""
+    e = edges.select(F.col(edges.columns[0]).alias("a"),
+                     F.col(edges.columns[1]).alias("b"))
+    return (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def sql_vertex_degrees(edges_cte: str) -> str:
+    """DuckDB twin of :func:`vertex_degrees` (a SELECT, not a CTE)."""
+    return f"""
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS v FROM {edges_cte}
+              UNION ALL SELECT b AS v FROM {edges_cte})
+        GROUP BY v
+    """
+
+
 def oriented_edges(edges: DataFrame) -> DataFrame:
     """Orient ``edges(a, b)`` (distinct undirected pairs, ``a != b``)
     from lower (degree, id) to higher. Returns ``(src, dst, dd)`` with
@@ -43,12 +67,7 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     can order destinations without another degree join)."""
     e = edges.select(F.col(edges.columns[0]).alias("a"),
                      F.col(edges.columns[1]).alias("b"))
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = vertex_degrees(e)
     ea = e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
     eab = ea.join(
         deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b"
@@ -104,12 +123,7 @@ def sql_vertex_triangle_counts(edges_cte: str) -> str:
     """DuckDB twin over a CTE named ``edges_cte`` with columns (a, b):
     per-vertex triangle counts via the identical orientation."""
     return f"""
-    tc_deg AS (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
-        FROM (SELECT a AS v FROM {edges_cte}
-              UNION ALL SELECT b AS v FROM {edges_cte})
-        GROUP BY v
-    ),
+    tc_deg AS ({sql_vertex_degrees(edges_cte)}),
     tc_o AS (
         SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
                CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,

@@ -11,7 +11,11 @@ text so the correctness artifact stays compact; downstream embedding
 jobs consume the same slices.
 
 Chunk contract (identical in both engines): one chunk per stride
-start ``s ∈ {0, S, 2S, …}`` with ``s < n_tokens``; the chunk is
+start ``s ∈ {0, S, 2S, …}`` with ``s < n_tokens``, EXCLUDING starts
+whose clamped chunk would be fully contained in the previous chunk
+(``s + W - S ≥ n_tokens`` for ``s > 0``) — a subsumed tail chunk
+indexes nothing new and would bloat a retrieval index by one
+redundant entry per ~(W-S)/S of docs. The chunk is
 ``tokens[s : s+W]``, clamped at the tail.
 
 Reference parity: none — the reference has no chunking; the nearest
@@ -43,8 +47,12 @@ def sliding_chunks(
     """Chunk catalog ``(doc_id, chunk_idx, n_chunk_tokens,
     chunk_hash)`` for ``docs(doc_id, text)``."""
     toks: Column = F.split(F.col("text"), " ")
-    starts = F.sequence(
-        F.lit(0), F.size(toks) - F.lit(1), F.lit(stride)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - F.lit(1), F.lit(stride)),
+        # drop subsumed tails: for s > 0, a chunk adds new tokens iff
+        # it extends past the previous chunk's end, i.e. s + W - S < n
+        lambda s: (s == 0) | (s + F.lit(width - stride) < n),
     )
     chunks = F.transform(
         starts, lambda s: F.slice(toks, s + 1, width)
@@ -63,8 +71,12 @@ def sliding_chunks(
 
 def _sql_sliding_chunks(width: int = CHUNK_W, stride: int = CHUNK_S) -> str:
     toks = "string_split(text, chr(32))"
+    starts = (
+        f"list_filter(range(0, len({toks}), {stride}), "
+        f"s_ -> s_ = 0 OR s_ + {width - stride} < len({toks}))"
+    )
     chunks = (
-        f"list_transform(range(0, len({toks}), {stride}), "
+        f"list_transform({starts}, "
         f"s_ -> list_slice({toks}, s_ + 1, s_ + {width}))"
     )
     return f"""

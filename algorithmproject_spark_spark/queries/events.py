@@ -568,12 +568,11 @@ def winsorized_value_stats(events: DataFrame, pct: int = WINSOR_PCT) -> DataFram
         lo_thr.alias("lo_thr_e2"),
         hi_thr.alias("hi_thr_e2"),
         wsum.alias("winsorized_sum_e2"),
-        F.expr(
-            "(sum(CASE WHEN rn > kt AND rn <= n - kt THEN v_e2 ELSE 0L END)"
-            " + max(kt) * max(CASE WHEN rn = kt + 1 THEN v_e2 END)"
-            " + max(kt) * max(CASE WHEN rn = n - kt THEN v_e2 END)) * 100"
-            " div max(n)"
-        ).alias("wmean_e4"),
+    ).withColumn(
+        # derived from the aggregated sum, not a second copy of the
+        # formula — the two outputs cannot desynchronize
+        "wmean_e4",
+        F.expr("winsorized_sum_e2 * 100 div n"),
     )
 
 

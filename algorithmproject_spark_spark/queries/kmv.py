@@ -32,22 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from algorithmproject_spark_spark.functions.numeric import (
-    HASH_MULT,
-    HASH_REDUCE,
+    hash_mod,
+    sql_hash_mod,
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 KMV_K = 32
 KMV_MOD = 2_147_483_647  # hash space M (2^31 - 1, matches hashing.py)
-
-
-def _kmv_hash(col: F.Column) -> F.Column:
-    return ((col % F.lit(HASH_REDUCE)) * F.lit(HASH_MULT)) % F.lit(KMV_MOD)
-
-
-def _sql_kmv_hash(expr: str) -> str:
-    return f"((({expr}) % {HASH_REDUCE}) * {HASH_MULT}) % {KMV_MOD}"
 
 
 def kmv_distinct_per_group(
@@ -57,7 +49,7 @@ def kmv_distinct_per_group(
     ``(group, n_exact, kmv_size, kth_min, est_distinct)``. When the
     group has < k distinct keys the sketch IS the exact set and the
     estimate falls back to its size."""
-    h = _kmv_hash(F.col(key_col).cast("long"))
+    h = hash_mod(F.col(key_col).cast("long"), KMV_MOD)
     sk = df.select(
         F.col(group_col).alias("g"), h.alias("h"), key_col
     ).groupBy("g").agg(
@@ -83,7 +75,7 @@ def kmv_distinct_per_group(
 
 
 def _sql_kmv(group_col: str, key_col: str, table: str, k: int = KMV_K) -> str:
-    h = _sql_kmv_hash(f"CAST({key_col} AS BIGINT)")
+    h = sql_hash_mod(f"CAST({key_col} AS BIGINT)", KMV_MOD)
     return f"""
     WITH sk AS (
         SELECT {group_col} AS g,

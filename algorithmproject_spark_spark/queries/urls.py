@@ -36,7 +36,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
-TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+# case-insensitive, and `(=|$)` (not a bare `=`) so valueless forms
+# like `?fbclid` are stripped too while keys that merely share a
+# prefix (`refresh`, `refine=1`) survive
+TRACKING_RE = r"(?i)^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
 
 def canonicalize_url(url: Column) -> Column:

@@ -16,7 +16,7 @@ def _docs(spark, texts):
 
 
 def test_pair_supports_exact(spark):
-    # x,y together in 3/4 docs; x,z in 2/4; y,z in 2/4
+    # x,y together in 3/4 docs; x,z in 3/4; y,z in 2/4
     docs = _docs(spark, ["x y z", "x y", "x y z", "x q z"])
     out = {(r.tok_a, r.tok_b): r.support
            for r in frequent_token_pairs(docs, minsup_permille=500).collect()}

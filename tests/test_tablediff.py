@@ -24,12 +24,24 @@ def test_classifies_all_four_states(spark):
 
 
 def test_null_values_diff_correctly(spark):
-    # null vs empty string must NOT collide (separator-based hash)
+    # null vs empty string must NOT collide (presence-tagged hash)
     a = _df(spark, [(1, None, 1), (2, "", 1)])
     b = _df(spark, [(1, "", 1), (2, "", 1)])
     d = {r.k: r.change_type
          for r in table_diff(a, b, ["k"], ["v", "w"]).collect()}
     assert d == {1: "changed", 2: "unchanged"}
+
+
+def test_null_position_swap_is_detected(spark):
+    # concat_ws drops NULLs AND their separators, so without presence
+    # tags (NULL,'x') and ('x',NULL) would hash identically — a real
+    # change the migration gate must not miss
+    schema = "k INT, v STRING, w STRING"
+    a = spark.createDataFrame([(1, None, "x")], schema)
+    b = spark.createDataFrame([(1, "x", None)], schema)
+    d = {r.k: r.change_type
+         for r in table_diff(a, b, ["k"], ["v", "w"]).collect()}
+    assert d == {1: "changed"}
 
 
 def test_summary_counts_and_witnesses(spark):

@@ -21,6 +21,9 @@ CASES = [
     ("http://host.com", "http://host.com"),                     # no path
     ("http://host.com/refresh?refine=1", "http://host.com/refresh?refine=1"),
     # "ref" must match the whole key, not a prefix
+    ("http://host.com/x?fbclid", "http://host.com/x"),          # bare param
+    ("http://host.com/x?UTM_SOURCE=s&a=1", "http://host.com/x?a=1"),
+    ("http://host.com/x?REF=r&b=1", "http://host.com/x?b=1"),   # case-insens
 ]
 
 
