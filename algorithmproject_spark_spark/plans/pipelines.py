@@ -392,3 +392,139 @@ def article_tagging_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("cls_rank"),
     )
     return quota.filter(F.col("cls_rank") <= _CLASS_QUOTA)
+
+
+# --------------------------------------------------------------------------
+# Pretraining-corpus curation pipeline — the full LLM-data flow as ONE
+# Catalyst plan: exact dedup → length gate → benchmark decontamination
+# → duplicated-span gate → deterministic split → certified summary.
+# Every stage is an existing registered operator composed unchanged;
+# the value of the composite is (a) proving the operators compose in a
+# single lazy plan (no intermediate materialization the user must
+# manage) and (b) the end-to-end artifact a data-curation run signs
+# off on: per-(split, lang) doc/token counts + id checksums.
+# --------------------------------------------------------------------------
+PRETRAIN_MIN_TOKENS = 30
+PRETRAIN_MAX_DUP_PERMILLE = 800
+
+
+@register(
+    "pretrain_corpus_pipeline",
+    oracle=None,  # installed below (composes the stage CTEs)
+    doc="Full pretraining-data curation in one plan: exact dedup "
+    "(min-id survivor) → ≥30-token gate → drop 3-gram benchmark "
+    "contamination vs the held-out set → drop docs ≥80% duplicated "
+    "spans → 80/10/10 hash split → per-(split, lang) counts, token "
+    "totals, id checksums",
+)
+def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.queries.llmprep import (
+        BENCH_DOCS,
+        contamination_hits,
+    )
+    from algorithmproject_spark_spark.queries.llmprep import (
+        SPLIT_MOD,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+    from algorithmproject_spark_spark.queries.spandedup import dup_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dedup_exact(docs, "text", keep_min_of="doc_id")
+    gated = surv.filter(
+        (F.size(F.split(F.col("text"), " ")) >= PRETRAIN_MIN_TOKENS)
+        & (F.col("doc_id") >= BENCH_DOCS)  # held-out set never trains
+    )
+    contaminated = contamination_hits(
+        docs.filter(F.col("doc_id") >= BENCH_DOCS),
+        docs.filter(F.col("doc_id") < BENCH_DOCS),
+    ).select("doc_id")
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+    spans = dup_span_stats(docs).select("doc_id", "dup_permille")
+    kept = clean.join(spans, "doc_id").filter(
+        F.col("dup_permille") < PRETRAIN_MAX_DUP_PERMILLE
+    )
+    bucket = hash_mod("doc_id", SPLIT_MOD)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.select(
+            split.alias("split"),
+            "lang",
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+def _install_pretrain_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.queries.llmprep import (
+        BENCH_DOCS,
+        SPLIT_MOD,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        _sql_contam_grams,
+    )
+    from algorithmproject_spark_spark.queries.spandedup import (
+        _sql_dup_span_stats,
+    )
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    oracle = f"""
+    WITH pc_surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    pc_gated AS (
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split(d.text, chr(32))) AS BIGINT) AS n_tok
+        FROM documents d JOIN pc_surv USING (doc_id)
+        WHERE len(string_split(d.text, chr(32))) >= {PRETRAIN_MIN_TOKENS}
+          AND d.doc_id >= {BENCH_DOCS}
+    ),
+    pc_g AS ({_sql_contam_grams()}),
+    pc_bench AS (
+        SELECT DISTINCT unnest(gh) AS gh FROM pc_g WHERE doc_id < {BENCH_DOCS}
+    ),
+    pc_contam AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, unnest(gh) AS gh FROM pc_g
+              WHERE doc_id >= {BENCH_DOCS}) c
+        JOIN pc_bench USING (gh)
+    ),
+    pc_spans AS ({_sql_dup_span_stats()}),
+    pc_kept AS (
+        SELECT g.*
+        FROM pc_gated g
+        LEFT JOIN pc_contam c ON g.doc_id = c.doc_id
+        JOIN pc_spans s ON g.doc_id = s.doc_id
+        WHERE c.doc_id IS NULL
+          AND s.dup_permille < {PRETRAIN_MAX_DUP_PERMILLE}
+    )
+    SELECT CASE WHEN {sql_hash_mod('doc_id', SPLIT_MOD)} < {SPLIT_TRAIN_LT}
+                THEN 'train'
+                WHEN {sql_hash_mod('doc_id', SPLIT_MOD)} < {SPLIT_VAL_LT}
+                THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM pc_kept
+    GROUP BY 1, 2
+    """
+    REGISTRY["pretrain_corpus_pipeline"] = replace(
+        REGISTRY["pretrain_corpus_pipeline"], oracle=oracle
+    )
+
+
+_install_pretrain_oracle()

@@ -167,6 +167,7 @@ HEADLINE = (
     "events_kmv_distinct_users",
     "events_exact_global_quantiles",
     "stream_unattributed_views_batch_twin",
+    "pretrain_corpus_pipeline",
 )
 
 
