@@ -50,6 +50,50 @@ from algorithmproject_spark_spark.sources.catalog import load_table
 SPAN_K = 8  # token-window width (the paper's 50-BPE-token analogue)
 
 
+def merge_spans(hits: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of width-``k`` windows at ``(doc_id,
+    pos)`` into maximal spans ``(doc_id, iid, s, e)``: a window starts
+    a new span iff it begins after every previous window's end. State
+    per frame = one doc's hits. Shared by the duplicated-span detector
+    here and the span-corruption mask generator (queries/maskgen.py)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("iid", F.sum("new_isl").over(w))
+    return isl.groupBy("doc_id", "iid").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(k)).alias("e")
+    )
+
+
+def sql_merge_spans(hits_cte: str, k: int) -> str:
+    """DuckDB twin of :func:`merge_spans` over a CTE with (doc_id,
+    pos); yields a CTE chain ending in ``ms_spans(doc_id, iid, s, e)``."""
+    return f"""
+    ms_isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + {k}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM {hits_cte}
+    ),
+    ms_isl2 AS (
+        SELECT doc_id, pos,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
+        FROM ms_isl
+    ),
+    ms_spans AS (
+        SELECT doc_id, iid, MIN(pos) AS s, MAX(pos) + {k} AS e
+        FROM ms_isl2 GROUP BY doc_id, iid
+    )
+    """
+
+
 def dup_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     """Per-doc duplicated-span summary over ``docs(doc_id, text)``.
 
@@ -77,21 +121,7 @@ def dup_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         .select("gh")
     )
     hits = grams.join(dup, "gh", "left_semi")
-
-    # gaps-and-islands: a window starts a new span iff it begins after
-    # every previous window's end. State per frame = one doc's hits.
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(k)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = hits.withColumn(
-        "new_isl",
-        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn("iid", F.sum("new_isl").over(w))
-    spans = isl.groupBy("doc_id", "iid").agg(
-        F.min("pos").alias("s"), (F.max("pos") + F.lit(k)).alias("e")
-    )
-    per_doc = spans.groupBy("doc_id").agg(
+    per_doc = merge_spans(hits, k).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
     )
@@ -121,29 +151,12 @@ def _sql_dup_span_stats(k: int = SPAN_K) -> str:
     ),
     dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
     hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
-    isl AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos > COALESCE(MAX(pos + {k}) OVER (
-                        PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    -1)
-                    THEN 1 ELSE 0 END AS new_isl
-        FROM hits
-    ),
-    isl2 AS (
-        SELECT doc_id, pos,
-               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
-        FROM isl
-    ),
-    spans AS (
-        SELECT doc_id, iid, MIN(pos) AS s, MAX(pos) + {k} AS e
-        FROM isl2 GROUP BY doc_id, iid
-    ),
+    {sql_merge_spans('hits', k)},
     per_doc AS (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
                CAST(SUM(e - s) AS BIGINT) AS dup_tokens
-        FROM spans GROUP BY doc_id
+        FROM ms_spans GROUP BY doc_id
     )
     SELECT d.doc_id,
            CAST(len(string_split(d.text, chr(32))) AS BIGINT) AS n_tokens,

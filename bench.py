@@ -168,6 +168,7 @@ HEADLINE = (
     "events_exact_global_quantiles",
     "stream_unattributed_views_batch_twin",
     "pretrain_corpus_pipeline",
+    "doc_corruption_mask_stats",
 )
 
 
