@@ -62,6 +62,13 @@ QUERIES = (
     "dedup_kcore_members",
     "token_cooccurrence_pairs",
     "url_canonicalize_collapse",
+    # round-5 continuation: map-only chunker (sanity row), the
+    # one-plan curation composite (every stage linear), and the
+    # hash-deterministic mask generator (position relation linear in
+    # corpus tokens, one per-doc islands window)
+    "doc_sliding_chunks",
+    "pretrain_corpus_pipeline",
+    "doc_corruption_mask_stats",
 )
 
 # user_label_pipeline joins events; tile them alongside documents with
