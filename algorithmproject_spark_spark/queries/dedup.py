@@ -625,3 +625,105 @@ def _install_triangle_oracle() -> None:
 
 
 _install_triangle_oracle()
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=None,  # installed below (needs the dup-pairs CTE)
+    doc="Cross-source duplication matrix: verified near-dup pairs "
+    "bucketed by their docs' (source_a, source_b) — the data-lineage "
+    "leakage report that tells a curation run which feeds copy from "
+    "which. Two broadcast dim joins over the pair relation",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_above(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+
+
+@register(
+    "near_dup_threshold_histogram",
+    oracle=None,  # installed below
+    doc="Near-dup threshold tuning curve in ONE pass: LSH candidates "
+    "verified once, pair counts bucketed per Jaccard decile — the "
+    "curve a curation run reads to place its dedup bar, without "
+    "re-running the pipeline per candidate threshold",
+)
+def near_dup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0: keep every verified candidate, then bucket
+    pairs = jaccard_pairs_above(spark, sf_dir, threshold_e6=0)
+    return (
+        pairs.select(
+            F.expr("jaccard_e6 * 10 div 1000000").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _install_source_matrix_oracles() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    matrix = f"""
+    WITH {sql_dup_pairs_cte()}
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM dup_pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """
+    REGISTRY["cross_source_dup_matrix"] = replace(
+        REGISTRY["cross_source_dup_matrix"], oracle=matrix
+    )
+
+    hist = f"""
+    WITH sh AS ({_sql_shingle_hashes()}),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{sql_minhash_value('sh', a, b)} AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES]))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_HASHES // BAND_ROWS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+        SELECT CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
+        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+    )
+    SELECT jaccard_e6 * 10 // 1000000 AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY 1
+    """
+    REGISTRY["near_dup_threshold_histogram"] = replace(
+        REGISTRY["near_dup_threshold_histogram"], oracle=hist
+    )
+
+
+_install_source_matrix_oracles()

@@ -169,6 +169,8 @@ HEADLINE = (
     "stream_unattributed_views_batch_twin",
     "pretrain_corpus_pipeline",
     "doc_corruption_mask_stats",
+    "cross_source_dup_matrix",
+    "near_dup_threshold_histogram",
 )
 
 
