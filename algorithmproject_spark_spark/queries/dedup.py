@@ -203,8 +203,12 @@ def jaccard_pairs_above(
     )
 
 
-def sql_dup_pairs_cte() -> str:
-    """CTE chain producing near-dup pairs (doc_a < doc_b, jaccard ≥ 0.5)."""
+def sql_dup_pairs_cte(threshold_e6: int = JACCARD_THRESHOLD_E6) -> str:
+    """CTE chain producing near-dup pairs (doc_a < doc_b) at a
+    parameterized exact-rational Jaccard threshold, with the rounded
+    ``jaccard_e6`` exposed — the single SQL twin of
+    :func:`jaccard_pairs_above` every graph/matrix/histogram oracle
+    composes (no per-oracle copies of the LSH candidate SQL)."""
     sig_cols = ", ".join(
         f"{sql_minhash_value('sh', a, b)} AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES])
@@ -224,10 +228,13 @@ def sql_dup_pairs_cte() -> str:
          AND a.doc_id < b.doc_id
     ),
     dup_pairs AS (
-        SELECT c.doc_a, c.doc_b
+        SELECT c.doc_a, c.doc_b,
+               CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
         FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-        WHERE len(list_intersect(x.sh, y.sh)) * 2
-              >= (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+        WHERE len(list_intersect(x.sh, y.sh)) * 1000000
+              >= (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * {threshold_e6}
     )
     """
 
@@ -640,11 +647,21 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     labeled = (
         pairs.join(
-            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("sa"),
+                )
+            ),
             "doc_a",
         )
         .join(
-            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("sb"),
+                )
+            ),
             "doc_b",
         )
         .select(
@@ -697,29 +714,10 @@ def _install_source_matrix_oracles() -> None:
     )
 
     hist = f"""
-    WITH sh AS ({_sql_shingle_hashes()}),
-    sig AS (
-        SELECT doc_id, {", ".join(f"{sql_minhash_value('sh', a, b)} AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES]))}
-        FROM sh
-    ),
-    bands AS (
-        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_HASHES // BAND_ROWS))}
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    jac AS (
-        SELECT CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                   / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
-                   * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
-        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-    )
+    WITH {sql_dup_pairs_cte(threshold_e6=0)}
     SELECT jaccard_e6 * 10 // 1000000 AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM jac GROUP BY 1
+    FROM dup_pairs GROUP BY 1
     """
     REGISTRY["near_dup_threshold_histogram"] = replace(
         REGISTRY["near_dup_threshold_histogram"], oracle=hist

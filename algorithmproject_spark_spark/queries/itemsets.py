@@ -61,9 +61,14 @@ def _frequent_singletons(
     dtok: DataFrame, n: DataFrame, minsup_permille: int
 ) -> DataFrame:
     """Document frequency of the FREQUENT tokens only: (tok, df).
-    Bounded by the support cut (≤ 1000/minsup_permille tokens can pass
-    a relative bar in principle; in practice vocabulary-of-commons) —
-    this is the only singleton relation that may broadcast."""
+
+    NOT formally bounded — one doc contributes to many tokens' df, so
+    a corpus of shared boilerplate can push an arbitrarily large
+    vocabulary over any relative bar. In practice the frequent set is
+    the vocabulary-of-commons (tiny); production guards the broadcast
+    with an explicit size check and falls back to a shuffle semi-join
+    above it. Far smaller than the raw-vocabulary relation either
+    way, which is why the rules join narrows to THIS relation."""
     return (
         dtok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))

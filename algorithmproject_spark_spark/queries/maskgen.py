@@ -42,31 +42,35 @@ from algorithmproject_spark_spark.sources.catalog import load_table
 
 MASK_W = 3  # span width (the paper's mean span length)
 MASK_START_PCT = 5  # % of positions that start a span
-_ID_P = 1_000_003  # doc-id mixing prime (pre-reduced, BIGINT-safe)
+_ID_P = 1_000_003  # doc-id pre-reduction (BIGINT-safe products)
+# Mixing prime — MUST differ from numeric.HASH_REDUCE (1_000_003):
+# hash_mod reduces its key mod HASH_REDUCE first, so a doc term
+# multiplied by that same prime would vanish and every document would
+# get identical mask positions (found by review; test pins it now).
+_ID_MIX = 999_983
 
 
 def corruption_mask_stats(docs: DataFrame, w: int = MASK_W) -> DataFrame:
     """Per-doc mask catalog: ``(doc_id, n_tokens, n_mask_spans,
     masked_tokens, mask_permille)``."""
     n = F.size(F.split(F.col("text"), " "))
-    pos = docs.select(
+    base = docs.select("doc_id", n.cast("long").alias("n_tokens"))
+    pos = base.select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
-        F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("pos"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_tokens") - 1).cast("int"))
+        ).alias("pos"),
     )
     starts = pos.filter(
         hash_mod(
-            (F.col("doc_id") % _ID_P) * _ID_P + F.col("pos"), 100
+            (F.col("doc_id") % _ID_P) * _ID_MIX + F.col("pos"), 100
         )
         < MASK_START_PCT
     )
     # clamp spans at the doc end: masked span [s, min(e, n_tokens))
     spans = merge_spans(starts.select("doc_id", "pos"), w)
     per_doc = (
-        spans.join(
-            docs.select("doc_id", n.cast("long").alias("n_tokens")),
-            "doc_id",
-        )
+        spans.join(base, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
@@ -80,7 +84,6 @@ def corruption_mask_stats(docs: DataFrame, w: int = MASK_W) -> DataFrame:
             F.sum("mlen").alias("masked_tokens"),
         )
     )
-    base = docs.select("doc_id", n.cast("long").alias("n_tokens"))
     return base.join(
         per_doc.drop("n_tokens"), "doc_id", "left"
     ).select(
@@ -99,7 +102,7 @@ def corruption_mask_stats(docs: DataFrame, w: int = MASK_W) -> DataFrame:
 
 
 def _sql_mask_stats(w: int = MASK_W) -> str:
-    h = sql_hash_mod(f"(doc_id % {_ID_P}) * {_ID_P} + pos", 100)
+    h = sql_hash_mod(f"(doc_id % {_ID_P}) * {_ID_MIX} + pos", 100)
     return f"""
     WITH mk_pos AS (
         SELECT doc_id,
@@ -118,7 +121,10 @@ def _sql_mask_stats(w: int = MASK_W) -> str:
                CAST(SUM(LEAST(s.e, d.n_tokens) - s.s) AS BIGINT)
                    AS masked_tokens
         FROM ms_spans s
-        JOIN (SELECT DISTINCT doc_id, n_tokens FROM mk_pos) d
+        JOIN (SELECT doc_id,
+                     CAST(len(string_split(text, chr(32))) AS BIGINT)
+                         AS n_tokens
+              FROM documents) d
           ON s.doc_id = d.doc_id
         GROUP BY s.doc_id
     )

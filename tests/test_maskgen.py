@@ -41,3 +41,18 @@ def test_long_doc_mask_rate_near_target(spark):
     long_doc = [" ".join(f"t{i}" for i in range(5000))]
     (r,) = corruption_mask_stats(_docs(spark, long_doc)).collect()
     assert 80 <= r.mask_permille <= 220
+
+
+def test_mask_depends_on_doc_id(spark):
+    """Regression for the hash-annihilation bug: the doc term of the
+    mask hash must actually reach the bucket — equal-length docs must
+    NOT all mask the same positions (found when the mixing prime
+    equalled hash_mod's internal reduction prime)."""
+    same_len = [" ".join(f"t{i}" for i in range(300))] * 6
+    docs = spark.createDataFrame(
+        [(i * 101 + 7, t) for i, t in enumerate(same_len)],
+        ["doc_id", "text"],
+    )
+    rows = corruption_mask_stats(docs).collect()
+    signatures = {(r.n_mask_spans, r.masked_tokens) for r in rows}
+    assert len(signatures) > 1, "every doc got an identical mask"
