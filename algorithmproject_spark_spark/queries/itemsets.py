@@ -209,3 +209,51 @@ def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_pair_lift",
+    oracle=f"""
+    WITH {_sql_pairs_cte()}
+    SELECT p.tok_a, p.tok_b, p.support,
+           (p.support * (SELECT n_docs FROM is_n) * 1000000)
+               // (da.df * db.df) AS lift_e6
+    FROM is_pairs p
+    JOIN is_df da ON p.tok_a = da.tok
+    JOIN is_df db ON p.tok_b = db.tok
+    """,
+    doc="Collocation strength of the frequent pairs as exact integer "
+    "lift: P(ab)/(P(a)P(b)) scaled e6 = support*n_docs*1e6 div "
+    "(df_a*df_b) — lift > 1e6 marks pairs co-occurring above "
+    "independence; monotone in the true lift, so ranking needs no "
+    "floats and both engines agree bit-for-bit",
+)
+def token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = frequent_token_pairs(docs)
+    dtok = _doc_tokens(docs)
+    n = _n_docs(docs)
+    freq = _frequent_singletons(dtok, n, MINSUP_PERMILLE)
+    return (
+        pairs.join(
+            F.broadcast(
+                freq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+            ),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(
+                freq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "support",
+            F.expr("support * n_docs * 1000000 div (df_a * df_b)").alias(
+                "lift_e6"
+            ),
+        )
+    )

@@ -171,6 +171,7 @@ HEADLINE = (
     "doc_corruption_mask_stats",
     "cross_source_dup_matrix",
     "near_dup_threshold_histogram",
+    "token_pair_lift",
 )
 
 

@@ -51,3 +51,35 @@ def test_rule_confidence_is_directional(spark):
                 docs, minsup_permille=500, minconf_permille=700
             ).collect()}
     assert both == {("y", "x"): 1000, ("x", "y"): 750}
+
+
+def test_lift_identifies_dependence_direction(spark):
+    from algorithmproject_spark_spark.queries.itemsets import (
+        _doc_tokens, _frequent_singletons, _n_docs,
+    )
+    from algorithmproject_spark_spark.queries.itemsets import (
+        frequent_token_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    # x,y always together (lift > 1); x,z independent-ish
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x y"), (2, "z q"), (3, "x y z")],
+        ["doc_id", "text"],
+    )
+    pairs = frequent_token_pairs(docs, minsup_permille=500)
+    n = _n_docs(docs)
+    freq = _frequent_singletons(_doc_tokens(docs), n, 500)
+    out = {
+        (r.tok_a, r.tok_b): r.lift_e6
+        for r in pairs.join(
+            freq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a")), "tok_a"
+        ).join(
+            freq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b")), "tok_b"
+        ).crossJoin(F.broadcast(n)).select(
+            "tok_a", "tok_b",
+            F.expr("support * n_docs * 1000000 div (df_a * df_b)").alias("lift_e6"),
+        ).collect()
+    }
+    # x in 3 docs, y in 3 docs, xy support 3: lift = 3*4/(3*3) = 4/3
+    assert out[("x", "y")] == 3 * 4 * 1_000_000 // 9

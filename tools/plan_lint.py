@@ -87,6 +87,7 @@ NESTED_LOOP_OK: set[str] = {
     "events_ordered_funnel",  # broadcast 1-row min(ts) window anchor
     "token_cooccurrence_pairs",  # broadcast 1-row n_docs agg (relative
     "token_assoc_rules",         # support cut — same TF-IDF pattern)
+    "token_pair_lift",           # same 1-row n_docs broadcast scalar
 }
 
 PY_NODES = re.compile(
