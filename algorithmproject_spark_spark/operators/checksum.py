@@ -6,9 +6,12 @@ it: one row summarizing the full value multiset of a relation, built
 ONLY from primitives both engines (and most warehouses) compute
 bit-identically:
 
-- per-row hash: md5 of the unit-separator-joined string forms of the
-  chosen columns (md5 is specified byte-exact everywhere; the \\x1f
-  separator prevents ("ab","c") / ("a","bc") collisions),
+- per-row hash: md5 of the joined length-prefixed string forms of the
+  chosen columns (md5 is specified byte-exact everywhere; the length
+  prefix makes the encoding a prefix code, so no value content — not
+  even one containing the separator — can shift bytes across a column
+  boundary: ("ab","c") / ("a","bc") and ("a\\x1f1b","c") /
+  ("a","b\\x1f1c") all hash differently),
 - xor_hash: bit_xor of the first 15 hex digits as a 60-bit int — an
   ORDER-INDEPENDENT, OVERFLOW-FREE aggregate (xor never overflows, so
   unlike a modular sum it needs no row-count bound at 100 TB),
@@ -30,17 +33,25 @@ SEP = "\x1f"  # ASCII unit separator
 def row_hash(cols: list[str]) -> F.Column:
     """md5 hex string of the row's chosen columns.
 
-    Null-safe the hard way: ``concat_ws`` DROPS null inputs *and their
-    separator*, so (NULL,'x') and ('x',NULL) would concatenate
-    identically. Each value is therefore presence-tagged — ``1<value>``
-    for non-null, ``0`` for null — before joining, making every column
-    position distinguishable."""
-    tagged = [
-        F.coalesce(
-            F.concat(F.lit("1"), F.col(c).cast("string")), F.lit("0")
+    Null-safe AND injection-safe: ``concat_ws`` DROPS null inputs *and
+    their separator*, so (NULL,'x') and ('x',NULL) would concatenate
+    identically; and a raw separator-join is ambiguous when a VALUE
+    contains the separator. Each value is therefore encoded as the
+    prefix code ``1<char_length>:<value>`` for non-null, ``0`` for
+    null, before joining — the length prefix pins every column
+    boundary regardless of value content, so ('a\\x1f1b','c') and
+    ('a','b\\x1f1c') hash differently."""
+    tagged = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        tagged.append(
+            F.coalesce(
+                F.concat(
+                    F.lit("1"), F.length(s).cast("string"), F.lit(":"), s
+                ),
+                F.lit("0"),
+            )
         )
-        for c in cols
-    ]
     return F.md5(F.concat_ws(SEP, *tagged))
 
 
@@ -59,9 +70,14 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def sql_row_hash_expr(cols: list[str]) -> str:
-    """DuckDB twin of :func:`row_hash` (same presence tagging)."""
+    """DuckDB twin of :func:`row_hash` (same length-prefix code).
+
+    Both engines' ``length`` counts CHARACTERS on strings, so the
+    prefixes agree cross-engine even for non-ASCII values."""
     tagged = ", ".join(
-        f"COALESCE('1' || CAST({c} AS VARCHAR), '0')" for c in cols
+        "COALESCE('1' || CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR)"
+        " || ':' || CAST({c} AS VARCHAR), '0')".format(c=c)
+        for c in cols
     )
     return f"md5(concat_ws(chr(31), {tagged}))"
 

@@ -46,7 +46,14 @@ def kcore_vertices(
     Each round's survivor edge list is ``localCheckpoint``ed (the LPA
     operator's lineage-truncation trade): without it the unrolled plan
     re-derives the (expensive) input edge relation once per round and
-    the plan tree grows multiplicatively."""
+    the plan tree grows multiplicatively.
+
+    CONVERGENCE IS VERIFIED, not assumed: after the unrolled rounds
+    the surviving degree relation is checked for any ``deg < k``
+    vertex (one limit-1 action over the already-checkpointed, peeled —
+    therefore small — edge set). A graph whose peel depth exceeds
+    ``rounds`` fails loudly with a ValueError instead of silently
+    returning a non-k-core as a dense-cluster certificate."""
     e = edges.select("a", "b").localCheckpoint(eager=True)
     for _ in range(rounds):
         keep = _degrees(e).filter(F.col("deg") >= k).select("v")
@@ -55,7 +62,17 @@ def kcore_vertices(
             .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
-    return _degrees(e)
+    deg = _degrees(e)
+    # min-degree invariant: every vertex of a true k-core has deg >= k
+    # in the surviving subgraph; a deg < k survivor means one more peel
+    # round would still remove vertices, i.e. rounds was too shallow
+    if deg.filter(F.col("deg") < k).limit(1).count() > 0:
+        raise ValueError(
+            f"k-core peel did not converge in {rounds} rounds "
+            f"(a surviving vertex still has degree < {k}); "
+            "raise `rounds` for this graph's peel depth"
+        )
+    return deg
 
 
 def sql_kcore_vertices(

@@ -48,6 +48,10 @@ def bucketed_interval_join(
     """
     if how != "inner":
         raise NotImplementedError("only inner range join is implemented")
+    # empty/inverted intervals (end <= start) contain nothing under the
+    # half-open contract; dropped up front so the bucket explode never
+    # sees a descending F.sequence (start-bucket > end-bucket)
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     p = points.withColumn(
         "__bkt", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_us))
     )
@@ -123,7 +127,17 @@ def bucketed_overlap_join(
     — the bucket containing ``max(a.s, b.s)`` — which every true
     overlap has exactly one of. Start/end columns must be BIGINT
     epoch micros (exact integer bucket math, engine-portable).
+
+    Intervals are HALF-OPEN AND NON-EMPTY by contract: rows with
+    ``end <= start`` are dropped up front on both sides. Without the
+    guard an inverted interval feeds ``F.sequence(hi, lo)`` a
+    DESCENDING bucket list (buckets it does not cover), and an EMPTY
+    interval ``[x, x)`` sitting inside the other side would still
+    satisfy the strict overlap predicate (``a.s < b.e AND b.s <
+    a.e``) — a spurious match, since the empty set overlaps nothing.
     """
+    a = a.filter(F.col(a_end) > F.col(a_start))
+    b = b.filter(F.col(b_end) > F.col(b_start))
     ea = a.withColumn(
         "__bkt",
         F.explode(

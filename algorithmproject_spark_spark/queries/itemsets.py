@@ -43,14 +43,44 @@ MINCONF_PERMILLE = 840  # rule confidence cut
 
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
-    # cache(): the explode feeds BOTH the singleton-df aggregate and
-    # the semi-join back (and the rules query a third time) — uncached,
-    # the full-corpus tokenize+explode recomputes per consumer (the
-    # same diamond spandedup.py caches for a measured 2.3× win)
+    """Distinct doc-token relation (map-only explode), UNCACHED.
+
+    Callers that consume it more than once cache it ONCE and thread
+    the cached relation through every consumer (the ``dtok=``
+    parameters below); the registered queries share a single cached
+    copy per (session, sf_dir) via :func:`_corpus_relations`, released
+    by :func:`clear_itemset_cache` — one cached relation total, not
+    one per helper call."""
     return docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
-    ).cache()
+    )
+
+
+# One cached doc-token relation per (session, sf_dir): repeated query
+# invocations (bench loops, long-lived sessions) reuse it instead of
+# stacking fresh cached copies of the same explode.
+_DTOK_MEMO: dict = {}
+
+
+def _corpus_relations(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _DTOK_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        # cache(): the explode feeds the singleton-df aggregate, the
+        # semi-join back, and (for rules/lift) a third consumer —
+        # uncached, the full-corpus tokenize+explode recomputes per
+        # consumer (the same diamond spandedup.py caches for a
+        # measured 2.3× win)
+        _DTOK_MEMO[key] = (docs, _doc_tokens(docs).cache())
+    return _DTOK_MEMO[key]
+
+
+def clear_itemset_cache() -> None:
+    """Unpersist every memoized doc-token relation (call at teardown)."""
+    for _, dtok in _DTOK_MEMO.values():
+        dtok.unpersist()
+    _DTOK_MEMO.clear()
 
 
 def _n_docs(docs: DataFrame) -> DataFrame:
@@ -79,11 +109,17 @@ def _frequent_singletons(
 
 
 def frequent_token_pairs(
-    docs: DataFrame, minsup_permille: int = MINSUP_PERMILLE
+    docs: DataFrame,
+    minsup_permille: int = MINSUP_PERMILLE,
+    dtok: DataFrame | None = None,
 ) -> DataFrame:
     """Token pairs co-occurring in ≥ minsup_permille‰ of docs:
-    ``(tok_a, tok_b, support)`` with ``tok_a < tok_b``."""
-    dtok = _doc_tokens(docs)
+    ``(tok_a, tok_b, support)`` with ``tok_a < tok_b``.
+
+    Pass a (cached) ``dtok`` to share the doc-token explode with other
+    consumers in the same plan family."""
+    if dtok is None:
+        dtok = _doc_tokens(docs)
     n = _n_docs(docs)
     freq = _frequent_singletons(dtok, n, minsup_permille).select("tok")
     ft = dtok.join(F.broadcast(freq), "tok", "left_semi")
@@ -115,10 +151,13 @@ def association_rules(
     docs: DataFrame,
     minsup_permille: int = MINSUP_PERMILLE,
     minconf_permille: int = MINCONF_PERMILLE,
+    dtok: DataFrame | None = None,
 ) -> DataFrame:
     """Directed rules antecedent→consequent from the frequent pairs:
     confidence = support(pair)/df(antecedent), exact permille floor."""
-    pairs = frequent_token_pairs(docs, minsup_permille)
+    if dtok is None:
+        dtok = _doc_tokens(docs)
+    pairs = frequent_token_pairs(docs, minsup_permille, dtok=dtok)
     both = pairs.select(
         F.col("tok_a").alias("antecedent"),
         F.col("tok_b").alias("consequent"),
@@ -133,9 +172,9 @@ def association_rules(
     # antecedents are necessarily frequent (support(pair) ≤ df(tok)),
     # so the join only needs the BOUNDED frequent-singleton df — never
     # broadcast the full-vocabulary relation
-    sup1 = _frequent_singletons(
-        _doc_tokens(docs), _n_docs(docs), minsup_permille
-    ).select(F.col("tok").alias("antecedent"), "df")
+    sup1 = _frequent_singletons(dtok, _n_docs(docs), minsup_permille).select(
+        F.col("tok").alias("antecedent"), "df"
+    )
     return (
         both.join(F.broadcast(sup1), "antecedent")
         .withColumn(
@@ -184,7 +223,8 @@ def _sql_pairs_cte(minsup_permille: int = MINSUP_PERMILLE) -> str:
     "expansion over per-doc frequent bags",
 )
 def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frequent_token_pairs(load_table(spark, sf_dir, "documents"))
+    docs, dtok = _corpus_relations(spark, sf_dir)
+    return frequent_token_pairs(docs, dtok=dtok)
 
 
 @register(
@@ -208,7 +248,8 @@ def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(support(pair)/df(antecedent)) ≥ 840",
 )
 def token_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return association_rules(load_table(spark, sf_dir, "documents"))
+    docs, dtok = _corpus_relations(spark, sf_dir)
+    return association_rules(docs, dtok=dtok)
 
 
 @register(
@@ -216,22 +257,23 @@ def token_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_sql_pairs_cte()}
     SELECT p.tok_a, p.tok_b, p.support,
-           (p.support * (SELECT n_docs FROM is_n) * 1000000)
-               // (da.df * db.df) AS lift_e6
+           (((p.support * 1000000) // da.df)
+               * (SELECT n_docs FROM is_n)) // db.df AS lift_e6
     FROM is_pairs p
     JOIN is_df da ON p.tok_a = da.tok
     JOIN is_df db ON p.tok_b = db.tok
     """,
-    doc="Collocation strength of the frequent pairs as exact integer "
-    "lift: P(ab)/(P(a)P(b)) scaled e6 = support*n_docs*1e6 div "
-    "(df_a*df_b) — lift > 1e6 marks pairs co-occurring above "
-    "independence; monotone in the true lift, so ranking needs no "
-    "floats and both engines agree bit-for-bit",
+    doc="Collocation strength of the frequent pairs as integer lift: "
+    "P(ab)/(P(a)P(b)) scaled e6, computed as the floor composition "
+    "(support*1e6 div df_a)*n_docs div df_b — every intermediate is "
+    "bounded by 1e6*n_docs (support <= df_a caps the first quotient "
+    "at 1e6), so BIGINT never overflows even at 1e12 docs, unlike "
+    "the naive support*n_docs*1e6 which wraps past ~3M docs; "
+    "relative error <= ~2e-6, both engines bit-identical",
 )
 def token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = frequent_token_pairs(docs)
-    dtok = _doc_tokens(docs)
+    docs, dtok = _corpus_relations(spark, sf_dir)
+    pairs = frequent_token_pairs(docs, dtok=dtok)
     n = _n_docs(docs)
     freq = _frequent_singletons(dtok, n, MINSUP_PERMILLE)
     return (
@@ -252,7 +294,12 @@ def token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_a",
             "tok_b",
             "support",
-            F.expr("support * n_docs * 1000000 div (df_a * df_b)").alias(
+            # floor composition keeps every intermediate <= 1e6*n_docs:
+            # support <= df_a bounds the inner quotient at 1e6, so this
+            # never wraps BIGINT (the naive support*n_docs*1e6 does at
+            # ~3M docs — and non-ANSI Spark would wrap SILENTLY while
+            # DuckDB raises, the worst cross-engine divergence class)
+            F.expr("(support * 1000000 div df_a) * n_docs div df_b").alias(
                 "lift_e6"
             ),
         )

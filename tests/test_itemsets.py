@@ -70,6 +70,8 @@ def test_lift_identifies_dependence_direction(spark):
     pairs = frequent_token_pairs(docs, minsup_permille=500)
     n = _n_docs(docs)
     freq = _frequent_singletons(_doc_tokens(docs), n, 500)
+    # the production floor-composed form: every intermediate bounded by
+    # 1e6*n_docs (support <= df_a), so BIGINT never wraps at scale
     out = {
         (r.tok_a, r.tok_b): r.lift_e6
         for r in pairs.join(
@@ -78,8 +80,31 @@ def test_lift_identifies_dependence_direction(spark):
             freq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b")), "tok_b"
         ).crossJoin(F.broadcast(n)).select(
             "tok_a", "tok_b",
-            F.expr("support * n_docs * 1000000 div (df_a * df_b)").alias("lift_e6"),
+            F.expr("(support * 1000000 div df_a) * n_docs div df_b").alias("lift_e6"),
         ).collect()
     }
-    # x in 3 docs, y in 3 docs, xy support 3: lift = 3*4/(3*3) = 4/3
-    assert out[("x", "y")] == 3 * 4 * 1_000_000 // 9
+    # x in 3 docs, y in 3 docs, xy support 3:
+    # (3e6 div 3) * 4 div 3 = 1_333_333 — lift 4/3, same as exact here
+    assert out[("x", "y")] == (3 * 1_000_000 // 3) * 4 // 3
+
+
+def test_registered_lift_uses_one_shared_cached_relation(spark, tmp_path):
+    """The registry wrappers must reuse ONE memoized cached doc-token
+    relation per (session, sf_dir) — and clear_itemset_cache must
+    release it."""
+    from algorithmproject_spark_spark.queries.itemsets import (
+        _DTOK_MEMO,
+        _corpus_relations,
+        clear_itemset_cache,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clear_itemset_cache()
+    _, d1 = _corpus_relations(spark, sf)
+    _, d2 = _corpus_relations(spark, sf)
+    assert d1 is d2
+    assert len(_DTOK_MEMO) == 1
+    assert d1.storageLevel.useMemory
+    clear_itemset_cache()
+    assert len(_DTOK_MEMO) == 0
+    assert not d1.storageLevel.useMemory

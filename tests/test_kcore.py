@@ -31,11 +31,14 @@ def test_k4_has_a_3core_but_k4_minus_edge_does_not(spark):
 
 def test_long_path_needs_enough_rounds(spark):
     # P9 (8 edges) peels one vertex per end per round: 4 rounds empty
-    # it; 2 rounds leave a shorter path — the fixed-round contract
+    # it; 2 rounds leave survivors with deg < k — the convergence
+    # invariant must fail LOUDLY instead of returning a non-k-core
+    import pytest
+
     path = [(i, i + 1) for i in range(8)]
     assert kcore_vertices(_edges(spark, path), k=2, rounds=4).count() == 0
-    partial = kcore_vertices(_edges(spark, path), k=2, rounds=2)
-    assert partial.count() == 5  # vertices 2..6 still look 2-core-ish
+    with pytest.raises(ValueError, match="did not converge"):
+        kcore_vertices(_edges(spark, path), k=2, rounds=2).count()
 
 
 def test_two_disjoint_triangles_both_survive(spark):

@@ -285,6 +285,32 @@ def test_overlap_join_counts_each_pair_once(spark):
     assert pairs == [(0, 100), (1, 102)]
 
 
+def test_overlap_join_ignores_empty_and_inverted_intervals(spark):
+    """Half-open NON-EMPTY contract: an empty interval [x, x) sitting
+    inside the other side must not match (the strict overlap predicate
+    alone would pass it), and an inverted interval must be dropped
+    rather than explode a descending bucket sequence."""
+    from algorithmproject_spark_spark.operators.rangejoin import (
+        bucketed_overlap_join,
+    )
+
+    H = 3_600_000_000
+    a = spark.createDataFrame(
+        [
+            (0, 0, 2 * H),       # real interval
+            (1, 5 * H, 5 * H),   # empty — overlaps nothing
+            (2, 9 * H, 7 * H),   # inverted — dropped
+        ],
+        ["a_id", "a_s", "a_e"],
+    )
+    b = spark.createDataFrame([(100, 0, 10 * H)], ["b_id", "b_s", "b_e"])
+    out = bucketed_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e")
+    assert sorted((r.a_id, r.b_id) for r in out.collect()) == [(0, 100)]
+    # empty interval on the b side likewise never matches
+    b2 = spark.createDataFrame([(200, H, H)], ["b_id", "b_s", "b_e"])
+    assert bucketed_overlap_join(a, b2, "a_s", "a_e", "b_s", "b_e").count() == 0
+
+
 def test_overlap_join_matches_naive_on_random_intervals(spark):
     from algorithmproject_spark_spark.operators.rangejoin import (
         bucketed_overlap_join,

@@ -44,6 +44,57 @@ def test_null_position_swap_is_detected(spark):
     assert d == {1: "changed"}
 
 
+def test_separator_injection_is_detected(spark):
+    # values CONTAINING the \x1f separator must not shift bytes across
+    # column boundaries: under plain presence-tagging ('a\x1f1b','c')
+    # and ('a','b\x1f1c') encode to the identical joined string; the
+    # length-prefix code keeps them distinct
+    schema = "k INT, v STRING, w STRING"
+    a = spark.createDataFrame([(1, "a\x1f1b", "c")], schema)
+    b = spark.createDataFrame([(1, "a", "b\x1f1c")], schema)
+    d = {r.k: r.change_type
+         for r in table_diff(a, b, ["k"], ["v", "w"]).collect()}
+    assert d == {1: "changed"}
+
+
+def test_row_hash_sql_twin_matches_spark_on_hostile_values(spark):
+    # the DuckDB twin must produce byte-identical hashes for every
+    # hard case: separator injection, null vs empty, unicode (length
+    # counts CHARACTERS in both engines), digits-and-colon values that
+    # could fake a length prefix
+    import duckdb
+
+    from algorithmproject_spark_spark.operators.checksum import (
+        row_hash,
+        sql_row_hash_expr,
+    )
+
+    rows = [
+        (1, "a\x1f1b", "c"),
+        (2, "a", "b\x1f1c"),
+        (3, None, ""),
+        (4, "", None),
+        (5, "héllo", "x:y"),
+        (6, "2:", "1"),
+    ]
+    schema = "k INT, v STRING, w STRING"
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.k: r.h
+        for r in df.select("k", row_hash(["v", "w"]).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, v VARCHAR, w VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT k, {sql_row_hash_expr(['v', 'w'])} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(set(got.values())) == len(rows)
+
+
 def test_summary_counts_and_witnesses(spark):
     a = _df(spark, [(i, "v", i) for i in range(10)])
     b = _df(spark, [(i, "v" if i % 3 else "m", i) for i in range(2, 12)])
