@@ -54,3 +54,5 @@ from algorithmproject_spark_spark.operators import countmin  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import checksum  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import tablediff  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import kcore  # noqa: F401,E402
+from algorithmproject_spark_spark.operators import zorder  # noqa: F401,E402
+from algorithmproject_spark_spark.operators import bloomjoin  # noqa: F401,E402
