@@ -84,3 +84,38 @@ def sql_scaled_long(expr: str, scale: int = 100) -> str:
 def sql_micros(expr: str) -> str:
     """DuckDB-side twin of :func:`micros`."""
     return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def floordiv(num: Column, den: Column) -> Column:
+    """BIGINT floor division of non-negative Columns — the Column form
+    of SQL ``div``, written as (num - num % den) / den so every
+    intermediate stays integer-exact (PySpark has no ``div``
+    operator on Columns)."""
+    return ((num - num % den) / den).cast("long")
+
+
+def ppm(count: Column, total: Column) -> Column:
+    """EXACT floor(count * 1e6 / total) with bounded intermediates.
+
+    The naive ``count * 1000000`` wraps BIGINT once count exceeds
+    ~9.2e12 — real for per-token counts over a 100 TB corpus, and the
+    worst cross-engine class (non-ANSI Spark wraps silently, DuckDB
+    raises). Split the scale into 1000×1000: with
+    q = (count*1000) div total and r = (count*1000) % total,
+
+        floor(count*1e6/total) = q*1000 + (r*1000) div total
+
+    exactly (substitute count*1000 = q*total + r), and every
+    intermediate is ≤ max(count, total)*1000 — safe for counts up to
+    ~9.2e15, three orders of magnitude past a 100 TB corpus's total
+    token count (~2.5e13). Keep :func:`sql_ppm` textually in sync."""
+    c1k = count * F.lit(1000)
+    q = floordiv(c1k, total)
+    r = c1k % total
+    return q * F.lit(1000) + floordiv(r * F.lit(1000), total)
+
+
+def sql_ppm(count_expr: str, total_expr: str) -> str:
+    """DuckDB twin of :func:`ppm` (same two-step exact scaling)."""
+    c, t = f"(({count_expr}) * 1000)", f"({total_expr})"
+    return f"(({c} // {t}) * 1000 + (({c} % {t}) * 1000) // {t})"

@@ -34,6 +34,8 @@ from algorithmproject_spark_spark.queries import (  # noqa: F401,E402
     chunking,
     kmv,
     maskgen,
+    sparsesim,
+    drift,
 )
 from algorithmproject_spark_spark.plans import pipelines  # noqa: F401,E402
 from algorithmproject_spark_spark.ml import topics  # noqa: F401,E402

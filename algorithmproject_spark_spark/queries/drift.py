@@ -1,0 +1,108 @@
+"""Corpus drift — exact distribution comparison between two corpus
+slices.
+
+The data-quality question behind every corpus refresh: did the token
+distribution MOVE? Comparing two 50-TB crawls can't use χ²/KL
+directly (logs and float sums diverge across engines); the
+total-variation contribution per token is exact in integers:
+
+    drift_ppm(t) = | ppm(c_A(t), N_A) - ppm(c_B(t), N_B) |
+
+where ppm is the overflow-bounded exact parts-per-million helper
+(functions/numeric.py — counts over ~9.2e12 would wrap the naive
+c*1e6). Σ drift_ppm / 2e6 IS the total-variation distance between
+the two unigram distributions; the per-token rows rank WHAT moved.
+
+Spark shape: one map-only side split (deterministic hash-mod on
+doc_id — reproducible, partition-independent), one (tok, side) keyed
+count collapsed to per-token A/B columns via conditional aggregation
+(single shuffle, never a pivot of unknown width), totals as a
+broadcast 1-row aggregate, top-k via TakeOrderedAndProject (bounded
+driver result, no global sort stage).
+
+Reference parity: none — the reference has no distribution-comparison
+op; this extends the quality family (operators/quality.py) with the
+drift primitive batch curation needs before swapping a corpus in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import (
+    hash_mod,
+    ppm,
+    sql_hash_mod,
+    sql_ppm,
+)
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+TOP_N = 50
+
+
+def token_drift(docs: DataFrame, top_n: int = TOP_N) -> DataFrame:
+    """Top-``top_n`` drifted tokens between the two hash-mod halves of
+    ``docs``: ``(tok, c_a, c_b, ppm_a, ppm_b, drift_ppm)``, ordered by
+    (drift desc, tok) with the ordering made deterministic."""
+    toks = docs.select(
+        hash_mod("doc_id", 2).alias("side"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            "c_a",
+            "c_b",
+            ppm(F.col("c_a"), F.col("n_a")).alias("ppm_a"),
+            ppm(F.col("c_b"), F.col("n_b")).alias("ppm_b"),
+        )
+        .withColumn(
+            "drift_ppm", F.abs(F.col("ppm_a") - F.col("ppm_b"))
+        )
+    )
+    return ranked.orderBy(F.col("drift_ppm").desc(), "tok").limit(top_n)
+
+
+def _register() -> None:
+    @register(
+        "corpus_token_drift",
+        oracle=f"""
+        WITH cd_t AS (
+            SELECT {sql_hash_mod('doc_id', 2)} AS side,
+                   unnest(string_split(text, chr(32))) AS tok
+            FROM documents
+        ),
+        cd_c AS (
+            SELECT tok,
+                   CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+            FROM cd_t GROUP BY tok
+        ),
+        cd_n AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM cd_c)
+        SELECT tok, c_a, c_b,
+               {sql_ppm('c_a', 'n_a')} AS ppm_a,
+               {sql_ppm('c_b', 'n_b')} AS ppm_b,
+               abs({sql_ppm('c_a', 'n_a')} - {sql_ppm('c_b', 'n_b')}) AS drift_ppm
+        FROM cd_c, cd_n
+        ORDER BY drift_ppm DESC, tok LIMIT {TOP_N}
+        """,
+        doc="Corpus drift between the two hash-mod halves of the "
+        "corpus: per-token exact ppm frequencies and |Δppm| (the "
+        "total-variation contribution), overflow-bounded two-step "
+        "integer scaling, top-50 movers — the distribution-shift "
+        "gate a corpus refresh runs before swapping sources",
+    )
+    def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return token_drift(load_table(spark, sf_dir, "documents"))
+
+
+_register()
