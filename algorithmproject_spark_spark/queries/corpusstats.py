@@ -1,0 +1,242 @@
+"""Corpus-engineering diagnostics: vocabulary coverage, key skew,
+sequence-length bucketing waste.
+
+Three exact, scale-shaped reports a training-data platform runs before
+committing to a tokenizer, a partitioning, or a batching scheme:
+
+- **Vocabulary coverage curve** — what fraction of corpus tokens the
+  top-V vocabulary entries cover, for V along a doubling ladder. THE
+  tokenizer-budget question (how big must V be for ≥99% coverage).
+  Shape: token counts (one keyed agg), rank + cumulative sum over the
+  VOCABULARY-sized relation (bounded — distinct tokens, not corpus
+  rows), exact ppm scaling.
+- **Key-skew report** — per-key count distribution of a join/group key
+  summarized as exact order statistics + heavy-hitter share. The
+  pre-flight check before keying a 100 TB shuffle: a p99/p50 ratio or
+  a single key holding >1% of rows means salting (operators/skew.py)
+  or AQE skew handling is required. Shape: one keyed count, then the
+  compacted-distribution exact-quantile trick (events.py) over the
+  (count → frequency) relation — never a global sort of data rows.
+- **Sequence-length bucket waste** — padding overhead if documents are
+  batched into fixed length buckets: for each bucket ladder rung,
+  tokens wasted as padding, exact ppm of the total. Decides bucketed
+  batching vs packing (queries/llmprep.py's doc_pack_sequences is the
+  packing alternative this report justifies).
+
+Reference parity: none — the reference hard-codes its corpus/shuffle
+decisions (e.g. LightldaPreProcess.scala's fixed df<10 vocab filter,
+fixed 1024/2048 shuffle partitions); these reports compute the
+evidence those decisions need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import ppm, sql_ppm
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+COVERAGE_LADDER = (1, 2, 4, 8, 16, 32, 64)
+BUCKET_LADDER = (16, 32, 64, 128)
+
+
+def vocab_coverage_curve(docs: DataFrame) -> DataFrame:
+    """``(v, coverage_ppm)``: corpus-token coverage of the top-``v``
+    vocabulary entries (count desc, token asc tiebreak) for each
+    ladder rung ≤ vocabulary size."""
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    ladder = F.array(*[F.lit(v) for v in COVERAGE_LADDER])
+    return (
+        ranked.filter(F.array_contains(ladder, F.col("rk")))
+        .select(
+            F.col("rk").alias("v"),
+            ppm(F.col("cum"), F.col("n")).alias("coverage_ppm"),
+        )
+        .orderBy("v")
+    )
+
+
+def key_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """1-row exact skew summary of ``df[key]``: ``(n_rows, n_keys,
+    p50_c, p99_c, max_c, top1_share_ppm)``.
+
+    p50/p99 are exact order statistics of the per-key count
+    distribution, computed over the COMPACTED (count → n_keys)
+    relation — its cardinality is the number of DISTINCT count
+    values, far below the key count, so the single-partition window
+    is bounded."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    dist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy("c")
+    cum = dist.select(
+        "c",
+        F.sum("k").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("k").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("nk"),
+        F.sum(F.col("c") * F.col("k")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").alias("n_rows"),
+        F.max("nk").alias("n_keys"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("nk") * 50, F.col("c"))).alias("p50_c"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("nk") * 99, F.col("c"))).alias("p99_c"),
+        F.max("c").alias("max_c"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "p50_c",
+        "p99_c",
+        "max_c",
+        ppm(F.col("max_c"), F.col("n_rows")).alias("top1_share_ppm"),
+    )
+
+
+def seqlen_bucket_waste(docs: DataFrame) -> DataFrame:
+    """``(bucket_len, n_docs, pad_tokens, waste_ppm)``: padding cost of
+    batching docs at each ladder rung (docs longer than the largest
+    rung go to the largest rung, truncated — counted as 0 pad)."""
+    lens = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("len")
+    )
+    ladder = list(BUCKET_LADDER)
+    # smallest rung >= len (or the largest rung, truncating): the
+    # per-row bucket assignment is a chained when — map-only
+    bucket = F.lit(ladder[-1])
+    for rung in reversed(ladder):
+        bucket = F.when(F.col("len") <= rung, F.lit(rung)).otherwise(bucket)
+    pad = F.greatest(F.col("bucket_len") - F.col("len"), F.lit(0))
+    per = (
+        lens.select("len", bucket.cast("long").alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(pad).alias("pad_tokens"),
+            F.sum(F.least(F.col("len"), F.col("bucket_len"))).alias("kept"),
+        )
+    )
+    return per.select(
+        "bucket_len",
+        "n_docs",
+        "pad_tokens",
+        ppm(
+            F.col("pad_tokens"), F.col("pad_tokens") + F.col("kept")
+        ).alias("waste_ppm"),
+    ).orderBy("bucket_len")
+
+
+def _register() -> None:
+    @register(
+        "vocab_coverage_curve",
+        oracle=f"""
+        WITH vc_c AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, chr(32))) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        vc_r AS (
+            SELECT c,
+                   CAST(row_number() OVER (ORDER BY c DESC, tok) AS INTEGER) AS rk,
+                   SUM(c) OVER (ORDER BY c DESC, tok) AS cum,
+                   SUM(c) OVER () AS n
+            FROM vc_c
+        )
+        SELECT rk AS v, {sql_ppm('cum', 'n')} AS coverage_ppm
+        FROM vc_r WHERE rk IN ({", ".join(map(str, COVERAGE_LADDER))})
+        ORDER BY v
+        """,
+        doc="Tokenizer-budget curve: exact corpus-token coverage ppm "
+        "of the top-V vocabulary entries for V in a doubling ladder "
+        "— rank + cumulative sum over the vocabulary-sized (not "
+        "corpus-sized) relation",
+    )
+    def vocab_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return vocab_coverage_curve(load_table(spark, sf_dir, "documents"))
+
+    @register(
+        "orders_key_skew_report",
+        oracle=f"""
+        WITH ks_c AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY o_custkey
+        ),
+        ks_d AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS k FROM ks_c GROUP BY c),
+        ks_cum AS (
+            SELECT c,
+                   SUM(k) OVER (ORDER BY c) AS cum,
+                   SUM(k) OVER () AS nk,
+                   SUM(c * k) OVER () AS n
+            FROM ks_d
+        ),
+        ks_agg AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+                   CAST(MAX(nk) AS BIGINT) AS n_keys,
+                   CAST(MIN(CASE WHEN cum * 100 >= nk * 50 THEN c END) AS BIGINT) AS p50_c,
+                   CAST(MIN(CASE WHEN cum * 100 >= nk * 99 THEN c END) AS BIGINT) AS p99_c,
+                   CAST(MAX(c) AS BIGINT) AS max_c
+            FROM ks_cum
+        )
+        SELECT n_rows, n_keys, p50_c, p99_c, max_c,
+               {sql_ppm('max_c', 'n_rows')} AS top1_share_ppm
+        FROM ks_agg
+        """,
+        doc="Shuffle pre-flight skew report for orders.o_custkey: "
+        "exact p50/p99/max of the per-key count distribution plus "
+        "heaviest-key row share — computed over the compacted "
+        "(count → frequency) relation, never a data-row sort; the "
+        "evidence for choosing salting / AQE skew handling",
+    )
+    def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return key_skew_report(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+    @register(
+        "seqlen_bucket_waste",
+        oracle=f"""
+        WITH sb_l AS (
+            SELECT CAST(len(string_split(text, chr(32))) AS BIGINT) AS l
+            FROM documents
+        ),
+        sb_b AS (
+            SELECT l,
+                   CASE {" ".join(f"WHEN l <= {r} THEN {r}" for r in BUCKET_LADDER)}
+                        ELSE {BUCKET_LADDER[-1]} END AS bucket_len
+            FROM sb_l
+        ),
+        sb_g AS (
+            SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(GREATEST(bucket_len - l, 0)) AS BIGINT) AS pad_tokens,
+                   CAST(SUM(LEAST(l, bucket_len)) AS BIGINT) AS kept
+            FROM sb_b GROUP BY bucket_len
+        )
+        SELECT bucket_len, n_docs, pad_tokens,
+               {sql_ppm('pad_tokens', 'pad_tokens + kept')} AS waste_ppm
+        FROM sb_g ORDER BY bucket_len
+        """,
+        doc="Batching-efficiency report: padding tokens and exact "
+        "waste ppm if docs are batched at each bucket rung (16..128, "
+        "longest rung truncates) — the evidence for bucketed batching "
+        "vs sequence packing (doc_pack_sequences)",
+    )
+    def seqlen_bucket_waste_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return seqlen_bucket_waste(load_table(spark, sf_dir, "documents"))
+
+
+_register()

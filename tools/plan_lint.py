@@ -63,6 +63,8 @@ GLOBAL_SORT_OK: set[str] = {
                               # the N-way-parallel way to get it
     "lda_topics_described",   # pyspark.ml describeTopics output, k=10
                               # topic rows — driver-sized by construction
+    "seqlen_bucket_waste",    # final orderBy over ≤4 ladder-rung rows
+                              # (the groupBy output is ladder-bounded)
 }
 
 # BroadcastNestedLoopJoin allowed ONLY where the build side is bounded

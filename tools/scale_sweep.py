@@ -69,6 +69,15 @@ QUERIES = (
     "doc_sliding_chunks",
     "pretrain_corpus_pipeline",
     "doc_corruption_mask_stats",
+    # round-6 additions. Drift: one (tok, side) keyed count, vocab
+    # grows linearly under the token remap — linear. Sparse top-k:
+    # per-copy bigram vocab is disjoint, so the df-banded posting join
+    # volume is Σdf² with fixed df profile per copy — linear. Z-order:
+    # map-only rank/interleave + one ≤256-group aggregate over tiled
+    # events — linear, flat-ish (scan-dominated).
+    "corpus_token_drift",
+    "sparse_tfidf_topk_pairs",
+    "zorder_pruning_stats",
 )
 
 # user_label_pipeline joins events; tile them alongside documents with
@@ -140,6 +149,12 @@ FACT_QUERIES = (
     "q21_sole_returned_supplier",
     # round-5: keyed snapshot diff — one full-outer hash join, linear
     "orders_snapshot_diff",
+    # round-6: Bloom prefilter — bitmap build is keyed agg over the
+    # (fixed-rate) small side, probe map-only over tiled orders; cost
+    # must track the big-side scan linearly. The key-offset tiling
+    # also grows the inserted key set, so the sweep exercises filter
+    # saturation (fp rate rises, correctness unaffected).
+    "bloom_prefilter_join_stats",
 )
 # Dimension tables the TPC-H shapes read alongside the tiled facts —
 # copied through unchanged (fixed-size dims are the 100 TB reality).
