@@ -116,6 +116,10 @@ def ppm(count: Column, total: Column) -> Column:
 
 
 def sql_ppm(count_expr: str, total_expr: str) -> str:
-    """DuckDB twin of :func:`ppm` (same two-step exact scaling)."""
+    """DuckDB twin of :func:`ppm` (same two-step exact scaling).
+
+    The result is CAST to BIGINT: DuckDB promotes arithmetic over
+    SUM()-derived operands to HUGEINT, which the driver's hash
+    canonicalizer rejects (the schema lint class killed in round 4)."""
     c, t = f"(({count_expr}) * 1000)", f"({total_expr})"
-    return f"(({c} // {t}) * 1000 + (({c} % {t}) * 1000) // {t})"
+    return f"CAST(({c} // {t}) * 1000 + (({c} % {t}) * 1000) // {t} AS BIGINT)"
