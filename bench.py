@@ -172,6 +172,16 @@ HEADLINE = (
     "cross_source_dup_matrix",
     "near_dup_threshold_histogram",
     "token_pair_lift",
+    # round-6: layout/runtime-filter primitives, sparse retrieval,
+    # drift + corpus-engineering diagnostics, golden-record merge
+    "zorder_pruning_stats",
+    "bloom_prefilter_join_stats",
+    "sparse_tfidf_topk_pairs",
+    "corpus_token_drift",
+    "vocab_coverage_curve",
+    "orders_key_skew_report",
+    "seqlen_bucket_waste",
+    "dedup_golden_records",
 )
 
 
