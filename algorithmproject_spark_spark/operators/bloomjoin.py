@@ -71,7 +71,12 @@ def _word_idx(p: Column) -> Column:
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """k deterministic bit positions of a BIGINT key: affine hashes
     with the fixed MinHash constants over the overflow-reduced key
-    ((key % HASH_REDUCE) * a + b stays < 2^62)."""
+    ((key % HASH_REDUCE) * a + b stays < 2^62).
+
+    Contract (same as numeric.hash_mod): keys must be NON-NEGATIVE —
+    both engines' % follows the dividend's sign, so a negative key
+    would yield a negative bit position. Map signed keys through
+    pmod/abs before filtering."""
     kr = key % F.lit(HASH_REDUCE)
     return [
         ((kr * F.lit(a) + F.lit(b)) % F.lit(MOD)) % F.lit(m_bits)

@@ -44,7 +44,12 @@ TOP_N = 50
 def token_drift(docs: DataFrame, top_n: int = TOP_N) -> DataFrame:
     """Top-``top_n`` drifted tokens between the two hash-mod halves of
     ``docs``: ``(tok, c_a, c_b, ppm_a, ppm_b, drift_ppm)``, ordered by
-    (drift desc, tok) with the ordering made deterministic."""
+    (drift desc, tok) with the ordering made deterministic.
+
+    Degenerate input contract: an EMPTY side (all docs hashing to one
+    half — only possible for a near-empty corpus) makes the ppm
+    denominator 0, which raises loudly under ANSI mode in both engines
+    rather than fabricating a drift of 0."""
     toks = docs.select(
         hash_mod("doc_id", 2).alias("side"),
         F.explode(F.split(F.col("text"), " ")).alias("tok"),

@@ -64,7 +64,10 @@ _DTOK_MEMO: dict = {}
 
 
 def _corpus_relations(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a stopped session's python object id
+    # can be reused by a new session, which would hand back cached
+    # DataFrames bound to a dead JVM context
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DTOK_MEMO:
         docs = load_table(spark, sf_dir, "documents")
         # cache(): the explode feeds the singleton-df aggregate, the
