@@ -188,7 +188,7 @@ def jaccard_pairs_above(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.floor(inter.cast("double") / union * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    return (
+    out = (
         joined.select(
             "doc_a",
             "doc_b",
@@ -201,6 +201,20 @@ def jaccard_pairs_above(
             >= F.col("n_union").cast("long") * F.lit(threshold_e6)
         )
     )
+    if threshold_e6 == JACCARD_THRESHOLD_E6:
+        # The default-threshold pair relation feeds SEVEN downstream
+        # consumers (components/reps, golden records, triangles,
+        # k-core, label propagation, source matrix, threshold
+        # histogram) — cache it like the shingle relation so the band
+        # self-join + verify runs once per session, not once per
+        # query. CacheManager keys on the canonicalized plan, so every
+        # caller's identical build hits the same entry. Pair volume is
+        # ~(dup rate × corpus) rows of 5 scalars — far smaller than
+        # the corpus at any scale. Non-default thresholds (parameter
+        # sweeps) stay uncached to avoid accumulating one entry per
+        # threshold value.
+        out = out.cache()
+    return out
 
 
 def sql_dup_pairs_cte(threshold_e6: int = JACCARD_THRESHOLD_E6) -> str:
