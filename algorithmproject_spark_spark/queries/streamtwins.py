@@ -173,3 +173,54 @@ def stream_near_dup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = doc_band_state(docs).cache()
     drops = within_batch_drop_ids(bands)
     return docs.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "stream_anomaly_batch_twin",
+    oracle="""
+    WITH an_v AS (
+        SELECT user_id, event_id, ts,
+               CAST(floor(value + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    an_p AS (
+        SELECT user_id, event_id, v,
+               COUNT(*) OVER w AS n_prior,
+               COALESCE(SUM(v) OVER w, 0) AS s,
+               COALESCE(SUM(v * v) OVER w, 0) AS q
+        FROM an_v
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    ),
+    an_f AS (
+        SELECT user_id, v,
+               CASE WHEN n_prior >= 5 THEN 1 ELSE 0 END AS checked,
+               CASE WHEN n_prior >= 5
+                     AND (v * n_prior - s) * (v * n_prior - s)
+                         > 9 * (n_prior * q - s * s)
+                    THEN 1 ELSE 0 END AS anomaly
+        FROM an_p
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(checked) AS BIGINT) AS n_checked,
+           CAST(SUM(anomaly) AS BIGINT) AS n_anomalies,
+           CAST(MAX(CASE WHEN anomaly = 1 THEN v END) AS BIGINT)
+               AS max_anomaly_v
+    FROM an_f GROUP BY user_id
+    """,
+    doc="batch twin of streaming z-score anomaly detection "
+    "(streaming/anomaly.py): exact integer variance test "
+    "(v·n−S)² > K²(nQ−S²) over prior-event prefix sums — no sqrt, "
+    "no floats, so the stateful (n,S,Q) stream fold, this window "
+    "form, and the DuckDB oracle are bit-identical; per-user "
+    "event/checked/anomaly counts",
+)
+def stream_anomaly_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.streaming.anomaly import (
+        user_anomaly_summary,
+    )
+
+    return user_anomaly_summary(load_table(spark, sf_dir, "events"))

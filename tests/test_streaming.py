@@ -619,3 +619,64 @@ def test_outer_stream_join_finalizes_after_watermark(spark, scratch):
     # (batch 1's 14:00 view is unmatched but not yet past its gap)
     n_null = sum(1 for c in got.values() if c is None)
     assert n_null == 1                # emitted exactly once
+
+
+def test_anomaly_stream_equals_batch(spark, events_dir):
+    """Streaming (n,S,Q) state fold computes the SAME anomaly counts as
+    the batch window form — the integer variance test is bit-identical
+    by construction; per-user sums across micro-batches must match."""
+    from algorithmproject_spark_spark.streaming.anomaly import (
+        anomaly_stateful,
+        user_anomaly_summary,
+    )
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(str(events_dir))
+    expected = {
+        r["user_id"]: (r["n_events"], r["n_anomalies"])
+        for r in user_anomaly_summary(batch).collect()
+    }
+
+    stream = stream_read_parquet(spark, str(events_dir), batch.schema)
+    q = stream_write_memory(
+        anomaly_stateful(stream.select("user_id", "event_id", "ts", "value")),
+        "anomaly_out",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n"], r["a"])
+            for r in spark.sql(
+                "SELECT user_id, SUM(n_events) AS n, SUM(n_anomalies) AS a "
+                "FROM anomaly_out GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    # sanity: the fixture corpus actually contains checked events
+    assert sum(n for n, _ in expected.values()) > 0
+
+
+def test_anomaly_flags_exact_on_handmade_series(spark):
+    """A flat series then a spike: the spike (and only the spike) is
+    flagged once MIN_PRIOR history exists."""
+    from datetime import datetime
+
+    from algorithmproject_spark_spark.streaming.anomaly import anomaly_flags
+
+    rows = [
+        (1, i, datetime(2024, 1, 1, 0, i), v)
+        for i, v in enumerate([10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 500.0, 10.0])
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = {r.event_id: r.anomaly for r in anomaly_flags(ev).collect()}
+    # events 0..4 have n_prior < 5 → never flagged; 5 is in-band;
+    # 6 is the spike; 7 is back in band (prior stats now include 500,
+    # inflating sigma — still unflagged)
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 1, 7: 0}
