@@ -1,0 +1,75 @@
+"""CEP pattern detection (queries/cep.py) on handmade sequences."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from algorithmproject_spark_spark.queries.cep import error_burst_recovery
+
+T0 = datetime(2024, 1, 1)
+H = timedelta(hours=1)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, i, t, et) for i, (u, t, et) in enumerate(rows)],
+        ["user_id", "event_id", "ts", "event_type"],
+    )
+
+
+def test_burst_then_purchase_within_bound_is_recovered(spark):
+    rows = [
+        (1, T0, "error"),
+        (1, T0 + 10 * H, "error"),
+        (1, T0 + 20 * H, "error"),        # burst spans 20h ≤ 48h
+        (1, T0 + 30 * H, "purchase"),     # 10h after burst end ≤ 24h
+    ]
+    out = {r.user_id: r for r in error_burst_recovery(_ev(spark, rows)).collect()}
+    assert out[1].n_bursts == 1
+    assert out[1].n_recovered == 1
+    assert out[1].min_burst_span_us == 20 * 3600 * 1_000_000
+
+
+def test_slow_errors_are_not_a_burst(spark):
+    rows = [
+        (2, T0, "error"),
+        (2, T0 + 30 * H, "error"),
+        (2, T0 + 60 * H, "error"),        # 60h > 48h — no burst
+        (2, T0 + 61 * H, "purchase"),
+    ]
+    assert error_burst_recovery(_ev(spark, rows)).count() == 0
+
+
+def test_late_purchase_is_not_a_recovery(spark):
+    rows = [
+        (3, T0, "error"),
+        (3, T0 + 1 * H, "error"),
+        (3, T0 + 2 * H, "error"),
+        (3, T0 + 2 * H + 25 * H, "purchase"),   # 25h > 24h bound
+    ]
+    out = error_burst_recovery(_ev(spark, rows)).first()
+    assert out.n_bursts == 1 and out.n_recovered == 0
+
+
+def test_purchase_between_errors_does_not_count(spark):
+    # the closing symbol must follow the burst's END, not its middle
+    rows = [
+        (4, T0, "error"),
+        (4, T0 + 1 * H, "purchase"),
+        (4, T0 + 2 * H, "error"),
+        (4, T0 + 3 * H, "error"),
+    ]
+    out = error_burst_recovery(_ev(spark, rows)).first()
+    assert out.n_bursts == 1 and out.n_recovered == 0
+
+
+def test_overlapping_bursts_each_counted(spark):
+    rows = [
+        (5, T0, "error"),
+        (5, T0 + 1 * H, "error"),
+        (5, T0 + 2 * H, "error"),
+        (5, T0 + 3 * H, "error"),   # errors 0-2 and 1-3 both bursts
+        (5, T0 + 4 * H, "purchase"),
+    ]
+    out = error_burst_recovery(_ev(spark, rows)).first()
+    assert out.n_bursts == 2 and out.n_recovered == 2
