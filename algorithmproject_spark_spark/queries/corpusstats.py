@@ -238,5 +238,52 @@ def _register() -> None:
     def seqlen_bucket_waste_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return seqlen_bucket_waste(load_table(spark, sf_dir, "documents"))
 
+    @register(
+        "join_blowup_estimate",
+        oracle=f"""
+        WITH jb_c AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(SUM(c * c) AS BIGINT) AS selfjoin_rows,
+               CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS distinct_pairs,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows,
+               {sql_ppm('CAST(MAX(c) AS BIGINT) * CAST(MAX(c) AS BIGINT)',
+                        'CAST(SUM(c * c) AS BIGINT)')} AS top_key_cost_ppm
+        FROM jb_c
+        """,
+        doc="Join blow-up estimator: the EXACT output size a self-"
+        "equi-join on lineitem.l_partkey would produce (Σc² rows, "
+        "Σc(c-1)/2 distinct pairs) from one keyed count — the Σdf² "
+        "candidate-cost arithmetic the dedup posting joins budget "
+        "with, productized as a pre-flight diagnostic; top-key ppm "
+        "share shows whether one hot key dominates the quadratic cost",
+    )
+    def join_blowup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        c = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return c.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.sum(F.col("c") * F.col("c")).alias("selfjoin_rows"),
+            (F.sum(F.col("c") * (F.col("c") - 1)) / 2).cast("long").alias("distinct_pairs"),
+            F.max("c").alias("max_key_rows"),
+        ).select(
+            "n_keys",
+            "n_rows",
+            "selfjoin_rows",
+            "distinct_pairs",
+            "max_key_rows",
+            ppm(
+                F.col("max_key_rows") * F.col("max_key_rows"),
+                F.col("selfjoin_rows"),
+            ).alias("top_key_cost_ppm"),
+        )
+
 
 _register()

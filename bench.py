@@ -182,6 +182,9 @@ HEADLINE = (
     "orders_key_skew_report",
     "seqlen_bucket_waste",
     "dedup_golden_records",
+    "stream_anomaly_batch_twin",
+    "events_error_burst_recovery",
+    "join_blowup_estimate",
 )
 
 
