@@ -78,6 +78,15 @@ QUERIES = (
     "corpus_token_drift",
     "sparse_tfidf_topk_pairs",
     "zorder_pruning_stats",
+    # round-6 continuation. Golden records: pair relation + CC loop
+    # both linear under content-unique tiling (cluster structure
+    # repeats per copy). Anomaly twin / CEP: two keyed window passes
+    # over tiled events — linear, per-user frame state. Vocab
+    # coverage + drift cousins: vocab-sized relations.
+    "dedup_golden_records",
+    "stream_anomaly_batch_twin",
+    "events_error_burst_recovery",
+    "vocab_coverage_curve",
 )
 
 # user_label_pipeline joins events; tile them alongside documents with
@@ -155,6 +164,8 @@ FACT_QUERIES = (
     # also grows the inserted key set, so the sweep exercises filter
     # saturation (fp rate rises, correctness unaffected).
     "bloom_prefilter_join_stats",
+    # round-6: one keyed count + one scalar agg — must track the scan
+    "join_blowup_estimate",
 )
 # Dimension tables the TPC-H shapes read alongside the tiled facts —
 # copied through unchanged (fixed-size dims are the 100 TB reality).
