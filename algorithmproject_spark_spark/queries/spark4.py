@@ -81,3 +81,34 @@ def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "lateral_top2_orders_per_cust",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(floor(t.o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_e2
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    doc="Spark 4 correlated LATERAL subquery with per-row ORDER BY / "
+    "LIMIT — the SQL-standard form of per-entity top-k (the W2 window "
+    "family's declarative sibling); Catalyst decorrelates it into the "
+    "same ranked-window plan, proving the surface without a manual "
+    "rewrite. Price exposed as exact scaled cents",
+)
+def lateral_top2_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(floor(t.o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_e2
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
