@@ -105,3 +105,69 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_per_group(
         load_table(spark, sf_dir, "events"), "event_type", "user_id"
     )
+
+
+def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge per-group sketches into ONE corpus sketch: union the
+    minima multisets (distinct — the same key hashes identically in
+    every group), re-take the k smallest, re-apply the estimator.
+
+    This is the ALGEBRA that makes sketches the 100 TB answer: a
+    per-partition/per-day/per-source sketch is k BIGINTs, merges are
+    associative and lossless w.r.t. the sketch contract, so a global
+    cardinality never needs a global distinct — just a union of
+    k-element arrays. Input: any DataFrame with a ``mins`` array
+    column; output: 1 row (kmv_size, kth_min, est_distinct)."""
+    mins = sketches.select(F.explode("mins").alias("h")).distinct()
+    merged = mins.agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("mins")
+    )
+    size = F.size("mins")
+    est = F.when(size < F.lit(k), size.cast("long")).otherwise(
+        F.expr(
+            f"CAST({k - 1} AS BIGINT) * {KMV_MOD} div element_at(mins, size(mins))"
+        )
+    )
+    return merged.select(
+        size.cast("long").alias("kmv_size"),
+        F.element_at("mins", size).cast("long").alias("kth_min"),
+        est.alias("est_distinct"),
+    )
+
+
+@register(
+    "events_kmv_merged_global",
+    oracle=f"""
+    WITH mg_h AS (
+        SELECT event_type AS g,
+               {sql_hash_mod('CAST(user_id AS BIGINT)', KMV_MOD)} AS h
+        FROM events
+    ),
+    mg_sk AS (
+        SELECT g, list_slice(list_sort(list(DISTINCT h)), 1, {KMV_K}) AS mins
+        FROM mg_h GROUP BY g
+    ),
+    mg_u AS (SELECT DISTINCT unnest(mins) AS h FROM mg_sk),
+    mg_m AS (SELECT list_slice(list_sort(list(h)), 1, {KMV_K}) AS mins FROM mg_u)
+    SELECT CAST(len(mins) AS BIGINT) AS kmv_size,
+           CAST(mins[len(mins)] AS BIGINT) AS kth_min,
+           CASE WHEN len(mins) < {KMV_K} THEN CAST(len(mins) AS BIGINT)
+                ELSE CAST({KMV_K - 1} AS BIGINT) * {KMV_MOD} // mins[len(mins)]
+           END AS est_distinct
+    FROM mg_m
+    """,
+    doc="KMV sketch MERGE: per-type sketches unioned and re-cut to k "
+    "minima, estimator re-applied - the associative merge algebra "
+    "that gives a global cardinality from per-source/per-day sketches "
+    "without any global distinct; merged estimate hash-matched "
+    "cross-engine",
+)
+def events_kmv_merged_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = hash_mod(F.col("user_id").cast("long"), KMV_MOD)
+    per_type = (
+        ev.select(F.col("event_type").alias("g"), h.alias("h"))
+        .groupBy("g")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("mins"))
+    )
+    return kmv_merge(per_type)

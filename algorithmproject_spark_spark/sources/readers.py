@@ -41,10 +41,22 @@ def read_parquet(
 
 
 def read_json(
-    spark: SparkSession, path: str, schema: StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """S5. Always pass a schema in production — inference scans twice."""
-    reader = spark.read
+    """S5. Always pass a schema in production — inference scans twice.
+
+    ``mode``: PERMISSIVE (default — malformed rows become nulls),
+    DROPMALFORMED, or FAILFAST. At 100 TB a crawl feed ALWAYS contains
+    malformed lines; pass ``corrupt_col`` (with the column declared
+    STRING in ``schema``) to quarantine raw bad records into a column
+    instead of silently nulling them — the audit-friendly setup."""
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

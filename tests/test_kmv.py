@@ -44,3 +44,38 @@ def test_duplicates_do_not_shift_the_sketch(spark):
     r1 = kmv_distinct_per_group(_df(spark, base), "g", "k").collect()[0]
     r2 = kmv_distinct_per_group(_df(spark, heavy), "g", "k").collect()[0]
     assert (r1.kth_min, r1.est_distinct) == (r2.kth_min, r2.est_distinct)
+
+
+def test_merge_equals_direct_global_sketch(spark):
+    """Merging per-group sketches must give the SAME sketch as
+    sketching the whole relation at once (the associativity contract
+    that makes per-source/per-day sketches sufficient at scale)."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.functions.numeric import hash_mod
+    from algorithmproject_spark_spark.queries.kmv import (
+        KMV_K,
+        KMV_MOD,
+        kmv_merge,
+    )
+
+    rows = [(i % 7, (i * 37) % 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "key"])
+    h = hash_mod(F.col("key").cast("long"), KMV_MOD)
+    per_group = (
+        df.select("g", h.alias("h"))
+        .groupBy("g")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("mins"))
+    )
+    merged = kmv_merge(per_group).first()
+    direct = (
+        df.select(h.alias("h"))
+        .distinct()
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("mins"))
+        .select(F.element_at("mins", F.size("mins")).alias("kth"))
+        .first()
+    )
+    assert merged.kth_min == direct.kth
+    assert merged.kmv_size == KMV_K
+    # estimate within a loose band of the true 500 distinct keys
+    assert 250 <= merged.est_distinct <= 1000

@@ -306,3 +306,50 @@ def test_file_metadata_provenance_column(spark, tmp_path):
     assert len(rows) == 4  # one provenance group per physical file
     assert sum(r["n"] for r in rows) == li.count()
     assert all(r["sz"] > 0 and r["src"].endswith(".parquet") for r in rows)
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE + columnNameOfCorruptRecord: malformed crawl lines
+    land raw in the quarantine column, well-formed rows parse — no
+    row is silently lost, FAILFAST raises, DROPMALFORMED drops."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from algorithmproject_spark_spark.sources.readers import read_json
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "txt": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 3, "txt": "fine"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("txt", StringType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema=schema, corrupt_col="_bad").cache()
+    assert df.count() == 3
+    good = {r.id for r in df.filter("_bad IS NULL").collect()}
+    assert good == {1, 3}
+    bad = [r._bad for r in df.filter("_bad IS NOT NULL").collect()]
+    assert bad == ["{broken json!!"]
+
+    dropped = read_json(
+        spark,
+        str(p),
+        schema=StructType(schema.fields[:2]),
+        mode="DROPMALFORMED",
+    )
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    import pytest
+
+    with pytest.raises(Exception):
+        read_json(
+            spark,
+            str(p),
+            schema=StructType(schema.fields[:2]),
+            mode="FAILFAST",
+        ).count()
