@@ -739,3 +739,86 @@ def _install_source_matrix_oracles() -> None:
 
 
 _install_source_matrix_oracles()
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment — excerpt/quote detection. Symmetric Jaccard
+# misses the "small doc wholly inside a big doc" case (|A∩B|/|A∪B| is
+# tiny when |B| >> |A|), and MinHash banding misses it for the same
+# reason (band-collision probability IS the Jaccard). Containment
+# |A∩B| / min(|A|,|B|) is the right measure, and the rare-shingle
+# posting index is the right candidate generator: an excerpt shares
+# its (df-capped) shingles with its container by construction, so the
+# deterministic recall contract carries over unchanged.
+# --------------------------------------------------------------------------
+CONTAIN_E6 = 800_000  # smaller side ≥80% contained in the larger
+
+
+@register(
+    "excerpt_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_sql_shingle_hashes()}),
+    ec_posts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    ec_rare AS (
+        SELECT g FROM ec_posts GROUP BY g
+        HAVING count(*) BETWEEN 2 AND {MAX_POSTING_DF}
+    ),
+    ec_rp AS (SELECT p.doc_id, p.g FROM ec_posts p JOIN ec_rare r ON r.g = p.g),
+    ec_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ec_rp a JOIN ec_rp b ON b.g = a.g AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common,
+           CAST(least(len(x.sh), len(y.sh)) AS BIGINT) AS n_small,
+           CAST(floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / least(len(x.sh), len(y.sh)) * 1000000.0 + 0.5) AS BIGINT)
+               AS containment_e6
+    FROM ec_cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000000
+          >= CAST(least(len(x.sh), len(y.sh)) AS BIGINT) * {CONTAIN_E6}
+    """,
+    doc="excerpt/quote detection via asymmetric containment "
+    "|A∩B|/min(|A|,|B|) ≥ 0.8 over the rare-shingle posting "
+    "candidates — catches small-doc-inside-big-doc pairs that "
+    "symmetric Jaccard (and therefore MinHash banding) structurally "
+    "misses; exact-rational cut, both posting sides df-filtered",
+)
+def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_hashes(spark, sf_dir)
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_POSTING_DF))
+        .select("g")
+    )
+    rare_posts = posts.join(rare, "g")
+    cand = (
+        rare_posts.alias("a")
+        .join(
+            rare_posts.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(x, "doc_a").join(y, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    small = F.least(F.size("sh_a"), F.size("sh_b")).cast("long")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            small.alias("n_small"),
+            F.floor(
+                inter.cast("double") / small * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long").alias("containment_e6"),
+        )
+        .filter(F.col("n_common") * F.lit(1_000_000) >= F.col("n_small") * F.lit(CONTAIN_E6))
+    )
