@@ -822,3 +822,138 @@ def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_common") * F.lit(1_000_000) >= F.col("n_small") * F.lit(CONTAIN_E6))
     )
+
+
+# --------------------------------------------------------------------------
+# Quality × duplication calibration — the cross-family report a
+# curation pipeline uses to SET its thresholds: if low-quality docs
+# duplicate at much higher rates (boilerplate, templates), quality
+# filtering before dedup shrinks the expensive pair join; if not, the
+# dedup pass must run first. Composes the quality family's repetition
+# ratio with the verified near-dup membership — per quality quartile,
+# the exact ppm of docs that sit in at least one verified pair.
+#
+# Quartiles are VALUE quartiles from exact order-statistic cut points
+# computed over the COMPACTED (ratio -> count) distribution, not an
+# ntile — ntile's global sort of the doc relation is exactly the
+# 100 TB anti-pattern the exact-quantile family exists to avoid; the
+# single-partition window here runs over distinct ratio values only,
+# and tied docs land in one quartile in every engine.
+# --------------------------------------------------------------------------
+_QD_REP = (
+    "CAST(floor(CAST(len(list_distinct(string_split(text, chr(32)))) AS DOUBLE)"
+    " / len(string_split(text, chr(32))) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "quality_dup_calibration",
+    oracle=f"""
+    WITH {sql_dup_pairs_cte()},
+    qd_m AS (
+        SELECT doc_a AS doc_id FROM dup_pairs
+        UNION SELECT doc_b FROM dup_pairs
+    ),
+    qd_q AS (SELECT doc_id, {_QD_REP} AS rep_ratio_e6 FROM documents),
+    qd_d AS (SELECT rep_ratio_e6 AS v, COUNT(*) AS c FROM qd_q GROUP BY v),
+    qd_c AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        FROM qd_d
+    ),
+    qd_cuts AS (
+        SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25,
+               MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50,
+               MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75
+        FROM qd_c
+    ),
+    qd_t AS (
+        SELECT q.doc_id, q.rep_ratio_e6,
+               1 + CASE WHEN q.rep_ratio_e6 > p25 THEN 1 ELSE 0 END
+                 + CASE WHEN q.rep_ratio_e6 > p50 THEN 1 ELSE 0 END
+                 + CASE WHEN q.rep_ratio_e6 > p75 THEN 1 ELSE 0 END AS quartile
+        FROM qd_q q, qd_cuts
+    )
+    SELECT CAST(quartile AS INTEGER) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(rep_ratio_e6) AS BIGINT) AS min_rep_e6,
+           CAST(MAX(rep_ratio_e6) AS BIGINT) AS max_rep_e6,
+           CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_members,
+           CAST((SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS dup_rate_ppm
+    FROM qd_t t LEFT JOIN qd_m m USING (doc_id)
+    GROUP BY quartile
+    """,
+    doc="curation-threshold calibration: per repetition-ratio VALUE "
+    "quartile (exact order-statistic cuts from the compacted ratio "
+    "distribution — no global doc sort), the exact ppm of docs "
+    "belonging to at least one verified near-dup pair — decides "
+    "whether quality filtering runs before or after the expensive "
+    "dedup join",
+)
+def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from algorithmproject_spark_spark.functions.numeric import micros, ppm
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = docs.select(
+        "doc_id",
+        micros(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("rep_ratio_e6"),
+    )
+    # exact quartile cut points over the compacted distribution: the
+    # single-partition window covers DISTINCT ratio values (bounded by
+    # the e6 value domain), never the doc relation
+    dist = q.groupBy(F.col("rep_ratio_e6").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v")
+    cum = dist.select(
+        "v",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v"))).alias("p25"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("p50"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("v"))).alias("p75"),
+    )
+    tiled = q.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "rep_ratio_e6",
+        (
+            F.lit(1)
+            + (F.col("rep_ratio_e6") > F.col("p25")).cast("int")
+            + (F.col("rep_ratio_e6") > F.col("p50")).cast("int")
+            + (F.col("rep_ratio_e6") > F.col("p75")).cast("int")
+        ).alias("quartile"),
+    )
+    pairs = jaccard_verified_pairs(spark, sf_dir)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    return (
+        tiled.join(members, "doc_id", "left")
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("rep_ratio_e6").alias("min_rep_e6"),
+            F.max("rep_ratio_e6").alias("max_rep_e6"),
+            F.sum(F.col("__m").isNotNull().cast("long")).alias("n_dup_members"),
+        )
+        .select(
+            "quartile",
+            "n_docs",
+            "min_rep_e6",
+            "max_rep_e6",
+            "n_dup_members",
+            ppm(F.col("n_dup_members"), F.col("n_docs")).alias("dup_rate_ppm"),
+        )
+    )
