@@ -185,6 +185,10 @@ HEADLINE = (
     "stream_anomaly_batch_twin",
     "events_error_burst_recovery",
     "join_blowup_estimate",
+    "excerpt_containment_pairs",
+    "quality_dup_calibration",
+    "events_kmv_merged_global",
+    "lateral_top2_orders_per_cust",
 )
 
 

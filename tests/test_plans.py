@@ -474,3 +474,40 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sparse_posting_join_filters_both_sides(spark):
+    """sparse_tfidf_topk_pairs: the df band (2..MAX_DF) must reach BOTH
+    children of the posting self-join — the same both-sides contract
+    the ngram_jaccard test pins (an unfiltered b-side re-shuffles the
+    full posting relation for nothing at 100 TB)."""
+    import re
+
+    df = REGISTRY["sparse_tfidf_topk_pairs"].fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"df#\d+L? >= 2", opt)) >= 2
+
+
+def test_anomaly_twin_is_two_window_passes_one_shuffle_key(spark):
+    """The anomaly twin must be window passes over the user key plus
+    one aggregation — no joins at all."""
+    p = plan_of(REGISTRY["stream_anomaly_batch_twin"].fn(spark, SF))
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_cep_pattern_has_no_joins(spark):
+    """The CEP compilation's whole point: lead/min-over-frame window
+    passes instead of per-candidate correlated probes — zero joins."""
+    p = plan_of(REGISTRY["events_error_burst_recovery"].fn(spark, SF))
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_calibration_cut_window_is_distribution_sized(spark):
+    """quality_dup_calibration must compute its quartile cuts over the
+    compacted ratio distribution (HashAggregate BELOW the single-
+    partition window), never sort the doc relation globally."""
+    p = plan_of(REGISTRY["quality_dup_calibration"].fn(spark, SF))
+    assert "rangepartitioning" not in p.lower()
+    assert "ntile" not in p.lower()
