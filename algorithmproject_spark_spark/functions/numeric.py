@@ -105,10 +105,16 @@ def ppm(count: Column, total: Column) -> Column:
 
         floor(count*1e6/total) = q*1000 + (r*1000) div total
 
-    exactly (substitute count*1000 = q*total + r), and every
-    intermediate is ≤ max(count, total)*1000 — safe for counts up to
-    ~9.2e15, three orders of magnitude past a 100 TB corpus's total
-    token count (~2.5e13). Keep :func:`sql_ppm` textually in sync."""
+    exactly (substitute count*1000 = q*total + r).
+
+    PRECONDITION: ``count <= total`` (ppm is a PROPORTION — every
+    caller passes a subset count over its population). Under it
+    q ≤ 1000 and r < total, so every intermediate is ≤ total*1000 —
+    safe for totals up to ~9.2e15, three orders of magnitude past a
+    100 TB corpus's token count (~2.5e13). Without the precondition
+    (count >> total) the q*1000 step can wrap — caught by the
+    hypothesis property test. Keep :func:`sql_ppm` textually in
+    sync."""
     c1k = count * F.lit(1000)
     q = floordiv(c1k, total)
     r = c1k % total

@@ -499,3 +499,62 @@ def test_dup_span_coverage_bounded_by_doc_length(spark, texts):
     for r in rows:
         assert 0 <= r.dup_tokens <= r.n_tokens
         assert r.dup_permille == 1000 * r.dup_tokens // r.n_tokens
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, 1_000_000),  # proportion numerator scale
+            st.integers(1, 9_000_000_000_000_000),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_ppm_equals_unbounded_integer_math(spark, pairs):
+    """ppm's two-step scaling must equal floor(c*1e6/n) computed with
+    Python's unbounded ints, across its documented precondition
+    (count <= total — ppm is a proportion; the hypothesis run that
+    violated it found the q*1000 wrap now pinned in the docstring)."""
+    from algorithmproject_spark_spark.functions.numeric import ppm
+
+    pairs = [(min(c, n), n) for c, n in pairs]
+    df = spark.createDataFrame(pairs, ["c", "n"])
+    got = [
+        r.p for r in df.select(ppm(F.col("c"), F.col("n")).alias("p")).collect()
+    ]
+    want = [c * 1_000_000 // n for c, n in pairs]
+    assert sorted(got) == sorted(want)
+
+
+@given(xs=st.lists(st.integers(0, 0xFFFF), min_size=1, max_size=30))
+@SLOW
+def test_spread_bits_is_injective_and_even_positioned(spark, xs):
+    """spread_bits16: bit i of x lands at bit 2i, nothing at odd
+    positions, and the mapping is injective."""
+    from algorithmproject_spark_spark.operators.zorder import spread_bits16
+
+    df = spark.createDataFrame([(x,) for x in set(xs)], ["x"])
+    out = {r.x: r.s for r in
+           df.select("x", spread_bits16(F.col("x")).alias("s")).collect()}
+    for x, s in out.items():
+        assert s == sum(((x >> i) & 1) << (2 * i) for i in range(16))
+        assert s & 0xAAAAAAAA == 0  # odd bit positions empty
+    assert len(set(out.values())) == len(out)
+
+
+@given(
+    keys=st.sets(st.integers(0, 10**9), min_size=1, max_size=60),
+    probes=st.sets(st.integers(0, 10**9), min_size=1, max_size=60),
+)
+@SLOW
+def test_bloom_no_false_negatives_property(spark, keys, probes):
+    """For ANY key set and ANY probe set, every probe that IS in the
+    key set must pass the Bloom prefilter."""
+    from algorithmproject_spark_spark.operators.bloomjoin import bloom_prefilter
+
+    big = spark.createDataFrame([(p,) for p in probes], ["k"])
+    small = spark.createDataFrame([(k,) for k in keys], ["k"])
+    passed = {r.k for r in bloom_prefilter(big, small, "k", "k").collect()}
+    assert (probes & keys) <= passed
