@@ -87,11 +87,18 @@ def sql_micros(expr: str) -> str:
 
 
 def floordiv(num: Column, den: Column) -> Column:
-    """BIGINT floor division of non-negative Columns — the Column form
-    of SQL ``div``, written as (num - num % den) / den so every
-    intermediate stays integer-exact (PySpark has no ``div``
-    operator on Columns)."""
-    return ((num - num % den) / den).cast("long")
+    """BIGINT floor division of non-negative Columns — SQL's exact
+    ``div`` (IntegralDivide), reached via ``call_function`` since
+    PySpark exposes no Column operator for it.
+
+    NEVER write this as ``((num - num % den) / den).cast("long")``:
+    Spark's ``/`` on longs is DOUBLE division, and once the (exactly
+    divisible) numerator exceeds 2^53 the quotient can land one ulp
+    low and truncate to q-1 — found by adversarial review with the
+    counterexample ppm(148511503890311, 166822422712862) = 889237
+    instead of the exact 890237, a silent cross-engine divergence
+    against DuckDB's exact ``//`` (pinned in tests/test_numeric_div.py)."""
+    return F.call_function("div", num, den)
 
 
 def ppm(count: Column, total: Column) -> Column:

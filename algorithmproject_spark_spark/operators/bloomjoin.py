@@ -64,8 +64,11 @@ def _bit_mask(p: Column) -> Column:
 
 
 def _word_idx(p: Column) -> Column:
-    """p div WORD_BITS for non-negative p, kept in exact integers."""
-    return ((p - p % WORD_BITS) / F.lit(WORD_BITS)).cast("long")
+    """p div WORD_BITS — the shared exact integer division (never
+    double `/` + cast, which goes inexact past 2^53)."""
+    from algorithmproject_spark_spark.functions.numeric import floordiv
+
+    return floordiv(p, F.lit(WORD_BITS))
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:

@@ -75,11 +75,11 @@ def sql_zvalue16(a_expr: str, b_expr: str) -> str:
     return f"({sql_spread_bits16(a_expr)} | ({sql_spread_bits16(b_expr)} << 1))"
 
 
-def _floordiv(num: Column, den: Column) -> Column:
-    """BIGINT floor division of non-negative operands — the Column
-    form of SQL ``div``, written as (num - num % den) / den so every
-    intermediate stays integer-exact."""
-    return ((num - num % den) / den).cast("long")
+# ONE exact-div implementation repo-wide: a local (num - num%den)/den
+# copy would silently go inexact past 2^53 (double `/` + cast).
+from algorithmproject_spark_spark.functions.numeric import (  # noqa: E402
+    floordiv as _floordiv,
+)
 
 
 def rank16_exact(col: Column, vmin: Column, vmax: Column) -> Column:

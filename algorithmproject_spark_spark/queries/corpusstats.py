@@ -33,7 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from algorithmproject_spark_spark.functions.numeric import ppm, sql_ppm
+from algorithmproject_spark_spark.functions.numeric import (
+    floordiv,
+    ppm,
+    sql_ppm,
+)
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -248,7 +252,7 @@ def _register() -> None:
         SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
                CAST(SUM(c) AS BIGINT) AS n_rows,
                CAST(SUM(c * c) AS BIGINT) AS selfjoin_rows,
-               CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS distinct_pairs,
+               CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS distinct_pairs,
                CAST(MAX(c) AS BIGINT) AS max_key_rows,
                {sql_ppm('CAST(MAX(c) AS BIGINT) * CAST(MAX(c) AS BIGINT)',
                         'CAST(SUM(c * c) AS BIGINT)')} AS top_key_cost_ppm
@@ -271,7 +275,12 @@ def _register() -> None:
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("c").alias("n_rows"),
             F.sum(F.col("c") * F.col("c")).alias("selfjoin_rows"),
-            (F.sum(F.col("c") * (F.col("c") - 1)) / 2).cast("long").alias("distinct_pairs"),
+            # exact `div 2` (the sum is always even) — double `/` + cast
+            # truncates vs DuckDB's rounding cast past 2^53, exactly
+            # the regime a blow-up estimator exists to warn about
+            floordiv(
+                F.sum(F.col("c") * (F.col("c") - 1)), F.lit(2)
+            ).alias("distinct_pairs"),
             F.max("c").alias("max_key_rows"),
         ).select(
             "n_keys",

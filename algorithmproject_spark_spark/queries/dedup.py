@@ -897,12 +897,16 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # cache(): the ratio relation feeds BOTH the cut-point aggregation
+    # and the quartile assignment — uncached, the full-corpus tokenize
+    # + array_distinct projection runs twice (the same recompute
+    # diamond the shingle/doc-token caches close)
     q = docs.select(
         "doc_id",
         micros(
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
         ).alias("rep_ratio_e6"),
-    )
+    ).cache()
     # exact quartile cut points over the compacted distribution: the
     # single-partition window covers DISTINCT ratio values (bounded by
     # the e6 value domain), never the doc relation

@@ -120,9 +120,11 @@ def frequent_token_pairs(
     ``(tok_a, tok_b, support)`` with ``tok_a < tok_b``.
 
     Pass a (cached) ``dtok`` to share the doc-token explode with other
-    consumers in the same plan family."""
+    consumers in the same plan family; the default path caches its own
+    copy (the explode feeds the singleton-df aggregate AND the
+    semi-join back — uncached it would recompute per consumer)."""
     if dtok is None:
-        dtok = _doc_tokens(docs)
+        dtok = _doc_tokens(docs).cache()
     n = _n_docs(docs)
     freq = _frequent_singletons(dtok, n, minsup_permille).select("tok")
     ft = dtok.join(F.broadcast(freq), "tok", "left_semi")
@@ -157,9 +159,10 @@ def association_rules(
     dtok: DataFrame | None = None,
 ) -> DataFrame:
     """Directed rules antecedent→consequent from the frequent pairs:
-    confidence = support(pair)/df(antecedent), exact permille floor."""
+    confidence = support(pair)/df(antecedent), exact permille floor.
+    The default path caches its doc-token relation (three consumers)."""
     if dtok is None:
-        dtok = _doc_tokens(docs)
+        dtok = _doc_tokens(docs).cache()
     pairs = frequent_token_pairs(docs, minsup_permille, dtok=dtok)
     both = pairs.select(
         F.col("tok_a").alias("antecedent"),
