@@ -353,3 +353,32 @@ def test_json_corrupt_record_quarantine(spark, tmp_path):
             schema=StructType(schema.fields[:2]),
             mode="FAILFAST",
         ).count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Production corpora evolve columns across batches; reading with
+    mergeSchema must union the schemas (absent columns null), and the
+    default read must still work pinned to one batch's schema."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("text")
+    ).write.parquet(base + "/batch=1")
+    spark.range(3, 6).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("text"),
+        F.lit("en").alias("lang"),  # new column in the later batch
+    ).write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "batch"}
+    assert merged.count() == 6
+    assert merged.filter("lang IS NULL").count() == 3  # old batch rows
+
+    # partition pruning still reaches the scan under the merged schema
+    plan = merged.filter(F.col("batch") == 2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert merged.filter(F.col("batch") == 2).count() == 3

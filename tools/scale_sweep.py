@@ -224,6 +224,27 @@ def fuzzy_sweep(spark) -> None:
         prev = (n, sec)
 
 
+def sparse_df_sweep(spark) -> None:
+    """MAX_DF sensitivity of the sparse retrieval posting join at fixed
+    n=20k: the recall/cost knob, reported as runtime + ranked-pair
+    yield per band cap (the sparse sibling of posting_df_sweep)."""
+    from algorithmproject_spark_spark.queries.sparsesim import (
+        sparse_topk_pairs,
+    )
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    sf_dir = build_corpus(spark, 20_000)
+    docs = load_table(spark, sf_dir, "documents")
+    print("\nsparse_tfidf MAX_DF sensitivity (n=20000):")
+    for cap in (6, 12, 24, 48):
+        t0 = time.time()
+        n_pairs = sparse_topk_pairs(docs, max_df=cap).count()
+        print(
+            f"  df_cap={cap:>3}  {time.time() - t0:6.2f} s"
+            f"  ranked_pairs={n_pairs}"
+        )
+
+
 def posting_df_sweep(spark) -> None:
     """MAX_POSTING_DF sensitivity at fixed n=20k: the recall/cost knob.
     Reports runtime and verified-pair yield per df cap."""
@@ -409,6 +430,8 @@ def main() -> None:
             )
 
     _report(results)
+    if "sparse_df" in names:
+        sparse_df_sweep(spark)
     if "posting_df" in names:
         posting_df_sweep(spark)
     if "fuzzy" in names:
