@@ -25,6 +25,13 @@ DEFAULT_SAMPLE = (
     "stream_click_attribution_batch_twin",
     "pyds_synthetic_events_agg",
     "grouped_agg_weighted_median",
+    # round-6 families with their own conf-sensitive surfaces:
+    # timestamp math (zorder/CEP), call_function div (ppm consumers),
+    # the Python stateful twin's batch form
+    "zorder_pruning_stats",
+    "events_error_burst_recovery",
+    "corpus_token_drift",
+    "stream_anomaly_batch_twin",
 )
 
 
