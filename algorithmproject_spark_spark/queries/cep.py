@@ -125,3 +125,71 @@ def _register() -> None:
 
 
 _register()
+
+
+FUNNEL_GAP_US = 24 * 3600 * 1_000_000
+
+
+def _register_strict_funnel() -> None:
+    @register(
+        "events_strict_funnel_matches",
+        oracle=f"""
+        WITH pm_r AS (
+            SELECT user_id AS key, epoch_us(ts) AS t, event_id,
+                   event_type = 'view' AS s0,
+                   event_type = 'click' AS s1,
+                   event_type = 'purchase' AS s2
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        pm_l AS (
+            SELECT key, t, s0,
+                   lead(s1, 1) OVER w AS ls1, lead(s2, 2) OVER w AS ls2,
+                   lead(t, 1) OVER w AS lt1, lead(t, 2) OVER w AS lt2
+            FROM pm_r
+            WINDOW w AS (PARTITION BY key ORDER BY t, event_id)
+        ),
+        pm_m AS (
+            SELECT key, t, lt2 FROM pm_l
+            WHERE s0 AND COALESCE(ls1, false)
+              AND lt1 - t <= {FUNNEL_GAP_US}
+              AND COALESCE(ls2, false)
+              AND lt2 - lt1 <= {FUNNEL_GAP_US}
+        )
+        SELECT key AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(lt2 - t) AS BIGINT) AS min_span_us
+        FROM pm_m GROUP BY key
+        """,
+        doc="general pattern matcher (operators/pattern.py) on the "
+        "strict view→click→purchase funnel: MATCH_RECOGNIZE "
+        "contiguity over the relevant substream (an intervening "
+        "relevant event breaks the match), 24h step bounds, one "
+        "keyed window pass for any pattern length — per-user match "
+        "counts and tightest span",
+    )
+    def events_strict_funnel_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from algorithmproject_spark_spark.operators.pattern import (
+            match_contiguous_pattern,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        m = match_contiguous_pattern(
+            ev,
+            "user_id",
+            "ts",
+            "event_id",
+            [
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            [FUNNEL_GAP_US, FUNNEL_GAP_US],
+        )
+        return m.groupBy(F.col("key").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("span_us").alias("min_span_us"),
+        )
+
+
+_register_strict_funnel()

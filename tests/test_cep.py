@@ -73,3 +73,63 @@ def test_overlapping_bursts_each_counted(spark):
     ]
     out = error_burst_recovery(_ev(spark, rows)).first()
     assert out.n_bursts == 2 and out.n_recovered == 2
+
+
+def test_general_pattern_matcher_strict_contiguity(spark):
+    """operators/pattern.py: A B C matches only when the three symbols
+    are CONSECUTIVE among relevant events; an intervening relevant
+    event breaks the match, an irrelevant one does not."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.pattern import (
+        match_contiguous_pattern,
+    )
+
+    rows = [
+        # user 1: clean A B C (signup events are irrelevant — ignored)
+        (1, 0, T0, "view"),
+        (1, 1, T0 + 1 * H, "signup"),
+        (1, 2, T0 + 2 * H, "click"),
+        (1, 3, T0 + 3 * H, "purchase"),
+        # user 2: A B (extra view) C — the intervening view breaks it
+        (2, 4, T0, "view"),
+        (2, 5, T0 + 1 * H, "click"),
+        (2, 6, T0 + 2 * H, "view"),
+        (2, 7, T0 + 3 * H, "purchase"),
+        # user 3: A B C but the last step exceeds the gap bound
+        (3, 8, T0, "view"),
+        (3, 9, T0 + 1 * H, "click"),
+        (3, 10, T0 + 30 * H, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    out = match_contiguous_pattern(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        [24 * 3600 * 1_000_000, 24 * 3600 * 1_000_000],
+    ).collect()
+    assert [(r.key, r.span_us) for r in out] == [(1, 3 * 3600 * 1_000_000)]
+
+
+def test_general_pattern_matcher_rejects_bad_gap_list(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.pattern import (
+        match_contiguous_pattern,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 0, T0, "view")], ["user_id", "event_id", "ts", "event_type"]
+    )
+    with pytest.raises(ValueError):
+        match_contiguous_pattern(
+            ev, "user_id", "ts", "event_id",
+            [F.col("event_type") == "view"], [1],
+        )
