@@ -111,3 +111,88 @@ def _register() -> None:
 
 
 _register()
+
+
+def _register_daily() -> None:
+    @register(
+        "events_daily_drift_tv",
+        oracle=f"""
+        WITH dd_c AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY day, event_type
+        ),
+        dd_n AS (
+            SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM dd_c GROUP BY day
+        ),
+        dd_p AS (
+            SELECT c.day, c.event_type, {sql_ppm('c.c', 'n.n')} AS p
+            FROM dd_c c JOIN dd_n n USING (day)
+        ),
+        dd_b AS (
+            -- CAST back to DATE: DuckDB's date + INTERVAL promotes to
+            -- TIMESTAMP, which would type-mismatch the Spark column
+            SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day,
+                   event_type, p AS p_prev
+            FROM dd_p
+        ),
+        -- FULL join: a type present only yesterday still contributes
+        -- |0 - p_prev| (a left join would under-count the distance)
+        dd_j AS (
+            SELECT COALESCE(a.day, b.day) AS day,
+                   abs(COALESCE(a.p, 0) - COALESCE(b.p_prev, 0)) AS d
+            FROM dd_p a
+            FULL JOIN dd_b b
+              ON b.day = a.day AND b.event_type = a.event_type
+        )
+        SELECT j.day, CAST(SUM(j.d) // 2 AS BIGINT) AS tv_ppm
+        FROM dd_j j
+        WHERE EXISTS (SELECT 1 FROM dd_n x
+                      WHERE CAST(x.day + INTERVAL 1 DAY AS DATE) = j.day)
+          AND EXISTS (SELECT 1 FROM dd_n y WHERE y.day = j.day)
+        GROUP BY j.day
+        """,
+        doc="day-over-day distribution shift monitor: total-variation "
+        "distance (exact ppm, Σ|Δppm| div 2) between each day's and "
+        "the previous day's event-type mix — the alerting primitive "
+        "behind 'did the traffic mix change overnight'; one keyed "
+        "count + a self-join on the tiny (day, type) relation",
+    )
+    def events_daily_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from algorithmproject_spark_spark.functions.numeric import floordiv
+
+        ev = load_table(spark, sf_dir, "events")
+        c = ev.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("c"))
+        n = c.groupBy("day").agg(F.sum("c").alias("n"))
+        p = c.join(n, "day").select(
+            "day", "event_type", ppm(F.col("c"), F.col("n")).alias("p")
+        )
+        prev = p.select(
+            F.date_add("day", 1).alias("day"),
+            F.col("event_type"),
+            F.col("p").alias("p_prev"),
+        )
+        # FULL join over the union of both days' type sets: a type
+        # present only yesterday still contributes |0 - p_prev| (a
+        # left join would under-count the distance)
+        joined = p.join(prev, ["day", "event_type"], "full_outer").select(
+            "day",
+            F.abs(
+                F.coalesce("p", F.lit(0)) - F.coalesce("p_prev", F.lit(0))
+            ).alias("d"),
+        )
+        # keep only days where BOTH sides exist (first/last day have
+        # no pair — no distribution to compare against)
+        today_days = n.select("day")
+        prev_days = n.select(F.date_add("day", 1).alias("day")).distinct()
+        return (
+            joined.join(today_days, "day", "left_semi")
+            .join(prev_days, "day", "left_semi")
+            .groupBy("day")
+            .agg(floordiv(F.sum("d"), F.lit(2)).alias("tv_ppm"))
+        )
+
+
+_register_daily()

@@ -189,6 +189,8 @@ HEADLINE = (
     "quality_dup_calibration",
     "events_kmv_merged_global",
     "lateral_top2_orders_per_cust",
+    "events_strict_funnel_matches",
+    "events_daily_drift_tv",
 )
 
 
