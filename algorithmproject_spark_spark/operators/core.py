@@ -95,10 +95,21 @@ def zip_with_global_index(
             spark.sparkContext.defaultParallelism * 4,
         ),
     )
+    # localCheckpoint PINS the range partitioning: repartitionByRange
+    # derives its boundaries from job-time SAMPLING, so the counts job
+    # and the output job would otherwise re-sample different
+    # boundaries and the prefix-sum offsets would not correspond to
+    # the partitions the Arrow pass actually sees — observed at sf0.1
+    # as a non-dense index (gaps; max rn 5178 over 5000 rows), caught
+    # by the full-registry oracle sweep at 10× the driver's scale.
+    # RDD zipWithIndex never had this hazard (hash lineage, no
+    # sampling); materializing the sorted relation restores its
+    # one-snapshot semantics.
     sdf = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["__pid"]: r["cnt"]

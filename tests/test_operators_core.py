@@ -338,3 +338,34 @@ def test_overlap_join_matches_naive_on_random_intervals(spark):
     b = spark.createDataFrame(b_rows, ["b_id", "b_s", "b_e"])
     out = bucketed_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e")
     assert sorted((r.a_id, r.b_id) for r in out.collect()) == expected
+
+
+def test_global_index_is_dense_under_range_sampling_jitter(spark):
+    """zip_with_global_index must produce a DENSE 0..n-1 index: the
+    range partitioner derives boundaries from job-time sampling, so
+    without pinning the partitioned relation the counts job and the
+    output job can see different partitions — observed at sf0.1 as a
+    gapped index (max 5178 over 5000 rows) before the localCheckpoint
+    fix. Large enough input that boundary sampling is partial."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.core import (
+        zip_with_global_index,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % F.lit(1_000_003)).alias("k")
+    ).distinct()
+    expect = df.count()
+    out = zip_with_global_index(df, "k", "idx", num_partitions=16)
+    agg = out.agg(
+        F.min("idx"), F.max("idx"), F.count("*"), F.countDistinct("idx")
+    ).first()
+    assert tuple(agg) == (0, expect - 1, expect, expect)
+    # and the index respects the key order
+    bad = out.join(
+        zip_with_global_index(df, "k", "idx2", num_partitions=16),
+        "k",
+    ).filter("idx != idx2")
+    assert bad.count() == 0
