@@ -191,6 +191,7 @@ HEADLINE = (
     "lateral_top2_orders_per_cust",
     "events_strict_funnel_matches",
     "events_daily_drift_tv",
+    "customer_rfm_segments",
 )
 
 

@@ -93,6 +93,7 @@ NESTED_LOOP_OK: set[str] = {
     "zorder_pruning_stats",    # broadcast 1-row min/max envelope scalar
     "corpus_token_drift",      # broadcast 1-row (n_a, n_b) totals scalar
     "quality_dup_calibration", # broadcast 1-row quartile-cuts scalar
+    "customer_rfm_segments",   # three broadcast 1-row cut scalars
     "bloom_prefilter_join_stats",  # broadcast 1-row Bloom bitmap + the
                                    # four 1-row count aggregates
 }
