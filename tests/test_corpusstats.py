@@ -51,3 +51,26 @@ def test_seqlen_bucket_waste_exact(spark):
     assert out[16] == (2, 6, 6 * 1_000_000 // (6 + 26))
     assert out[32] == (1, 12, 12 * 1_000_000 // (12 + 20))
     assert out[128] == (1, 0, 0)
+
+
+def test_rfm_quartile_cuts_and_bands_exact(spark):
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.queries.rfm import band, quartile_cuts
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], ["x"])
+    cuts = quartile_cuts(df, "x").first()
+    assert (cuts.p25, cuts.p50, cuts.p75) == (25, 50, 75)
+    banded = df.crossJoin(
+        F.broadcast(quartile_cuts(df, "x"))
+    ).select(
+        "x", band(F.col("x"), F.col("p25"), F.col("p50"), F.col("p75")).alias("b")
+    )
+    got = {r.x: r.b for r in banded.collect()}
+    assert got[25] == 1 and got[26] == 2 and got[75] == 3 and got[76] == 4
+    # ties land in one band: constant column → everyone band 1
+    const = spark.createDataFrame([(7,)] * 10, ["x"])
+    cb = const.crossJoin(F.broadcast(quartile_cuts(const, "x"))).select(
+        band(F.col("x"), F.col("p25"), F.col("p50"), F.col("p75")).alias("b")
+    )
+    assert {r.b for r in cb.collect()} == {1}
