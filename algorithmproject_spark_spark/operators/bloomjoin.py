@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
     MINHASH_PARAMS,
     MOD,
@@ -207,7 +208,9 @@ def _register() -> None:
         small = cust.filter(
             (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000.0)
         ).select("c_custkey").distinct()
-        passed = bloom_prefilter(orders, small, "o_custkey", "c_custkey").cache()
+        passed = tracked_cache(
+            bloom_prefilter(orders, small, "o_custkey", "c_custkey")
+        )
         true_m = passed.join(
             F.broadcast(small), passed["o_custkey"] == small["c_custkey"], "left_semi"
         )

@@ -266,6 +266,15 @@ def _register() -> None:
         "share shows whether one hot key dominates the quadratic cost",
     )
     def join_blowup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Overflow contract (ppm-style, functions/numeric.py): Σc² is
+        BIGINT, so the estimator requires every per-key count
+        c < 2^31.5 ≈ 3.04e9 (and Σc² < 2^63 overall). Past that bound
+        BOTH engines raise loudly (ANSI Spark ARITHMETIC_OVERFLOW,
+        DuckDB out-of-range) — never a silent cross-engine divergence.
+        A 100 TB deployment whose hot keys can exceed ~3e9 rows should
+        pre-scale (count in millions) before squaring; kept exact here
+        because the diagnostic's value IS its exactness in the regime
+        where the joins it guards are still plannable."""
         c = (
             load_table(spark, sf_dir, "lineitem")
             .groupBy("l_partkey")

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
     MINHASH_PARAMS,
     gram_hash_array,
@@ -52,7 +53,7 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature/band/verify stages — and sibling queries in the same
     # session — all reuse one materialization instead of re-folding
     # the corpus.
-    return sh.cache()
+    return tracked_cache(sh)
 
 
 def _sql_shingle_hashes() -> str:
@@ -213,7 +214,7 @@ def jaccard_pairs_above(
         # the corpus at any scale. Non-default thresholds (parameter
         # sweeps) stay uncached to avoid accumulating one entry per
         # threshold value.
-        out = out.cache()
+        out = tracked_cache(out)
     return out
 
 
@@ -906,7 +907,8 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         micros(
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
         ).alias("rep_ratio_e6"),
-    ).cache()
+    )
+    q = tracked_cache(q)
     # exact quartile cut points over the compacted distribution: the
     # single-partition window covers DISTINCT ratio values (bounded by
     # the e6 value domain), never the doc relation

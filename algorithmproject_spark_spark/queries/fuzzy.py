@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -109,7 +110,7 @@ def edit1_pairs(strings: DataFrame, col: str) -> DataFrame:
 def fuzzy_name_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     vocab = cust.select(F.col("c_name").alias("w")).distinct()
-    verified = edit1_pairs(vocab, "w").cache()
+    verified = tracked_cache(edit1_pairs(vocab, "w"))
     sample = verified.orderBy("word_a", "word_b").limit(200)
     total = verified.agg(F.count(F.lit(1)).cast("int").alias("dist")).select(
         F.lit("TOTAL").alias("word_a"),

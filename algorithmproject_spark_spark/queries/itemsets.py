@@ -63,10 +63,22 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
 _DTOK_MEMO: dict = {}
 
 
+def _prune_dead_entries() -> None:
+    """Drop memo entries bound to stopped SparkContexts.
+
+    Across session cycles (pytest session-scoped fixtures, notebook
+    restarts) entries for dead JVM contexts would otherwise accumulate
+    until someone remembers clear_itemset_cache(); pruning on every
+    lookup makes the memo self-cleaning."""
+    for key in [k for k, v in _DTOK_MEMO.items() if v[2]._jsc is None]:
+        del _DTOK_MEMO[key]
+
+
 def _corpus_relations(spark: SparkSession, sf_dir: str):
     # applicationId, not id(spark): a stopped session's python object id
     # can be reused by a new session, which would hand back cached
     # DataFrames bound to a dead JVM context
+    _prune_dead_entries()
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DTOK_MEMO:
         docs = load_table(spark, sf_dir, "documents")
@@ -75,14 +87,22 @@ def _corpus_relations(spark: SparkSession, sf_dir: str):
         # uncached, the full-corpus tokenize+explode recomputes per
         # consumer (the same diamond spandedup.py caches for a
         # measured 2.3× win)
-        _DTOK_MEMO[key] = (docs, _doc_tokens(docs).cache())
-    return _DTOK_MEMO[key]
+        _DTOK_MEMO[key] = (
+            docs,
+            _doc_tokens(docs).cache(),
+            spark.sparkContext,
+        )
+    return _DTOK_MEMO[key][:2]
 
 
 def clear_itemset_cache() -> None:
-    """Unpersist every memoized doc-token relation (call at teardown)."""
-    for _, dtok in _DTOK_MEMO.values():
-        dtok.unpersist()
+    """Unpersist every memoized doc-token relation (call at teardown).
+
+    Entries bound to already-stopped contexts are dropped without an
+    unpersist call (nothing to release — the JVM is gone)."""
+    for _, dtok, sc in _DTOK_MEMO.values():
+        if sc._jsc is not None:
+            dtok.unpersist()
     _DTOK_MEMO.clear()
 
 

@@ -123,6 +123,13 @@ def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
         F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("mins")
     )
     size = F.size("mins")
+    # Empty input yields one row with mins=[]: element_at(mins, 0) is an
+    # ERROR in Spark (INVALID_INDEX_OF_ZERO) while DuckDB's
+    # mins[len(mins)] returns NULL — guard so both engines agree on a
+    # (0, NULL, 0) row for an empty events table.
+    kth = F.when(size > 0, F.element_at("mins", size)).otherwise(
+        F.lit(None)
+    )
     est = F.when(size < F.lit(k), size.cast("long")).otherwise(
         F.expr(
             f"CAST({k - 1} AS BIGINT) * {KMV_MOD} div element_at(mins, size(mins))"
@@ -130,7 +137,7 @@ def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     )
     return merged.select(
         size.cast("long").alias("kmv_size"),
-        F.element_at("mins", size).cast("long").alias("kth_min"),
+        kth.cast("long").alias("kth_min"),
         est.alias("est_distinct"),
     )
 

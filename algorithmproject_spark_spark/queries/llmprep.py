@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import (
     hash_mod,
     micros,
@@ -502,7 +503,8 @@ def chunk_dedup(
         F.posexplode(F.transform(slices, lambda s: F.concat_ws(" ", s))).alias(
             "pos", "chunk"
         ),
-    ).cache()  # referenced by the df count AND the marked join
+    )
+    chunks = tracked_cache(chunks)  # referenced by the df count AND the marked join
     boiler = (
         chunks.groupBy("chunk")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -588,8 +590,8 @@ def embedding_semantic_dedup(
             to_double(F.col("embedding")).alias("we"),
         )
         .withColumn("nrm", _norm_d(F.col("we")))
-        .cache()  # encode+norm once: both join sides and the output
     )
+    cn = tracked_cache(cn)  # encode+norm once: both join sides and the output
     a = cn.select(
         F.col("vec_id").alias("a_id"), F.col("we").alias("a_we"),
         F.col("nrm").alias("a_n"), "cell",

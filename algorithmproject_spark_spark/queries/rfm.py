@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import sum_money
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -137,8 +138,8 @@ def _register() -> None:
                 "frequency",
                 "monetary_e2",
             )
-            .cache()  # feeds three cut aggregations + the banding pass
         )
+        rfm = tracked_cache(rfm)  # feeds three cut aggregations + the banding pass
         rc = quartile_cuts(rfm, "recency_d").select(
             F.col("p25").alias("r25"), F.col("p50").alias("r50"), F.col("p75").alias("r75")
         )

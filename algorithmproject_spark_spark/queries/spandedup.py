@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
     gram_hash_array,
     sql_gram_hash_array,
@@ -113,7 +114,8 @@ def dup_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         F.posexplode(
             gram_hash_array(token_hash_array(F.split(F.col("text"), " ")), k)
         ).alias("pos", "gh"),
-    ).cache()
+    )
+    grams = tracked_cache(grams)
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))

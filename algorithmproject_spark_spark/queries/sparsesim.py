@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
     gram_hash_array,
     sql_gram_hash_array,
@@ -75,8 +76,8 @@ def sparse_topk_pairs(
             "g",
             F.expr("tf * 1000 div df").alias("w"),
         )
-        .cache()
     )
+    posts = tracked_cache(posts)
     a = posts.select(
         F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa")
     )

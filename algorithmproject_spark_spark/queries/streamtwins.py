@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 from algorithmproject_spark_spark.streaming.dedup import dedup_stream
@@ -170,7 +171,7 @@ def stream_near_dup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without materialization both join inputs re-fold shingles +
     # signatures (same reuse pattern as the batch dedup family's
     # cached shingle table)
-    bands = doc_band_state(docs).cache()
+    bands = tracked_cache(doc_band_state(docs))
     drops = within_batch_drop_ids(bands)
     return docs.join(drops, "doc_id", "left_anti").select("doc_id")
 

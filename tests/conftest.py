@@ -17,4 +17,11 @@ def spark():
 
     s = get_spark("tests", master="local[4]", shuffle_partitions=8)
     yield s
+    from algorithmproject_spark_spark.cacheutil import release_caches
+    from algorithmproject_spark_spark.queries.itemsets import (
+        clear_itemset_cache,
+    )
+
+    release_caches()
+    clear_itemset_cache()
     s.stop()

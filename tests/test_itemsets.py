@@ -108,3 +108,24 @@ def test_registered_lift_uses_one_shared_cached_relation(spark, tmp_path):
     clear_itemset_cache()
     assert len(_DTOK_MEMO) == 0
     assert not d1.storageLevel.useMemory
+
+
+def test_memo_prunes_stopped_context_entries(spark):
+    """ADVICE r6: memo entries bound to a dead SparkContext are pruned
+    on lookup, and clear_itemset_cache() skips (not crashes on) them."""
+    from algorithmproject_spark_spark.queries import itemsets as it
+
+    class _DeadSC:
+        _jsc = None
+
+    class _NoUnpersist:
+        def unpersist(self):  # pragma: no cover - must NOT be called
+            raise AssertionError("unpersist on a dead context")
+
+    it._DTOK_MEMO[("dead-app", "/nowhere")] = (None, _NoUnpersist(), _DeadSC())
+    it._prune_dead_entries()
+    assert ("dead-app", "/nowhere") not in it._DTOK_MEMO
+
+    it._DTOK_MEMO[("dead-app2", "/nowhere")] = (None, _NoUnpersist(), _DeadSC())
+    it.clear_itemset_cache()  # must not raise
+    assert not it._DTOK_MEMO

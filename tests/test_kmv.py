@@ -79,3 +79,22 @@ def test_merge_equals_direct_global_sketch(spark):
     assert merged.kmv_size == KMV_K
     # estimate within a loose band of the true 500 distinct keys
     assert 250 <= merged.est_distinct <= 1000
+
+
+def test_kmv_merge_empty_input_yields_null_row(spark):
+    """ADVICE r6: empty sketch input must yield (0, NULL, 0) — not
+    INVALID_INDEX_OF_ZERO from element_at(mins, 0). DuckDB's
+    mins[len(mins)] returns NULL on an empty list; both engines now
+    agree on the empty-events behavior."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from algorithmproject_spark_spark.queries.kmv import kmv_merge
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("mins", ArrayType(LongType()))])
+    )
+    row = kmv_merge(empty).first()
+    assert row.kmv_size == 0
+    assert row.kth_min is None
+    assert row.est_distinct == 0
