@@ -50,6 +50,7 @@ def fit_lda(
 
 @register(
     "lda_doc_topics",
+    plan=("arrow",),
     oracle=None,  # seeded but float-iterative ML — rows-only; invariants in tests/test_topics.py
     doc="T15: online LDA k=5 over CountVectorizer counts; dominant topic "
     "per doc (rows = n_docs, deterministic)",
@@ -71,6 +72,7 @@ def lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lda_topics_described",
+    plan=("arrow", "global_sort",),
     oracle=None,  # seeded but float-iterative ML — rows-only
     doc="T15: describeTopics(10) — top-10 terms + weights per topic "
     "(NewsLDAModel.scala:50-115 model-output surface)",
@@ -106,6 +108,7 @@ def lda_topics_described(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "word2vec_neighbors",
+    plan=("arrow",),
     oracle=None,  # seeded but float-iterative ML — rows-only
     doc="T17: Word2Vec dim=10; top-5 synonyms of the corpus's most "
     "frequent token (anchor chosen from data, deterministic)",

@@ -597,6 +597,7 @@ def kmeans_cells(
 
 @register(
     "ann_ivf_ml_kmeans_topk",
+    plan=("arrow",),
     # Rows-only BY CONTRACT, not by accident: the oracle must be a
     # static ANSI-SQL string fixed at registration, and no SQL string
     # can re-derive a live JVM float-iterative fit (reduction order and

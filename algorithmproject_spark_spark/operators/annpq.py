@@ -280,6 +280,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq_recall",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH codes AS MATERIALIZED ({_sql_codes_rows()}),
     qtab AS MATERIALIZED ({_sql_qtab()}),

@@ -168,6 +168,7 @@ def _register() -> None:
 
     @register(
         "bloom_prefilter_join_stats",
+        plan=("scalar_cross",),
         oracle=f"""
         WITH bl_small AS (
             SELECT DISTINCT c_custkey FROM customer WHERE {_SMALL_PRED}

@@ -44,6 +44,7 @@ def weighted_median_cents():
 
 @register(
     "grouped_agg_weighted_median",
+    plan=("arrow",),
     oracle="""
     WITH wv AS (
         SELECT event_type,

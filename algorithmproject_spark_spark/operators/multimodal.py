@@ -141,6 +141,7 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame
 
 @register(
     "media_meta_stats",
+    plan=("arrow",),
     oracle=f"""
     WITH media AS (
         SELECT doc_id,
@@ -174,6 +175,7 @@ def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_sample",
+    plan=("arrow",),
     oracle=f"""
     WITH media AS (
         SELECT doc_id, octet_length(encode(text)) AS n FROM documents
@@ -278,6 +280,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 @register(
     "media_resize_stats",
+    plan=("arrow",),
     oracle=f"""
     WITH media AS (
         SELECT doc_id,
@@ -323,6 +326,7 @@ def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_feature_extract",
+    plan=("arrow",),
     oracle=f"""
     SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'

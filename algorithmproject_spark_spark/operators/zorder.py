@@ -142,6 +142,7 @@ N_BUCKETS_LOG2 = 24  # 32-bit z div 2^24 → ≤256 coarse layout buckets
 def _register() -> None:
     @register(
         "zorder_pruning_stats",
+        plan=("scalar_cross",),
         oracle=f"""
         WITH zo_ev AS (
             -- epoch_us // 1e6 floors exactly like Spark's

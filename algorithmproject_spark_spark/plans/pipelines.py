@@ -52,6 +52,7 @@ QUOTA_PER_CLASS = 150
 
 @register(
     "curation_pipeline",
+    plan=("arrow",),
     oracle=f"""
     WITH exact_keep AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
@@ -110,6 +111,7 @@ MAX_DOC_GRAMS = 200
 
 @register(
     "lda_corpus_uci",
+    plan=("arrow",),
     oracle=f"""
     WITH tf AS (
         SELECT doc_id, word, count(*) AS tf

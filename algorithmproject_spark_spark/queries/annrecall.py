@@ -21,6 +21,7 @@ _BF_SQL = REGISTRY["knn_bruteforce_cosine"].oracle
 
 @register(
     "ann_lsh_recall",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH lsh AS ({_LSH_SQL}),
     bf AS ({_BF_SQL})
@@ -57,6 +58,7 @@ _IVF_SQL = REGISTRY["ann_ivf_topk"].oracle
 
 @register(
     "ann_ivf_recall",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH ivf AS ({_IVF_SQL}),
     bf AS ({_BF_SQL})

@@ -212,6 +212,7 @@ def _register() -> None:
 
     @register(
         "seqlen_bucket_waste",
+        plan=("global_sort",),
         oracle=f"""
         WITH sb_l AS (
             SELECT CAST(len(string_split(text, chr(32))) AS BIGINT) AS l

@@ -849,6 +849,7 @@ _QD_REP = (
 
 @register(
     "quality_dup_calibration",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH {sql_dup_pairs_cte()},
     qd_m AS (

@@ -80,6 +80,7 @@ def token_drift(docs: DataFrame, top_n: int = TOP_N) -> DataFrame:
 def _register() -> None:
     @register(
         "corpus_token_drift",
+        plan=("scalar_cross",),
         oracle=f"""
         WITH cd_t AS (
             SELECT {sql_hash_mod('doc_id', 2)} AS side,

@@ -422,6 +422,7 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_ordered_funnel",
+    plan=("scalar_cross",),
     oracle="""
     WITH windowed AS (
         SELECT e.* FROM events e

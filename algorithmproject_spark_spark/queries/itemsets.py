@@ -240,6 +240,7 @@ def _sql_pairs_cte(minsup_permille: int = MINSUP_PERMILLE) -> str:
 
 @register(
     "token_cooccurrence_pairs",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH {_sql_pairs_cte()}
     SELECT tok_a, tok_b, support FROM is_pairs
@@ -255,6 +256,7 @@ def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_assoc_rules",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH {_sql_pairs_cte()},
     is_rules AS (
@@ -280,6 +282,7 @@ def token_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_pair_lift",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH {_sql_pairs_cte()}
     SELECT p.tok_a, p.tok_b, p.support,

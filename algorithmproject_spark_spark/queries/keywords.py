@@ -86,6 +86,7 @@ WHERE rank <= 10
 
 @register(
     "rake_topk",
+    plan=("arrow",),
     oracle=_RAKE_ORACLE,
     doc="T11: RAKE keywords via Arrow pandas_udf, top-10 per doc, "
     "oracle = independent SQL re-derivation",
@@ -162,6 +163,7 @@ def _sql_textrank(iterations: int, scale: int, window: int, top_k: int) -> str:
 
 @register(
     "textrank_topk",
+    plan=("arrow",),
     oracle=_sql_textrank(
         textrank.TR_ITERS, textrank.TR_SCALE, textrank.TR_WINDOW, 10
     ),
@@ -201,6 +203,7 @@ _TFIDF_CTE = """
 
 @register(
     "label_combine_keywords",
+    plan=("arrow", "scalar_cross",),
     oracle=f"""
     WITH rk AS ({_RAKE_ORACLE.replace("rank <= 10", "rank <= 10 AND len(string_split(phrase, ' ')) = 1")}),
     {_TFIDF_CTE.format(stoplist=sql_stopword_list())}
@@ -260,6 +263,7 @@ _USER_LABEL_TOPK = 3
 
 @register(
     "user_label_pipeline",
+    plan=("arrow", "scalar_cross",),
     oracle=f"""
     WITH rk AS ({_RAKE_ORACLE.replace("rank <= 10", "rank <= 10 AND len(string_split(phrase, ' ')) = 1")}),
     {_TFIDF_CTE.format(stoplist=sql_stopword_list())},

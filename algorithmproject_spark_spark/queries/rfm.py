@@ -75,6 +75,7 @@ def _sql_cuts(rel: str, col: str, prefix: str) -> str:
 def _register() -> None:
     @register(
         "customer_rfm_segments",
+        plan=("scalar_cross",),
         oracle=f"""
         WITH rfm_a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
         rfm_o AS (

@@ -40,6 +40,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_bruteforce_cosine",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
     scored AS (
@@ -154,6 +155,7 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_hard_negatives",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb

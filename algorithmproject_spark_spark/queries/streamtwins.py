@@ -89,6 +89,7 @@ def stream_session_windows_batch_twin(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "stream_user_profile_batch_twin",
+    plan=("arrow",),
     oracle="""
     SELECT user_id,
            count(*) AS n_events,

@@ -259,6 +259,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "tfidf_top_terms",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH tf AS (
         SELECT doc_id, word, count(*) AS tf
@@ -357,6 +358,7 @@ def hashed_tfidf(docs: DataFrame, num_features: int = TFIDF_NUM_FEATURES) -> Dat
 
 @register(
     "tfidf_hashed_top_terms",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH tf AS (
         SELECT doc_id, ({sql_char_fold_hash('word')}) % {TFIDF_NUM_FEATURES} AS feature,

@@ -181,6 +181,7 @@ def candidate_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Events stand in for the user→tag bag: tags = event types per user.
 @register(
     "user_tag_tfidf_norm",
+    plan=("scalar_cross",),
     oracle="""
     WITH tf AS (
         SELECT user_id, event_type AS tag, count(*) AS tf
@@ -401,6 +402,7 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scales with input splits and the only shuffle is the final count.
 @register(
     "doc_pos_bigrams",
+    plan=("arrow",),
     oracle=None,  # set below after import to avoid circular fstring clutter
     doc="T6: rule-based lemma+POS tagging, NN+NN/JJ+NN/VB+NN bigram "
     "admission (NewsNgrams.scala:110-130), corpus top-40",
@@ -442,9 +444,11 @@ def _install_pos_oracle() -> None:
     LIMIT 40
     """
     )
-    REGISTRY["doc_pos_bigrams"] = QuerySpec(
-        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
-    )
+    # dataclasses.replace, NOT a field-by-field rebuild: keeps every
+    # other spec field (e.g. the declared plan traits) intact
+    from dataclasses import replace
+
+    REGISTRY["doc_pos_bigrams"] = replace(spec, oracle=sql)
 
 
 _install_pos_oracle()

@@ -254,6 +254,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q11_important_stock",
+    plan=("scalar_cross",),
     oracle="""
     WITH natsupp AS (
         SELECT s_suppkey FROM supplier s
@@ -394,6 +395,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q15_top_supplier",
+    plan=("scalar_cross",),
     oracle=f"""
     WITH rev AS (
         SELECT l_suppkey AS supplier_no,
@@ -672,6 +674,7 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q22_global_sales_opportunity",
+    plan=("scalar_cross",),
     oracle="""
     WITH pos AS (
         SELECT CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e2,

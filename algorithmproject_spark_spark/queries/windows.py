@@ -22,6 +22,7 @@ from algorithmproject_spark_spark.sources.catalog import load_table
 
 @register(
     "window_global_rownum",
+    plan=("arrow", "global_sort",),
     oracle="""
     SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
     FROM documents
@@ -217,22 +218,26 @@ def window_rank_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT event_id, user_id, ts,
            CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
-               RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS trailing_2h_e6,
            CAST(count(*) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
-               RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS trailing_2h_n
     FROM events
     WHERE user_id % 97 = 0
     """,
     doc="True RANGE window frame: per-user trailing-2-hour sum/count "
     "keyed by event TIME, not row position (rangeBetween over epoch "
-    "seconds — uneven event spacing means a rows-frame would be "
-    "wrong). One keyed sort per user partition; the frame bound is a "
-    "pointer walk within the sorted run, no self-join per row. "
-    "Values are exact e6 fixed-point so the trailing sums "
+    "MICROseconds — uneven event spacing means a rows-frame would be "
+    "wrong, and whole-second keys would be too: Spark unix_timestamp "
+    "floors the fractional second while DuckDB epoch() keeps it, so a "
+    "neighbor inside the fractional window lands on different sides "
+    "of the 2h boundary — a real divergence the sf1 sweep caught at "
+    "10x event density. One keyed sort per user partition; the frame "
+    "bound is a pointer walk within the sorted run, no self-join per "
+    "row. Values are exact e6 fixed-point so the trailing sums "
     "hash-match",
 )
 def window_trailing_2h_range_frame(
@@ -243,8 +248,8 @@ def window_trailing_2h_range_frame(
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-7200, W.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7_200_000_000, W.currentRow)
     )
     return ev.select(
         "event_id",

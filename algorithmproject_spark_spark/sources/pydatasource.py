@@ -329,6 +329,7 @@ _QUERY_N_ROWS = 20_000
 
 @register(
     "pyds_synthetic_events_agg",
+    plan=("arrow",),
     oracle=f"""
     WITH ev AS ({oracle_relation_sql(_QUERY_N_ROWS)})
     SELECT event_type,

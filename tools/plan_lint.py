@@ -33,70 +33,28 @@ from algorithmproject_spark_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
-# Queries whose Python nodes are the declared design (Arrow kernels).
-ARROW_KERNELS = {
-    "doc_pos_bigrams",          # mapInPandas POS tagger
-    "rake_topk",                # pandas_udf RAKE kernel
-    "textrank_topk",            # mapInPandas per-doc TextRank
-    "media_meta_stats",         # mapInPandas binary decode
-    "media_frame_sample",
-    "media_resize_stats",
-    "media_feature_extract",
-    "window_global_rownum",     # two-phase index attach (mapInPandas)
-    "stream_user_profile_batch_twin",  # applyInPandas profile fold
-    "grouped_agg_weighted_median",     # GROUPED_AGG pandas UDF
-    "pyds_synthetic_events_agg",       # Python Data Source scan
-    "lda_doc_topics", "lda_topics_described", "word2vec_neighbors",
-    "ann_ivf_ml_kmeans_topk",   # pyspark.ml fit paths
-    "lda_corpus_uci",
-    "curation_pipeline",        # includes the RAKE stage
-    "label_combine_keywords",   # inherits the RAKE kernel via rake_topk
-    "user_label_pipeline",      # same inheritance (label combine stage)
-}
+# Allow-lists are DERIVED from registry metadata (the `plan=` traits
+# declared at each register() site) — r6 advice: a hand-kept name set
+# here rots; a trait declared next to the query travels with it. The
+# per-query justifications live as comments at the register sites.
+def _trait(trait: str) -> set[str]:
+    return {n for n, s in REGISTRY.items() if trait in s.plan}
 
-# Queries allowed a rangepartitioning exchange. Every plain ORDER BY in
-# the registry is LIMIT-bounded (TakeOrderedAndProject, never a global
-# sort); the two entries here are designed total orders:
-GLOBAL_SORT_OK: set[str] = {
-    "window_global_rownum",   # W1 global dense index — a total order IS
-                              # the semantics; the range partitioner is
-                              # the N-way-parallel way to get it
-    "lda_topics_described",   # pyspark.ml describeTopics output, k=10
-                              # topic rows — driver-sized by construction
-    "seqlen_bucket_waste",    # final orderBy over ≤4 ladder-rung rows
-                              # (the groupBy output is ladder-bounded)
-}
+
+# Queries whose Python nodes are the declared design (Arrow kernels,
+# Python Data Sources, pyspark.ml fit paths).
+ARROW_KERNELS = _trait("arrow")
+
+# Queries with a designed rangepartitioning exchange. Every plain
+# ORDER BY in the registry is LIMIT-bounded (TakeOrderedAndProject,
+# never a global sort); declared entries are designed total orders or
+# driver-sized outputs.
+GLOBAL_SORT_OK = _trait("global_sort")
 
 # BroadcastNestedLoopJoin allowed ONLY where the build side is bounded
 # by construction — a broadcast 1-row aggregate or a ≤k-row literal
-# query set — so the "nested loop" is a map-side constant lookup:
-NESTED_LOOP_OK: set[str] = {
-    "tfidf_top_terms",        # crossJoin(broadcast(1-row n_docs agg)),
-    "tfidf_hashed_top_terms", # text.py:303 — the r1-mandated pattern
-    "user_tag_tfidf_norm",    # same: broadcast 1-row n_users agg
-    "label_combine_keywords", # inherits tfidf_top_terms's 1-row cross
-    "user_label_pipeline",    # that same cross + its own 1-row n_docs
-    "ann_hard_negatives",     # same broadcast bounded-query shape
-    "knn_bruteforce_cosine",  # 15-query literal set × corpus — the
-                              # exact-baseline semantics; corpus side
-                              # streams, build side is 15 rows
-    "ann_pq_recall",          # recall@k queries join ANN results to the
-    "ann_lsh_recall",         # same 15-query brute-force ground truth
-    "ann_ivf_recall",
-    "q11_important_stock",    # TPC-H scalar subqueries: crossJoin of a
-    "q15_top_supplier",       # broadcast 1-row aggregate (total / max /
-    "q22_global_sales_opportunity",  # positive-balance avg)
-    "events_ordered_funnel",  # broadcast 1-row min(ts) window anchor
-    "token_cooccurrence_pairs",  # broadcast 1-row n_docs agg (relative
-    "token_assoc_rules",         # support cut — same TF-IDF pattern)
-    "token_pair_lift",           # same 1-row n_docs broadcast scalar
-    "zorder_pruning_stats",    # broadcast 1-row min/max envelope scalar
-    "corpus_token_drift",      # broadcast 1-row (n_a, n_b) totals scalar
-    "quality_dup_calibration", # broadcast 1-row quartile-cuts scalar
-    "customer_rfm_segments",   # three broadcast 1-row cut scalars
-    "bloom_prefilter_join_stats",  # broadcast 1-row Bloom bitmap + the
-                                   # four 1-row count aggregates
-}
+# query set — so the "nested loop" is a map-side constant lookup.
+NESTED_LOOP_OK = _trait("scalar_cross")
 
 PY_NODES = re.compile(
     r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas"
