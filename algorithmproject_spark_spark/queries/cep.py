@@ -193,3 +193,80 @@ def _register_strict_funnel() -> None:
 
 
 _register_strict_funnel()
+
+
+def _register_skip_funnel() -> None:
+    @register(
+        "events_skip_funnel_matches",
+        oracle=f"""
+        WITH sk_r AS (
+            SELECT user_id AS key, epoch_us(ts) AS t, event_id AS o,
+                   event_type = 'view' AS s0,
+                   event_type = 'click' AS s1,
+                   event_type = 'purchase' AS s2
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        sk_np AS (
+            SELECT *, min(CASE WHEN s2 THEN t END) OVER (
+                       PARTITION BY key ORDER BY t DESC, o DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS np
+            FROM sk_r
+        ),
+        sk_nc AS (
+            SELECT *, min(CASE WHEN s1 THEN
+                             struct_pack(t := t, o := o, np := np)
+                          END) OVER (
+                       PARTITION BY key ORDER BY t DESC, o DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS nc
+            FROM sk_np
+        ),
+        sk_m AS (
+            SELECT key, t, nc.np AS t_end FROM sk_nc
+            WHERE s0 AND nc IS NOT NULL
+              AND nc.t - t <= {FUNNEL_GAP_US}
+              AND nc.np IS NOT NULL
+              AND nc.np - nc.t <= {FUNNEL_GAP_US}
+        )
+        SELECT key AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(t_end - t) AS BIGINT) AS min_span_us
+        FROM sk_m GROUP BY key
+        """,
+        doc="skip-till-next-match funnel view->click->purchase "
+        "(operators/pattern.py::match_skip_to_next): events between "
+        "steps are ALLOWED — each step binds to the first matching "
+        "event strictly after the previous step (FlinkCEP followedBy "
+        "semantics, greedy, no backtracking), 24h per-step bounds, "
+        "ties broken by event_id. Compiled to two backward "
+        "running-min window passes over one keyed sort; the oracle "
+        "pins the binding (first occurrence), tie, and timeout "
+        "semantics via the identical struct-min algebra",
+    )
+    def events_skip_funnel_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from algorithmproject_spark_spark.operators.pattern import (
+            match_skip_to_next,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        m = match_skip_to_next(
+            ev,
+            "user_id",
+            "ts",
+            "event_id",
+            [
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            [FUNNEL_GAP_US, FUNNEL_GAP_US],
+        )
+        return m.groupBy(F.col("key").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("span_us").alias("min_span_us"),
+        )
+
+
+_register_skip_funnel()

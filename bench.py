@@ -190,6 +190,7 @@ HEADLINE = (
     "events_kmv_merged_global",
     "lateral_top2_orders_per_cust",
     "events_strict_funnel_matches",
+    "events_skip_funnel_matches",
     "events_daily_drift_tv",
     "customer_rfm_segments",
 )

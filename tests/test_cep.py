@@ -133,3 +133,149 @@ def test_general_pattern_matcher_rejects_bad_gap_list(spark):
             ev, "user_id", "ts", "event_id",
             [F.col("event_type") == "view"], [1],
         )
+
+
+def _skev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+
+
+def test_skip_funnel_allows_intervening_events(spark):
+    """view .. (noise, error, extra view) .. click .. noise .. purchase
+    still matches — the strict-contiguity matcher rejects this."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.pattern import (
+        match_contiguous_pattern,
+        match_skip_to_next,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, s(0), "view"),
+        (1, 2, s(10), "error"),
+        (1, 3, s(20), "view"),      # relevant intervening symbol
+        (1, 4, s(30), "click"),
+        (1, 5, s(40), "signup"),
+        (1, 6, s(50), "purchase"),
+    ]
+    ev = _skev(spark, rows)
+    syms = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    gaps = [3600 * 1_000_000] * 2
+    skip = match_skip_to_next(ev, "user_id", "ts", "event_id", syms, gaps)
+    # BOTH views anchor a match (click binds to the first click after
+    # each); the strict matcher only matches the second view (view at
+    # t0 is followed by another relevant 'view' row -> broken)
+    got = sorted((r.t_start, r.t_end) for r in skip.collect())
+    us = lambda sec: int(s(sec).timestamp() * 1_000_000)
+    assert got == [(us(0), us(50)), (us(20), us(50))]
+    strict = match_contiguous_pattern(ev, "user_id", "ts", "event_id", syms, gaps)
+    assert [(r.t_start, r.t_end) for r in strict.collect()] == [(us(20), us(50))]
+
+
+def test_skip_funnel_greedy_first_binding_no_backtracking(spark):
+    """Step binds to the FIRST next occurrence; if the rest of the
+    pattern then times out, the anchor does NOT retry a later
+    occurrence (FlinkCEP followedBy, not followedByAny)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.pattern import match_skip_to_next
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    # click@10 binds; purchase@5000 is 4990s after it -> exceeds the
+    # 1000s bound. click@4500 would give purchase-click=500s (a match
+    # under skip-till-ANY), but greedy binding fails the anchor.
+    rows = [
+        (7, 1, s(0), "view"),
+        (7, 2, s(10), "click"),
+        (7, 3, s(4500), "click"),
+        (7, 4, s(5000), "purchase"),
+    ]
+    ev = _skev(spark, rows)
+    out = match_skip_to_next(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        [1_000_000_000, 1_000_000_000],  # 1000 s each step
+    ).collect()
+    assert out == []
+
+
+def test_skip_funnel_tie_breaks_by_order_col(spark):
+    """Two clicks at the SAME timestamp: the binding takes the lower
+    event_id (strictly-after in (ts, event_id) lexicographic order)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.pattern import match_skip_to_next
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (3, 1, s(0), "view"),
+        (3, 5, s(10), "click"),
+        (3, 4, s(10), "click"),   # same ts, lower id -> binds
+        (3, 9, s(20), "purchase"),
+    ]
+    ev = _skev(spark, rows)
+    out = match_skip_to_next(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        [3600 * 1_000_000] * 2,
+    ).collect()
+    assert len(out) == 1
+    # a view at the same (ts, id) as a click must not bind itself:
+    # strictness is over the (t, o) pair, checked implicitly above
+
+
+def test_skip_funnel_gap_bounds_each_step(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.pattern import match_skip_to_next
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (5, 1, s(0), "view"),
+        (5, 2, s(2000), "click"),     # 2000s > 1000s bound -> no match
+        (5, 3, s(2100), "purchase"),
+    ]
+    ev = _skev(spark, rows)
+    out = match_skip_to_next(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        [1_000_000_000, 1_000_000_000],
+    ).collect()
+    assert out == []
