@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import (
+    floordiv,
     hash_mod,
     micros,
     sql_hash_mod,
@@ -548,6 +549,63 @@ def chunk_dedup(
 # --------------------------------------------------------------------------
 SEMDEDUP_COS_E6 = 430_000  # cosine threshold in micros (demo-scaled; prod ~0.95+)
 
+# Oversized-cell split: a cell larger than this is refined into
+# ceil(size / CAP) sub-cells by a quantized-residual parity code, so the within-cell
+# pair join is bounded per GROUP regardless of how skewed the embedding
+# distribution is w.r.t. the coarse centroids (cells_for bounds the
+# AVERAGE cell, not the max). 512 keeps the split inactive at sf0.1
+# (cells ~250) and engaged at sf1 (cells ~2500 -> ~5 sub-cells each);
+# comparisons across sub-cells are skipped — the same
+# cluster-restricted approximation SemDeDup already makes, one level
+# deeper, and the oracle mirrors the identical split so the drop set
+# stays bit-exact cross-engine. Residual: a mass of IDENTICAL vectors
+# shares every content-derived code and cannot be split without
+# changing semantics — exact-duplicate removal (hash-groupBy dedup)
+# is the operator for that mass and runs first in a real pipeline.
+SEMDEDUP_CELL_CAP = 512
+_CODE_BITS = 8     # sub-code bits (dims 1..8) -> codes 0..255
+_CODE_SCALE = 1024  # residual quantization step = 1/1024 per dim
+
+
+def _residual_code(we):
+    """8-bit quantized-residual code of a double-array column: bit d is
+    the parity of floor(we[d] * 1024). Unlike an axis-SIGN code, the
+    parity of the fine-grained quantization varies even inside a tight
+    cluster (any per-dim spread over ~1/1024 flips bits), which is
+    exactly the regime the oversized-cell split must break up.
+    Engine-portable: IEEE double multiply + floor + % are bit-identical
+    in Spark and DuckDB (both % truncate toward zero; the +2)%2 fold
+    maps negative parities into {0,1})."""
+    code = F.lit(0)
+    for d in range(_CODE_BITS):
+        q = F.floor(F.element_at(we, d + 1) * F.lit(_CODE_SCALE)).cast("long")
+        bit = ((q % 2) + 2) % 2
+        code = code + bit * F.lit(1 << d)
+    return code.cast("long")
+
+
+def _sql_residual_code(we: str) -> str:
+    terms = " + ".join(
+        f"(((CAST(floor({we}[{d + 1}] * {_CODE_SCALE}) AS BIGINT) % 2) + 2) % 2)"
+        f" * {1 << d}"
+        for d in range(_CODE_BITS)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def semdedup_subcells(cn: DataFrame, cell_cap: int) -> DataFrame:
+    """Attach the oversized-cell ``subcell`` id: sign-code modulo
+    ceil(cell_size / cell_cap). Cells at or under the cap collapse to
+    subcell 0 (code % 1) — the split is a no-op until needed. The
+    cell-size relation is cell-count-sized, so it broadcasts."""
+    sizes = cn.groupBy("cell").agg(F.count(F.lit(1)).alias("__c"))
+    k2 = floordiv(F.col("__c") + F.lit(cell_cap - 1), F.lit(cell_cap))
+    return (
+        cn.join(F.broadcast(sizes), "cell")
+        .withColumn("subcell", _residual_code(F.col("we")) % k2)
+        .drop("__c")
+    )
+
 
 @register(
     "embedding_semantic_dedup",
@@ -558,9 +616,21 @@ SEMDEDUP_COS_E6 = 430_000  # cosine threshold in micros (demo-scaled; prod ~0.95
                {sql_norm('embedding')} AS nrm
         FROM embeddings
     ),
+    sz AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS c FROM cn GROUP BY cell
+    ),
+    cs AS MATERIALIZED (
+        SELECT cn.vec_id, cn.cell, cn.we, cn.nrm,
+               {_sql_residual_code('cn.we')}
+                   % ((sz.c + {SEMDEDUP_CELL_CAP - 1}) // {SEMDEDUP_CELL_CAP})
+                   AS subcell
+        FROM cn JOIN sz USING (cell)
+    ),
     dropped AS (
         SELECT DISTINCT b.vec_id
-        FROM cn a JOIN cn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        FROM cs a JOIN cs b
+          ON a.cell = b.cell AND a.subcell = b.subcell
+         AND a.vec_id < b.vec_id
         WHERE {sql_micros(f"({sql_dot('a.we', 'b.we')}) / (a.nrm * b.nrm)")}
               >= {SEMDEDUP_COS_E6}
     )
@@ -570,17 +640,24 @@ SEMDEDUP_COS_E6 = 430_000  # cosine threshold in micros (demo-scaled; prod ~0.95
     """,
     doc="SemDeDup: IVF-cell clustering + within-cell cosine threshold, "
     "greedy smaller-id survivor — cell equi-join (never all-pairs); "
-    "per-vector norms precomputed once (cosine = dot/(na·nb) is the "
+    "oversized cells split into ceil(size/512) residual-parity sub-cells so "
+    "per-group pair work stays bounded under embedding skew; "
+    "per-vector norms precomputed once (cosine = dot/(na*nb) is the "
     "identical fold either way), integer-micros threshold so the drop "
     "set is bit-exact cross-engine",
 )
 def embedding_semantic_dedup(
-    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int | None = None,
+    cell_cap: int = SEMDEDUP_CELL_CAP,
 ) -> DataFrame:
     # n_cells=cells_for(catalog_rowcount) is the production path (cell
     # sizes stay bounded as the corpus grows — see annivf.cells_for);
-    # the registered query leaves it None → pinned K_CELLS so the
-    # static oracle's centroid set matches.
+    # the registered query leaves it None -> pinned K_CELLS so the
+    # static oracle's centroid set matches. cell_cap bounds the pair
+    # join per (cell, subcell) group even when the coarse quantizer
+    # is skewed.
     emb = load_table(spark, sf_dir, "embeddings")
     k = n_cells or K_CELLS
     cn = (
@@ -592,16 +669,17 @@ def embedding_semantic_dedup(
         .withColumn("nrm", _norm_d(F.col("we")))
     )
     cn = tracked_cache(cn)  # encode+norm once: both join sides and the output
-    a = cn.select(
+    cs = semdedup_subcells(cn, cell_cap)
+    a = cs.select(
         F.col("vec_id").alias("a_id"), F.col("we").alias("a_we"),
-        F.col("nrm").alias("a_n"), "cell",
+        F.col("nrm").alias("a_n"), "cell", "subcell",
     )
-    b = cn.select(
+    b = cs.select(
         F.col("vec_id").alias("b_id"), F.col("we").alias("b_we"),
-        F.col("nrm").alias("b_n"), "cell",
+        F.col("nrm").alias("b_n"), "cell", "subcell",
     )
     dropped = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "subcell"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
             micros(_dot_d(F.col("a_we"), F.col("b_we")) / (F.col("a_n") * F.col("b_n")))

@@ -9,9 +9,14 @@ must show ~0 shuffle bytes; keyed aggregations should shuffle their
 compact post-partial-agg payload, not their input.
 
 Usage: python tools/shuffle_audit.py [sf_dir] [query ...]
-Set SHUFFLE_AUDIT_JSON=<path> to write {query: {"shuffle_write_mb":
-..., "shuffle_read_mb": ..., "sec": ...}} — committed as
-SHUFFLE_AUDIT_r{N}.json so the judge can read measured volumes.
+With no query names the FULL registry is audited (r7: the audit must
+cover every query so a plan regression in an old query shows up as
+bytes, not vibes). Set SHUFFLE_AUDIT_JSON=<path> to write per-query
+{"shuffle_write_mb", "shuffle_read_mb", "input_mb", "ratio", "sec"} —
+committed as SHUFFLE_AUDIT_r{N}.json so the judge can read measured
+volumes. Set SHUFFLE_CLASSES_OUT=<path> to (re)write the per-query
+allowed shuffle/input ratio classes (measured ratio with headroom) that
+tests/test_shuffle_classes.py gates future rounds against.
 
 A dedicated session enables the UI (the engine session disables it);
 everything else matches bench.py's environment.
@@ -60,13 +65,14 @@ DEFAULT_QUERIES = (
 )
 
 
-def _stage_totals(ui: str, app_id: str) -> tuple[int, int]:
+def _stage_totals(ui: str, app_id: str) -> tuple[int, int, int]:
     stages = json.load(
         urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages")
     )
     return (
         sum(s.get("shuffleWriteBytes", 0) for s in stages),
         sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("inputBytes", 0) for s in stages),
     )
 
 
@@ -76,7 +82,7 @@ def main() -> int:
         args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     )
     names = args[1:] if args and os.path.isdir(args[0]) else args
-    names = list(names) or list(DEFAULT_QUERIES)
+    names = list(names) or list(REGISTRY)
 
     spark = (
         SparkSession.builder.master(
@@ -101,20 +107,35 @@ def main() -> int:
     out: dict[str, dict[str, float]] = {}
     for name in names:
         fn = REGISTRY[name].fn
-        w0, r0 = _stage_totals(ui, app_id)
+        w0, r0, i0 = _stage_totals(ui, app_id)
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+            print(f"{name:40s} ERROR {exc}")
+            out[name] = {"error": str(exc)[:200]}
+            continue
         sec = time.time() - t0
         time.sleep(0.3)  # let the UI store catch up
-        w1, r1 = _stage_totals(ui, app_id)
+        w1, r1, i1 = _stage_totals(ui, app_id)
+        write_mb = round((w1 - w0) / 1e6, 3)
+        input_mb = round((i1 - i0) / 1e6, 3)
+        # shuffle/input ratio, the scale-posture number: >1 means the
+        # plan moves more than it reads. Iterative fixed-point plans
+        # legitimately exceed 1 (bounded iteration count); their class
+        # records that. Tiny inputs floor at 0.05 MB so the ratio
+        # stays meaningful for dimension tables.
+        ratio = round(write_mb / max(input_mb, 0.05), 3)
         out[name] = {
-            "shuffle_write_mb": round((w1 - w0) / 1e6, 3),
+            "shuffle_write_mb": write_mb,
             "shuffle_read_mb": round((r1 - r0) / 1e6, 3),
+            "input_mb": input_mb,
+            "ratio": ratio,
             "sec": round(sec, 2),
         }
         print(
-            f"{name:40s} write={out[name]['shuffle_write_mb']:>10.3f} MB  "
-            f"read={out[name]['shuffle_read_mb']:>10.3f} MB  [{sec:.1f}s]"
+            f"{name:40s} write={write_mb:>10.3f} MB  "
+            f"in={input_mb:>10.3f} MB  ratio={ratio:>8.3f}  [{sec:.1f}s]"
         )
 
     dest = os.environ.get("SHUFFLE_AUDIT_JSON")
@@ -122,6 +143,20 @@ def main() -> int:
         with open(dest, "w") as fh:
             json.dump({"sf_dir": sf_dir, "queries": out}, fh, indent=1, sort_keys=True)
         print(f"wrote {dest}")
+    cls_dest = os.environ.get("SHUFFLE_CLASSES_OUT")
+    if cls_dest:
+        # allowed ratio = measured with headroom: 2x + 0.5 absolute,
+        # floored at 1.0 so byte-level noise on near-zero shuffles
+        # never flakes the gate; the gate also separately pins the
+        # map-only class (ratio ~0) via the recorded value itself.
+        classes = {
+            n: round(max(v["ratio"] * 2 + 0.5, 1.0), 3)
+            for n, v in out.items()
+            if "ratio" in v
+        }
+        with open(cls_dest, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "max_ratio": classes}, fh, indent=1, sort_keys=True)
+        print(f"wrote {cls_dest}")
     return 0
 
 
