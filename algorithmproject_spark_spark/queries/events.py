@@ -634,3 +634,123 @@ def events_exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         pick(90).alias("p90_e2"),
         pick(99).alias("p99_e2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide-format reshaping): the DataFrame API's
+# groupBy().pivot().agg() with an EXPLICIT value list — the only form
+# that scales (without the list Spark runs an extra distinct job to
+# discover columns, and unbounded pivot width is a schema explosion).
+# The event-type alphabet is a bounded domain (5 values), so the plan
+# is one partial/final aggregate with 5 conditional counters per
+# group — identical cost to the long-format groupBy, reshaped. The
+# DuckDB twin is the explicit CASE aggregation (pivot IS sugar for it,
+# which the oracle makes visible).
+# --------------------------------------------------------------------------
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_daily_type_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase_cents
+    FROM events
+    GROUP BY d
+    """,
+    doc="pivot to wide format: per-day event-type count matrix + "
+    "purchase revenue, via groupBy().pivot() with an EXPLICIT value "
+    "list (no column-discovery job, bounded width) — compiles to one "
+    "conditional aggregate, the reshaped twin of the long-format "
+    "groupBy",
+)
+def events_pivot_daily_type_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"),
+        "event_type",
+        scaled_long("value", 100).alias("cents"),
+    )
+    wide = (
+        ev.groupBy("d")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    # pivot names columns "<value>_<agg alias>"; project to the stable
+    # contract names (counts coalesced: a day without a type is 0)
+    return wide.select(
+        "d",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+        F.col("purchase_cents").alias("purchase_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average over irregular samples (step interpolation):
+# each event's value holds until the user's next event of the same
+# type; the weight is that holding duration. THE aggregation for
+# unevenly-sampled gauges (a plain AVG over-weights chatty periods).
+# Exact integers end-to-end: cents × whole-second durations (micros
+# floor-divided by 1e6 — identical IntegralDivide in both engines),
+# bounded: cents ≤ ~1e5, dt_s ≤ ~2.6e6 (30-day window), so a term is
+# ≤ 2.6e11 and 1e7 intervals stay < 2^62. One keyed window (lead) +
+# one keyed aggregate — linear, partial-agg friendly.
+# --------------------------------------------------------------------------
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH twa_s AS (
+        SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               (lead(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts), event_id
+                ) - epoch_us(ts)) // 1000000 AS dt_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_s) AS BIGINT) AS total_s,
+           CAST(SUM(cents * dt_s) // NULLIF(SUM(dt_s), 0) AS BIGINT)
+               AS twa_cents
+    FROM twa_s WHERE dt_s IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="time-weighted average value per event type: step "
+    "interpolation over each user's irregular series (value holds "
+    "until the next same-type event, weight = holding seconds), "
+    "aggregated across users — one lead window + one keyed aggregate, "
+    "exact cents x whole-second integer arithmetic",
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from algorithmproject_spark_spark.functions.numeric import floordiv
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = W.partitionBy("user_id", "event_type").orderBy(t, "event_id")
+    series = ev.select(
+        "event_type",
+        scaled_long("value", 100).alias("cents"),
+        floordiv(F.lead(t).over(w) - t, F.lit(1_000_000)).alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull())
+    return series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_s").alias("total_s"),
+        floordiv(
+            F.sum(F.col("cents") * F.col("dt_s")),
+            F.nullif(F.sum("dt_s"), F.lit(0)),
+        ).alias("twa_cents"),
+    )

@@ -178,3 +178,130 @@ def events_kmv_merged_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("mins"))
     )
     return kmv_merge(per_type)
+
+
+# --------------------------------------------------------------------------
+# Sketch INTERSECTION algebra: inclusion-exclusion over three KMV
+# estimates — |A∩B| ≈ D̂(A) + D̂(B) − D̂(A∪B), clamped at 0. With the
+# union estimate from the lossless merge (union minima, re-cut to k),
+# the whole pipeline is integer-exact given the fixed hash, so the
+# ESTIMATE itself hash-matches cross-engine — same property as the
+# merge query. At 100 TB: both per-type sketches and their union are
+# k BIGINTs; the overlap of two user populations never needs a
+# distinct-join of the populations (the exact twin computed alongside
+# here for calibration DOES — sketch vs exact is the point of the
+# query). Bar-Yossef et al. 2002; ratio estimators (count shared among
+# union minima) trade variance differently — inclusion-exclusion keeps
+# every term an already-pinned estimator.
+# --------------------------------------------------------------------------
+def _sql_est(mins: str, k: int = KMV_K) -> str:
+    return (
+        f"CASE WHEN len({mins}) < {k} THEN CAST(len({mins}) AS BIGINT) "
+        f"ELSE CAST({k - 1} AS BIGINT) * {KMV_MOD} // {mins}[len({mins})] END"
+    )
+
+
+@register(
+    "events_kmv_type_intersection",
+    plan=("scalar_cross",),
+    oracle=f"""
+    WITH ki_h AS (
+        SELECT event_type,
+               {sql_hash_mod('CAST(user_id AS BIGINT)', KMV_MOD)} AS h,
+               user_id
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    ki_a AS (
+        SELECT list_slice(list_sort(list(DISTINCT h)), 1, {KMV_K}) AS mins
+        FROM ki_h WHERE event_type = 'view'
+    ),
+    ki_b AS (
+        SELECT list_slice(list_sort(list(DISTINCT h)), 1, {KMV_K}) AS mins
+        FROM ki_h WHERE event_type = 'purchase'
+    ),
+    ki_u AS (
+        SELECT list_slice(list_sort(list(h)), 1, {KMV_K}) AS mins
+        FROM (SELECT DISTINCT unnest(mins) AS h
+              FROM (SELECT mins FROM ki_a UNION ALL SELECT mins FROM ki_b))
+    ),
+    ki_x AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+            SELECT DISTINCT user_id FROM ki_h WHERE event_type = 'view'
+            INTERSECT
+            SELECT DISTINCT user_id FROM ki_h WHERE event_type = 'purchase'
+        )
+    )
+    SELECT {_sql_est('ki_a.mins')} AS est_a,
+           {_sql_est('ki_b.mins')} AS est_b,
+           {_sql_est('ki_u.mins')} AS est_union,
+           GREATEST({_sql_est('ki_a.mins')} + {_sql_est('ki_b.mins')}
+                    - {_sql_est('ki_u.mins')}, 0) AS est_intersection,
+           ki_x.exact_intersection
+    FROM ki_a, ki_b, ki_u, ki_x
+    """,
+    doc="KMV sketch INTERSECTION: inclusion-exclusion over the per-"
+    "type and merged-union estimators (all integer-exact given the "
+    "fixed hash, so the estimate hash-matches cross-engine), with the "
+    "exact viewer∩purchaser overlap alongside for calibration — "
+    "completes the sketch algebra: union (merge query) + intersection",
+)
+def events_kmv_type_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = hash_mod(F.col("user_id").cast("long"), KMV_MOD)
+    sel = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_type", h.alias("h"), "user_id"
+    )
+
+    def sketch(t: str) -> DataFrame:
+        return (
+            sel.filter(F.col("event_type") == t)
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_set("h")), 1, KMV_K
+                ).alias("mins")
+            )
+        )
+
+    def est(mins: str):
+        size = F.size(mins)
+        return F.when(size < F.lit(KMV_K), size.cast("long")).otherwise(
+            F.expr(
+                f"CAST({KMV_K - 1} AS BIGINT) * {KMV_MOD}"
+                f" div element_at({mins}, size({mins}))"
+            )
+        )
+
+    a = sketch("view").select(F.col("mins").alias("mins_a"))
+    b = sketch("purchase").select(F.col("mins").alias("mins_b"))
+    u = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.concat("mins_a", "mins_b"))
+                ),
+                1,
+                KMV_K,
+            ).alias("mins_u"),
+            "mins_a",
+            "mins_b",
+        )
+    )
+    exact = (
+        sel.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            sel.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    ea, eb, eu = est("mins_a"), est("mins_b"), est("mins_u")
+    return u.crossJoin(F.broadcast(exact)).select(
+        ea.alias("est_a"),
+        eb.alias("est_b"),
+        eu.alias("est_union"),
+        F.greatest(ea + eb - eu, F.lit(0).cast("long")).alias(
+            "est_intersection"
+        ),
+        "exact_intersection",
+    )

@@ -191,6 +191,11 @@ HEADLINE = (
     "lateral_top2_orders_per_cust",
     "events_strict_funnel_matches",
     "events_skip_funnel_matches",
+    # round-7: pivot reshaping, KMV intersection algebra, time-weighted
+    # average over irregular samples
+    "events_pivot_daily_type_counts",
+    "events_kmv_type_intersection",
+    "events_time_weighted_value",
     "events_daily_drift_tv",
     "customer_rfm_segments",
 )
