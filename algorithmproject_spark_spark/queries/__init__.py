@@ -40,6 +40,7 @@ from algorithmproject_spark_spark.queries import (  # noqa: F401,E402
     goldenrec,
     cep,
     rfm,
+    alloc,
 )
 from algorithmproject_spark_spark.plans import pipelines  # noqa: F401,E402
 from algorithmproject_spark_spark.ml import topics  # noqa: F401,E402
