@@ -643,9 +643,11 @@ def events_exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
 # discover columns, and unbounded pivot width is a schema explosion).
 # The event-type alphabet is a bounded domain (5 values), so the plan
 # is one partial/final aggregate with 5 conditional counters per
-# group — identical cost to the long-format groupBy, reshaped. The
-# DuckDB twin is the explicit CASE aggregation (pivot IS sugar for it,
-# which the oracle makes visible).
+# group. Spark plans it as two aggregate phases (partials keyed on
+# (d, type), then the width-5 pivot fold keyed on d) — both phases
+# map-side-combined, payload bounded by days x 5 types. The DuckDB
+# twin is the explicit CASE aggregation (pivot IS sugar for it, which
+# the oracle makes visible).
 # --------------------------------------------------------------------------
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -667,9 +669,10 @@ _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
     """,
     doc="pivot to wide format: per-day event-type count matrix + "
     "purchase revenue, via groupBy().pivot() with an EXPLICIT value "
-    "list (no column-discovery job, bounded width) — compiles to one "
-    "conditional aggregate, the reshaped twin of the long-format "
-    "groupBy",
+    "list (no column-discovery job, bounded width) — compiles to the "
+    "standard two-phase aggregate (keyed partials on (d, type), then "
+    "the width-5 pivot fold on d), the reshaped twin of the "
+    "long-format groupBy",
 )
 def events_pivot_daily_type_counts(
     spark: SparkSession, sf_dir: str
