@@ -53,6 +53,8 @@ def match_contiguous_pattern(
 
     Returns one row per match: ``(key, t_start, t_end, span_us)``.
     """
+    if len(symbols) < 2:
+        raise ValueError("pattern needs at least 2 symbols")
     if len(max_gaps_us) != len(symbols) - 1:
         raise ValueError("need exactly len(symbols)-1 gap bounds")
     t = F.unix_micros(F.col(ts_col))
@@ -133,6 +135,8 @@ def match_skip_to_next(
     span_us)``.
     """
     k = len(symbols)
+    if k < 2:
+        raise ValueError("pattern needs at least 2 symbols")
     if len(max_gaps_us) != k - 1:
         raise ValueError("need exactly len(symbols)-1 gap bounds")
     t = F.unix_micros(F.col(ts_col))

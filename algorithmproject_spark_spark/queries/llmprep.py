@@ -594,8 +594,8 @@ def _sql_residual_code(we: str) -> str:
 
 
 def semdedup_subcells(cn: DataFrame, cell_cap: int) -> DataFrame:
-    """Attach the oversized-cell ``subcell`` id: sign-code modulo
-    ceil(cell_size / cell_cap). Cells at or under the cap collapse to
+    """Attach the oversized-cell ``subcell`` id: quantized-residual
+    parity code modulo ceil(cell_size / cell_cap). Cells at or under the cap collapse to
     subcell 0 (code % 1) — the split is a no-op until needed. The
     cell-size relation is cell-count-sized, so it broadcasts."""
     sizes = cn.groupBy("cell").agg(F.count(F.lit(1)).alias("__c"))

@@ -279,3 +279,20 @@ def test_skip_funnel_gap_bounds_each_step(spark):
         [1_000_000_000, 1_000_000_000],
     ).collect()
     assert out == []
+
+
+def test_pattern_matchers_reject_single_symbol(spark):
+    """k=1 would crash deep in column construction; both matchers
+    refuse it up front (code-review r7 finding)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.pattern import (
+        match_contiguous_pattern,
+        match_skip_to_next,
+    )
+
+    ev = _skev(spark, [(1, 1, __import__("datetime").datetime(2024, 1, 1), "view")])
+    for fn in (match_contiguous_pattern, match_skip_to_next):
+        with pytest.raises(ValueError, match="at least 2 symbols"):
+            fn(ev, "user_id", "ts", "event_id", [F.col("event_type") == "view"], [])

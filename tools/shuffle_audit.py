@@ -36,33 +36,6 @@ from pyspark.sql import SparkSession
 
 from algorithmproject_spark_spark.queries import REGISTRY
 
-DEFAULT_QUERIES = (
-    # map-only family: the audit must read ~0 bytes
-    "simhash_fingerprints",
-    "doc_pii_masked",
-    "doc_repetition_signals",
-    "embedding_int8_quant",
-    # keyed-agg family: shuffle ≪ input (partial aggregation)
-    "q1_pricing_summary",
-    "doc_wordcount_topk",
-    "q21_sole_returned_supplier",
-    # join family: shuffle ~ filtered fact payload
-    "q3_shipping_priority",
-    "q18_large_volume_orders",
-    # dedup family: banded candidate join
-    "minhash_lsh_candidates",
-    "incremental_near_dup_ingest",
-    # round-5 late additions: map-only normalizers must read ~0; the
-    # span/graph/itemset ops shuffle keyed compact payloads
-    "url_canonicalize_collapse",
-    "doc_sliding_chunks",
-    "doc_dup_span_stats",
-    "dedup_triangle_counts",
-    "token_cooccurrence_pairs",
-    "orders_snapshot_diff",
-    "events_kmv_distinct_users",
-    "events_exact_global_quantiles",
-)
 
 
 def _stage_totals(ui: str, app_id: str) -> tuple[int, int, int]:
@@ -94,6 +67,12 @@ def main() -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "0")
+        # full-registry sweep = several stages per query x ~190 queries;
+        # the default 1000-stage UI store would EVICT early stages
+        # between the before/after reads and corrupt the deltas
+        # (undercounts, even negatives) — retain everything
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "50000")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "8g"))
         .getOrCreate()
@@ -145,12 +124,17 @@ def main() -> int:
         print(f"wrote {dest}")
     cls_dest = os.environ.get("SHUFFLE_CLASSES_OUT")
     if cls_dest:
-        # allowed ratio = measured with headroom: 2x + 0.5 absolute,
-        # floored at 1.0 so byte-level noise on near-zero shuffles
-        # never flakes the gate; the gate also separately pins the
-        # map-only class (ratio ~0) via the recorded value itself.
+        # Two classes: MAP-ONLY queries (measured ratio <= 0.01) are
+        # pinned at 0.05 — a narrow plan that gains any real shuffle
+        # (lost pushdown, new exchange) fails the gate. Everything
+        # else gets measured*2 + 0.5 headroom, floored at 1.0 so
+        # byte-level noise on near-zero shuffles never flakes.
         classes = {
-            n: round(max(v["ratio"] * 2 + 0.5, 1.0), 3)
+            n: (
+                0.05
+                if v["ratio"] <= 0.01
+                else round(max(v["ratio"] * 2 + 0.5, 1.0), 3)
+            )
             for n, v in out.items()
             if "ratio" in v
         }
