@@ -63,3 +63,5 @@ from algorithmproject_spark_spark.operators import tablediff  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import kcore  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import zorder  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import bloomjoin  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import reco  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import lm  # noqa: F401,E402

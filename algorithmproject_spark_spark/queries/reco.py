@@ -1,0 +1,271 @@
+"""Co-purchase affinity mining + HITS over the order bipartite graph.
+
+Two recommendation-prep primitives the reference's text stack implies
+but never ships (its co-occurrence machinery stops at token pairs —
+nlp/NewsNgrams.scala builds n-gram statistics, never cross-basket
+affinity): item-item cosine from shared baskets, and hub/authority
+scoring of the customer↔part bipartite graph (Kleinberg's HITS).
+
+Scale design
+------------
+
+**Co-purchase pairs**: the naive basket self-join is O(Σ m_o²) for
+basket size m_o — one 10k-item pathological basket contributes 5·10⁷
+pairs. The standard production fix, applied here: CAP each basket at
+its K lexicographically-smallest items *before* pair expansion
+(deterministic, engine-portable — no sampling), so per-basket work is
+bounded by K² regardless of basket skew. TPC-H orders reach 13
+distinct parts at every SF while CAP_ITEMS=8, so the cap BINDS on the
+test fixtures — the oracle proves both engines implement the same
+truncation, not just the same happy path. One shuffle builds the
+capped baskets (collect_set dedups in the same agg), pair expansion is
+a map-side array HOF (never a self-join), and pair counting shuffles
+the compact (i, j) keys with map-side partial aggregation.
+
+**Similarity**: cosine² in exact integer fixed-point,
+``cos2_e6 = c_ij²·10⁶ // (c_i·c_j)`` — monotone in cosine for the
+non-negative counts involved, so the top-k ORDER is the cosine order
+while every byte stays engine-exact (no sqrt, no float sums).
+Overflow bound: c_ij < 3.0e6 keeps c_ij²·10⁶ inside BIGINT — the pair
+count is bounded by basket count, so this holds to ~3e6 baskets per
+co-purchased pair, far beyond any real co-occurrence before the
+support cut matters; the ppm()-style loud ANSI overflow (not silent
+wrap) guards the contract beyond that.
+
+**HITS**: fixed-iteration mutual reinforcement (authority = Σ hub of
+neighbors, hub = Σ authority) with max-normalization after every
+half-step, all in integer micro-units: ``x·10⁶ // max(x)``. The max
+is a broadcast 1-row aggregate (the plan-linter-sanctioned scalar
+pattern), each half-step is one equi-join + one keyed agg — linear
+shuffles, no N² anything. Degrees < 9.2e6 keep raw·10⁶ in BIGINT
+(documented like join_blowup_estimate's bound). Deterministic: exact
+integers make the result independent of partitioning AND identical to
+the single-threaded DuckDB oracle, the same discipline as
+corpus_pagerank_topk (plans/pipelines.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.cacheutil import tracked_cache
+from algorithmproject_spark_spark.functions.numeric import floordiv
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+CAP_ITEMS = 8  # per-basket item cap — bounds pair expansion at K²
+MIN_PAIR_SUPPORT = 2  # pairs must share ≥2 baskets
+TOPK_PAIRS = 30
+HITS_ITERS = 2  # authority half-steps (a → h → a)
+TOPK_AUTH = 15
+
+
+def capped_baskets(
+    lineitem: DataFrame, cap: int = CAP_ITEMS
+) -> DataFrame:
+    """(l_orderkey, items) with items = the ``cap``
+    lexicographically-smallest DISTINCT partkeys of the order.
+
+    One shuffle: collect_set dedups inside the agg (no separate
+    distinct), sort_array + slice make the truncation deterministic
+    under any partitioning."""
+    return lineitem.groupBy("l_orderkey").agg(
+        F.slice(
+            F.sort_array(F.collect_set("l_partkey")), 1, cap
+        ).alias("items")
+    )
+
+
+def basket_pairs(baskets: DataFrame) -> DataFrame:
+    """Ordered within-basket pairs (pi < pj) via a nested array HOF —
+    map-side expansion bounded by cap², never a basket self-join."""
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                # slice() is 1-indexed: items after 0-based position i
+                # start at 1-based i+2; over-long length is clamped
+                F.slice(
+                    F.col("items"), i + F.lit(2), F.size(F.col("items"))
+                ),
+                lambda y: F.struct(x.alias("pi"), y.alias("pj")),
+            ),
+        )
+    )
+    return baskets.select(F.explode(pair_arr).alias("pr")).select(
+        F.col("pr.pi").alias("pi"), F.col("pr.pj").alias("pj")
+    )
+
+
+@register(
+    "copurchase_cosine_topk",
+    oracle=f"""
+    WITH capped AS (
+        SELECT l_orderkey, p AS l_partkey
+        FROM (
+            SELECT l_orderkey, p,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey ORDER BY p
+                   ) AS rn
+            FROM (SELECT DISTINCT l_orderkey, l_partkey AS p
+                  FROM lineitem)
+        ) WHERE rn <= {CAP_ITEMS}
+    ),
+    ci AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        FROM capped GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pi, b.l_partkey AS pj,
+               CAST(count(*) AS BIGINT) AS cij
+        FROM capped a JOIN capped b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_PAIR_SUPPORT}
+    )
+    SELECT pi AS part_i, pj AS part_j, cij AS pair_cnt,
+           ci1.c AS cnt_i, ci2.c AS cnt_j,
+           (cij * cij * 1000000) // (ci1.c * ci2.c) AS cos2_e6
+    FROM pairs
+    JOIN ci ci1 ON pairs.pi = ci1.l_partkey
+    JOIN ci ci2 ON pairs.pj = ci2.l_partkey
+    ORDER BY cos2_e6 DESC, part_i, part_j
+    LIMIT {TOPK_PAIRS}
+    """,
+    doc=(
+        "item-item co-purchase cosine (capped baskets, integer-exact "
+        "cos², top-30) — the CF similarity primitive"
+    ),
+)
+def copurchase_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # baskets feed both the item-count and the pair relation — cache
+    # the one shuffle instead of rebuilding the collect_set twice
+    baskets = tracked_cache(capped_baskets(li))
+    ci = (
+        baskets.select(F.explode("items").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        basket_pairs(baskets)
+        .groupBy("pi", "pj")
+        .agg(F.count(F.lit(1)).alias("cij"))
+        .filter(F.col("cij") >= MIN_PAIR_SUPPORT)
+    )
+    # after the support cut the pair side is small; the item-count side
+    # is part-dimension sized — plain equi-joins, AQE picks broadcast
+    # when a side fits and falls back to shuffle join when it doesn't
+    # (the 100 TB-safe default; no hand-forced broadcast of an
+    # unbounded dimension)
+    scored = (
+        pairs.join(ci.withColumnRenamed("p", "pi").withColumnRenamed("c", "cnt_i"), "pi")
+        .join(ci.withColumnRenamed("p", "pj").withColumnRenamed("c", "cnt_j"), "pj")
+        .withColumn(
+            "cos2_e6",
+            floordiv(
+                F.col("cij") * F.col("cij") * F.lit(1_000_000),
+                F.col("cnt_i") * F.col("cnt_j"),
+            ),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("cos2_e6"), F.asc("pi"), F.asc("pj")
+        )
+        .limit(TOPK_PAIRS)
+        .select(
+            F.col("pi").alias("part_i"),
+            F.col("pj").alias("part_j"),
+            F.col("cij").alias("pair_cnt"),
+            "cnt_i",
+            "cnt_j",
+            "cos2_e6",
+        )
+    )
+
+
+def _hits_normalize(raw: DataFrame, key: str, val: str) -> DataFrame:
+    """x·10⁶ // max(x) — max as a broadcast 1-row aggregate, never a
+    driver-side action (keeps the whole computation one Catalyst
+    plan)."""
+    mx = raw.agg(F.max(val).alias("__mx"))
+    return (
+        raw.crossJoin(F.broadcast(mx))
+        .select(
+            key,
+            floordiv(
+                F.col(val) * F.lit(1_000_000), F.col("__mx")
+            ).alias(val),
+        )
+    )
+
+
+@register(
+    "orders_hits_authorities",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    a1r AS (  -- h0 = 1e6 per customer, so a_raw = degree * 1e6
+        SELECT p, CAST(count(*) AS BIGINT) * 1000000 AS ar
+        FROM e GROUP BY p
+    ),
+    a1 AS (SELECT p, (ar * 1000000) // (SELECT max(ar) FROM a1r) AS a
+           FROM a1r),
+    h1r AS (
+        SELECT c, CAST(sum(a) AS BIGINT) AS hr
+        FROM e JOIN a1 USING (p) GROUP BY c
+    ),
+    h1 AS (SELECT c, (hr * 1000000) // (SELECT max(hr) FROM h1r) AS h
+           FROM h1r),
+    a2r AS (
+        SELECT p, CAST(sum(h) AS BIGINT) AS ar
+        FROM e JOIN h1 USING (c) GROUP BY p
+    ),
+    a2 AS (SELECT p, (ar * 1000000) // (SELECT max(ar) FROM a2r) AS a
+           FROM a2r)
+    SELECT p AS part, a AS auth_e6
+    FROM a2 ORDER BY auth_e6 DESC, part LIMIT {TOPK_AUTH}
+    """,
+    doc=(
+        "HITS authorities over the customer-part bipartite graph — "
+        "2 iterations, exact integer micro-units, max-normalized"
+    ),
+    plan=("scalar_cross",),
+)
+def orders_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = tracked_cache(
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    # h0 ≡ 1e6: the first authority half-step degenerates to
+    # degree·1e6 — computed via the same join for one uniform code
+    # path (Catalyst folds the constant into the partial agg)
+    h = edges.select("c").distinct().withColumn("h", F.lit(1_000_000))
+    a = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(h, "c").groupBy("p").agg(F.sum("h").alias("a"))
+        )
+        a = _hits_normalize(a_raw, "p", "a")
+        h_raw = (
+            edges.join(a, "p").groupBy("c").agg(F.sum("a").alias("h"))
+        )
+        h = _hits_normalize(h_raw, "c", "h")
+    # the loop computes one a-step beyond HITS_ITERS-1 h-steps; the
+    # FINAL authorities are the last a (h after it is unused output-
+    # side but keeps the loop body uniform)
+    return (
+        a.orderBy(F.desc("a"), F.asc("p"))
+        .limit(TOPK_AUTH)
+        .select(F.col("p").alias("part"), F.col("a").alias("auth_e6"))
+    )
