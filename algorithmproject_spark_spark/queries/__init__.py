@@ -65,3 +65,4 @@ from algorithmproject_spark_spark.operators import zorder  # noqa: F401,E402
 from algorithmproject_spark_spark.operators import bloomjoin  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import reco  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import lm  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import behavior  # noqa: F401,E402

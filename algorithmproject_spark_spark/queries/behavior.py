@@ -1,0 +1,235 @@
+"""Behavioral sequence statistics + numeric forensics over events.
+
+Three analytics the reference's event jobs (video/*.scala rollup
+pipelines) stop short of, all in the exact-integer discipline of
+functions/numeric.py so every byte hash-matches the single-threaded
+DuckDB oracle under any partitioning:
+
+- **Markov transition matrix** (``events_markov_transitions``): the
+  first-order behavior model P(next event type | event type), the
+  input to next-action prediction and anomaly scoring. One window
+  (lead over user timeline) + one keyed agg; probabilities as exact
+  ``c·10⁶ // n`` micro-units.
+- **Per-user behavioral entropy** (``user_event_entropy``): Shannon
+  entropy of each user's event-type mix — the bot/monoculture signal
+  (H≈0: single-action scripts; high H: diverse organic use).
+  H = ln n − (Σ c·ln c)/n with each c·ln c term rounded to micro-nats
+  per row BEFORE the sum (float sums are partition-order dependent;
+  integer sums are not — the lm.py discipline).
+- **Benford first-digit audit** (``events_benford_digits``): leading
+  significant digit distribution of event values vs Benford's law —
+  the classic fabricated-data detector. The digit comes from the
+  STRING of the exact cents integer (functions/numeric.py::
+  scaled_long), never from float→string (Spark renders 1e4 as
+  "10000.0", DuckDB as "10000.0" only sometimes — engine float
+  formatting is not a contract; BIGINT formatting is).
+
+Scale: each query is one shuffle over compact keys (the window
+partitions by user — the same user-timeline shuffle every
+sessionization query in the engine already pays; transition/digit
+state is O(|types|²) / O(9) rows). Nothing quadratic, nothing
+driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import (
+    floordiv,
+    scaled_long,
+)
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+TOPK_ENTROPY = 20
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ),
+    t AS (
+        SELECT event_type AS src, nxt AS dst,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n FROM t GROUP BY src)
+    SELECT t.src, t.dst, t.cnt, (t.cnt * 1000000) // tot.n AS p_e6
+    FROM t JOIN tot USING (src)
+    """,
+    doc=(
+        "first-order Markov model of user behavior: event-type "
+        "transition counts + exact micro-unit probabilities"
+    ),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # deterministic user timeline: ts with event_id tiebreak (ts
+    # collisions exist in the fixtures; an untied sort would be
+    # partition-order dependent)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = t.groupBy("src").agg(F.sum("cnt").alias("n"))
+    # per-src totals are |event types| rows → broadcast back
+    return (
+        t.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            floordiv(F.col("cnt") * F.lit(1_000_000), F.col("n")).alias(
+                "p_e6"
+            ),
+        )
+    )
+
+
+@register(
+    "user_event_entropy",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT user_id,
+               CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)
+                   AS clnc_e6,
+               c
+        FROM c
+    ),
+    peruser AS (
+        SELECT user_id,
+               CAST(sum(clnc_e6) AS BIGINT) AS s_e6,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM terms GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events, n_types,
+           CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT) - s_e6 // n
+               AS entropy_e6
+    FROM peruser
+    ORDER BY entropy_e6 DESC, user_id LIMIT {TOPK_ENTROPY}
+    """,
+    doc=(
+        "Shannon entropy of each user's event-type mix in exact "
+        "micro-nats — top-20 most behaviorally diverse users"
+    ),
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # H = ln n − (Σ c·ln c)/n, the one-pass entropy identity: no
+    # second join to fetch per-user totals, both sums ride the same
+    # user_id agg. ln(c)·c rounded to µnats per row, summed exactly.
+    terms = c.withColumn(
+        "clnc_e6",
+        F.floor(
+            F.col("c").cast("double") * F.log(F.col("c")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    peruser = terms.groupBy("user_id").agg(
+        F.sum("clnc_e6").alias("s_e6"),
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return (
+        peruser.select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            (
+                F.floor(F.log(F.col("n")) * F.lit(1e6) + F.lit(0.5)).cast(
+                    "long"
+                )
+                - floordiv(F.col("s_e6"), F.col("n"))
+            ).alias("entropy_e6"),
+        )
+        .orderBy(F.desc("entropy_e6"), F.asc("user_id"))
+        .limit(TOPK_ENTROPY)
+    )
+
+
+# Benford expectation log10(1 + 1/d) in permille, d = 1..9 — computed
+# once in Python (module constant, not per-row float math).
+import math as _math
+
+_BENFORD_PERMILLE = {
+    d: _math.floor(_math.log10(1 + 1 / d) * 1000 + 0.5) for d in range(1, 10)
+}
+
+
+@register(
+    "events_benford_digits",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+        FROM v WHERE cents > 0
+    ),
+    obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_obs,
+           (n_obs * 1000) // n AS obs_permille,
+           CASE digit
+               {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_PERMILLE.items())}
+           END AS benford_permille
+    FROM obs CROSS JOIN tot
+    """,
+    doc=(
+        "Benford first-digit audit of event values — fabricated-data "
+        "forensics; digit from the exact cents integer's string"
+    ),
+    plan=("scalar_cross",),
+)
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("value")
+    cents = ev.filter(F.col("value") > 0).select(
+        scaled_long("value").alias("cents")
+    )
+    digits = cents.filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    benford = F.create_map(
+        *[
+            x
+            for d, p in _BENFORD_PERMILLE.items()
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        floordiv(F.col("n_obs") * F.lit(1000), F.col("n")).alias(
+            "obs_permille"
+        ),
+        benford[F.col("digit")].cast("long").alias("benford_permille"),
+    )

@@ -1,0 +1,92 @@
+"""Unit tests for queries/behavior.py — Markov transitions, behavioral
+entropy, Benford digit audit — on hand-computed fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+
+from algorithmproject_spark_spark.queries.behavior import (
+    events_benford_digits,
+    events_markov_transitions,
+    user_event_entropy,
+)
+
+
+def _events(spark, tmp_path, rows):
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _ev(eid, uid, typ, sec, value=1.0):
+    return Row(
+        event_id=eid,
+        ts=dt.datetime(2024, 1, 1, 0, 0, sec),
+        user_id=uid,
+        event_type=typ,
+        value=value,
+        props="{}",
+    )
+
+
+def test_markov_transitions_hand_computed(spark, tmp_path):
+    # user 1 timeline: A B A B  → A→B ×2, B→A ×1
+    sf = _events(
+        spark,
+        tmp_path,
+        [_ev(1, 1, "A", 0), _ev(2, 1, "B", 1), _ev(3, 1, "A", 2),
+         _ev(4, 1, "B", 3)],
+    )
+    rows = {
+        (r.src, r.dst): (r.cnt, r.p_e6)
+        for r in events_markov_transitions(spark, sf).collect()
+    }
+    assert rows == {("A", "B"): (2, 1_000_000), ("B", "A"): (1, 1_000_000)}
+
+
+def test_markov_ts_ties_break_on_event_id(spark, tmp_path):
+    # same-second events: order must follow event_id, so A(1) B(2) C(3)
+    sf = _events(
+        spark,
+        tmp_path,
+        [_ev(2, 1, "B", 0), _ev(1, 1, "A", 0), _ev(3, 1, "C", 0)],
+    )
+    rows = {(r.src, r.dst) for r in events_markov_transitions(spark, sf).collect()}
+    assert rows == {("A", "B"), ("B", "C")}
+
+
+def test_entropy_extremes(spark, tmp_path):
+    # user 1: two types once each → H = ln 2; user 2: monoculture → 0
+    sf = _events(
+        spark,
+        tmp_path,
+        [_ev(1, 1, "A", 0), _ev(2, 1, "B", 1),
+         _ev(3, 2, "A", 0), _ev(4, 2, "A", 1), _ev(5, 2, "A", 2)],
+    )
+    rows = {
+        r.user_id: (r.n_events, r.n_types, r.entropy_e6)
+        for r in user_event_entropy(spark, sf).collect()
+    }
+    ln2_e6 = math.floor(math.log(2.0) * 1e6 + 0.5)
+    assert rows == {1: (2, 2, ln2_e6), 2: (3, 1, 0)}
+
+
+def test_benford_digits_from_exact_cents(spark, tmp_path):
+    # values 1.00, 19.99, 2.00 → cents 100, 1999, 200 → digits 1,1,2;
+    # 0 and negative values are excluded
+    sf = _events(
+        spark,
+        tmp_path,
+        [_ev(1, 1, "A", 0, 1.00), _ev(2, 1, "A", 1, 19.99),
+         _ev(3, 1, "A", 2, 2.00), _ev(4, 1, "A", 3, 0.0),
+         _ev(5, 1, "A", 4, -5.0)],
+    )
+    rows = {
+        r.digit: (r.n_obs, r.obs_permille, r.benford_permille)
+        for r in events_benford_digits(spark, sf).collect()
+    }
+    assert rows == {1: (2, 666, 301), 2: (1, 333, 176)}
