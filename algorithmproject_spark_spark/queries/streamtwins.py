@@ -22,6 +22,9 @@ from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 from algorithmproject_spark_spark.streaming.dedup import dedup_stream
+from algorithmproject_spark_spark.streaming.markov import (
+    transition_counts_batch,
+)
 from algorithmproject_spark_spark.streaming.stateful import user_profile_batch
 from algorithmproject_spark_spark.streaming.windows import sessionized_counts
 
@@ -106,6 +109,37 @@ def stream_session_windows_batch_twin(spark: SparkSession, sf_dir: str) -> DataF
 def stream_user_profile_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return user_profile_batch(ev.select("user_id", "event_type", "value"))
+
+
+@register(
+    "stream_markov_batch_twin",
+    plan=("arrow",),
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    )
+    SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """,
+    doc="batch twin of the applyInPandasWithState Markov transition "
+    "counter (streaming/markov.py): the same pair-counting kernel folds "
+    "each user's full (ts, event_id)-ordered history in one "
+    "applyInPandas pass; global counts match the lead-window batch "
+    "query exactly",
+)
+def stream_markov_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return (
+        transition_counts_batch(ev)
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def _sql_near_dup_twin() -> str:

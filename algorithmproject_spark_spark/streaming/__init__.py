@@ -18,3 +18,7 @@ from algorithmproject_spark_spark.streaming.stateful import (  # noqa: F401
 from algorithmproject_spark_spark.streaming.dedup import (  # noqa: F401
     dedup_stream,
 )
+from algorithmproject_spark_spark.streaming.markov import (  # noqa: F401
+    transition_counts_batch,
+    transition_counts_stateful,
+)

@@ -198,6 +198,14 @@ HEADLINE = (
     "events_time_weighted_value",
     "events_daily_drift_tv",
     "customer_rfm_segments",
+    # round-7b: co-purchase CF + HITS (recommendation prep), unigram-LM
+    # perplexity scoring, behavioral sequence stats
+    "copurchase_cosine_topk",
+    "orders_hits_authorities",
+    "doc_unigram_surprise_topk",
+    "events_markov_transitions",
+    "user_event_entropy",
+    "events_benford_digits",
 )
 
 

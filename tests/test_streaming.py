@@ -680,3 +680,70 @@ def test_anomaly_flags_exact_on_handmade_series(spark):
     # 6 is the spike; 7 is back in band (prior stats now include 500,
     # inflating sigma — still unflagged)
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 1, 7: 0}
+
+
+def test_markov_transitions_stream_equals_batch(spark, scratch):
+    """applyInPandasWithState transition counter: summed per-batch
+    increments over a ts-ordered 2-file stream equal the batch twin —
+    the per-user last_type state must survive the micro-batch seam."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.sources.catalog import load_table
+    from algorithmproject_spark_spark.streaming import (
+        transition_counts_batch,
+        transition_counts_stateful,
+    )
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    expected = {
+        (r.src, r.dst): r.cnt
+        for r in transition_counts_batch(ev)
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+
+    # split the timeline in (ts, event_id) order so every user's
+    # chunk-1 events precede their chunk-2 events — arrival order then
+    # matches timestamp order and the stream must equal the batch
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    src_dir = scratch / "markov_in"
+    ranked.filter(F.col("rn") <= 500).drop("rn").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir))
+
+    stream = stream_read_parquet(
+        spark, str(src_dir), ev.schema, max_files_per_trigger=1
+    )
+    q = stream_write_memory(
+        transition_counts_stateful(stream),
+        "markov_increments",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        # second chunk arrives AFTER the first drained: state for every
+        # user crosses a real micro-batch boundary
+        ranked.filter(F.col("rn") > 500).drop("rn").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        q.processAllAvailable()
+        got = {
+            (r.src, r.dst): r.cnt
+            for r in spark.sql(
+                "SELECT src, dst, CAST(sum(cnt) AS BIGINT) AS cnt "
+                "FROM markov_increments GROUP BY src, dst"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
