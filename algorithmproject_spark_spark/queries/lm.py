@@ -32,12 +32,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pyspark.sql import Window as W
+
 from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import floordiv, micros
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 TOPK_SURPRISING = 20
+ZIPF_TOP_V = 1000  # rank ladder for the log-log fit
 # 0.02-nat histogram bands: the synthetic corpus' xent spread is a few
 # tenths of a nat, so nat-sized bands would collapse to one bucket;
 # banding floor-divides EXACT integer micro-nats, so band membership
@@ -155,7 +158,7 @@ def doc_unigram_surprise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM xent GROUP BY 1 ORDER BY band_idx
     """,
     doc=(
-        "corpus cross-entropy histogram (1-nat bands) — the "
+        "corpus cross-entropy histogram (0.02-nat bands) — the "
         "distribution the CCNet head/middle/tail cut reads"
     ),
     plan=("scalar_cross",),
@@ -174,4 +177,108 @@ def corpus_xent_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no orderBy: the band relation is tiny and the driver's
         # hash-compare sorts rows — a global sort here would be a
         # gratuitous rangepartitioning exchange
+    )
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    counts AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+    ),
+    top AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT {ZIPF_TOP_V}),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rank FROM top
+    ),
+    terms AS (
+        SELECT CAST(floor(ln(rank) * 1000.0 + 0.5) AS BIGINT) AS x,
+               CAST(floor(ln(c)    * 1000.0 + 0.5) AS BIGINT) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*)  AS BIGINT) AS n,
+               CAST(sum(x)    AS BIGINT) AS sx,
+               CAST(sum(y)    AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM terms
+    )
+    SELECT n AS n_vocab,
+           CAST(floor(
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)
+               * 1000000.0 + 0.5
+           ) AS BIGINT) AS slope_e6,
+           CAST(floor(
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE))
+               * 1000000.0 + 0.5
+           ) AS BIGINT) AS r2_e6
+    FROM s
+    """,
+    doc=(
+        "Zipf exponent of the token frequency distribution: closed-form "
+        "OLS of ln(freq) on ln(rank) over the top-1000 vocabulary, all "
+        "sums as exact integers (micro-scaled per-row logs), the final "
+        "slope/r² a handful of IEEE ops on exactly-representable values"
+    ),
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural corpora follow freq ∝ rank^s with s ≈ −1 (Zipf, 1949);
+    a corpus whose fitted slope or r² drifts between snapshots has a
+    composition shift (boilerplate floods flatten the head; template
+    spam steepens it). Determinism: per-row ln() values are rounded to
+    exact milli-units BEFORE summing (float sums are partition-order
+    dependent — functions/numeric.py), so the OLS moment sums are
+    exact BIGINTs; every later product stays ≤ ~1e14, inside double's
+    2^53 exact-integer range, so the one division per statistic is a
+    deterministic IEEE op in both engines. Requires ≥2 distinct
+    tokens (any real corpus). The rank window runs on the LIMITed
+    1000-row relation — single-partition by construction, never a
+    global sort of the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(ZIPF_TOP_V)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("c"), F.asc("t")))
+    )
+    terms = ranked.select(
+        F.floor(F.log(F.col("rank")) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c")) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        micros(num / den_x).alias("slope_e6"),
+        micros((num * num) / (den_x * den_y)).alias("r2_e6"),
     )

@@ -156,3 +156,27 @@ def test_xent_uniform_corpus_is_flat(spark, tmp_path):
     rows = doc_unigram_surprise_topk(spark, str(tmp_path)).collect()
     expect = math.floor(math.log(8.0) * 1e6 + 0.5)  # per-term µnats
     assert {r.xent_e6 for r in rows} == {expect}
+
+
+def test_zipf_slope_on_power_law_corpus(spark, tmp_path):
+    # tokens with geometric frequencies 64, 32, 16 at ranks 1, 2, 3:
+    # ln-freq falls linearly in RANK (not ln-rank), so the ln-ln fit
+    # is strong-but-imperfect. Pin the invariants any frequency-sorted
+    # corpus must satisfy: negative slope, r² in (0, 1e6], and a tight
+    # fit (>0.9) on monotone data.
+    from algorithmproject_spark_spark.queries.lm import corpus_zipf_slope
+
+    rows = [
+        (did, " ".join([tok] * cnt), "en")
+        for did, (tok, cnt) in enumerate(
+            (("t1", 64), ("t2", 32), ("t3", 16)), start=1
+        )
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    r = corpus_zipf_slope(spark, str(tmp_path)).collect()[0]
+    assert r.n_vocab == 3
+    assert r.slope_e6 < 0
+    assert 0 < r.r2_e6 <= 1_000_000
+    assert r.r2_e6 > 900_000
