@@ -206,6 +206,8 @@ HEADLINE = (
     "events_markov_transitions",
     "user_event_entropy",
     "events_benford_digits",
+    "stream_markov_batch_twin",
+    "corpus_zipf_slope",
 )
 
 

@@ -558,3 +558,105 @@ def test_bloom_no_false_negatives_property(spark, keys, probes):
     small = spark.createDataFrame([(k,) for k in keys], ["k"])
     passed = {r.k for r in bloom_prefilter(big, small, "k", "k").collect()}
     assert (probes & keys) <= passed
+
+
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from("ABCD"), min_size=1, max_size=10),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SLOW
+def test_markov_batch_matches_python_model(spark, seqs):
+    """transition_counts_batch == adjacent-pair counts of each user's
+    (ts, event_id)-ordered sequence, for arbitrary type sequences."""
+    import datetime as dt
+
+    from algorithmproject_spark_spark.streaming.markov import (
+        transition_counts_batch,
+    )
+
+    rows, expected = [], {}
+    eid = 0
+    for uid, seq in enumerate(seqs):
+        for pos, typ in enumerate(seq):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 0, 0, pos), uid, typ)
+            )
+            eid += 1
+        for src, dst in zip(seq, seq[1:]):
+            expected[(uid, src, dst)] = expected.get((uid, src, dst), 0) + 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.user_id, r.src, r.dst): r.cnt
+        for r in transition_counts_batch(df).collect()
+    }
+    assert got == expected
+
+
+@given(
+    counts=st.lists(st.integers(1, 50), min_size=1, max_size=6)
+)
+@SLOW
+def test_entropy_matches_integer_model(spark, counts, tmp_path_factory):
+    """user_event_entropy == the exact micro-nat model: H_e6 =
+    round(ln n · 1e6) − (Σ round(c·ln c·1e6)) // n, replicated in
+    Python for one user with arbitrary per-type counts."""
+    import datetime as dt
+    import math
+
+    from algorithmproject_spark_spark.queries.behavior import (
+        user_event_entropy,
+    )
+
+    rows, eid = [], 0
+    for t_idx, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1), 1, f"T{t_idx}", 1.0, "{}")
+            )
+            eid += 1
+    sf = tmp_path_factory.mktemp("entropy")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(sf / "events.parquet"))
+
+    n = sum(counts)
+    s = sum(math.floor(c * math.log(c) * 1e6 + 0.5) for c in counts)
+    expect = math.floor(math.log(n) * 1e6 + 0.5) - s // n
+
+    rows_out = user_event_entropy(spark, str(sf)).collect()
+    assert [(r.user_id, r.n_events, r.n_types, r.entropy_e6) for r in rows_out] == [
+        (1, n, len(counts), expect)
+    ]
+
+
+@given(
+    items=st.sets(st.integers(1, 40), min_size=1, max_size=15),
+    cap=st.integers(2, 10),
+)
+@SLOW
+def test_basket_pairs_match_combinations(spark, items, cap):
+    """capped_baskets + basket_pairs == itertools.combinations of the
+    cap smallest items, for any basket and cap."""
+    import itertools
+
+    from algorithmproject_spark_spark.queries.reco import (
+        basket_pairs,
+        capped_baskets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, p) for p in items], "l_orderkey long, l_partkey long"
+    )
+    got = {
+        (r.pi, r.pj)
+        for r in basket_pairs(capped_baskets(df, cap=cap)).collect()
+    }
+    expect = set(itertools.combinations(sorted(items)[:cap], 2))
+    assert got == expect
