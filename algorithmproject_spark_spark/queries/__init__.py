@@ -66,3 +66,5 @@ from algorithmproject_spark_spark.operators import bloomjoin  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import reco  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import lm  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import behavior  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import skyline  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import trend  # noqa: F401,E402

@@ -43,6 +43,8 @@ from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 TOPK_ENTROPY = 20
+TOPK_ISLANDS = 25
+TOPK_TRIGRAMS = 25
 
 
 @register(
@@ -164,6 +166,120 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("entropy_e6"), F.asc("user_id"))
         .limit(TOPK_ENTROPY)
+    )
+
+
+@register(
+    "events_state_islands",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN prev IS NULL OR prev <> event_type
+                    THEN 1 ELSE 0 END AS chg,
+               event_id
+        FROM seq
+    ),
+    islands AS (
+        SELECT user_id, event_type, ts,
+               CAST(sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS isl
+        FROM flagged
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, event_type, isl
+    ORDER BY n_events DESC, user_id, start_us LIMIT {TOPK_ISLANDS}
+    """,
+    doc=(
+        "gaps-and-islands: collapse each user's consecutive same-type "
+        "event runs into intervals — top-25 longest streaks"
+    ),
+)
+def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # both windows share one (user_id; ts, event_id) sort — Catalyst
+    # plans a single exchange for the pair
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "isl", F.sum("chg").over(run).cast("long")
+    )
+    return (
+        islands.groupBy("user_id", "event_type", "isl")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("isl")
+        .orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("start_us"))
+        .limit(TOPK_ISLANDS)
+        .select("user_id", "event_type", "start_us", "end_us", "n_events")
+    )
+
+
+@register(
+    "events_trigram_sequences",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS t2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS t3
+        FROM events
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY cnt DESC, t1, t2, t3 LIMIT {TOPK_TRIGRAMS}
+    """,
+    doc=(
+        "contiguous 3-step behavior sequences per user timeline — "
+        "the Markov model's order-2 sibling, top-25 paths"
+    ),
+)
+def events_trigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "t1", "t2", "t3")
+        .limit(TOPK_TRIGRAMS)
     )
 
 

@@ -58,6 +58,8 @@ MIN_PAIR_SUPPORT = 2  # pairs must share ≥2 baskets
 TOPK_PAIRS = 30
 HITS_ITERS = 2  # authority half-steps (a → h → a)
 TOPK_AUTH = 15
+CAP_SUPP = 16  # per-part supplier cap before pair expansion
+TOPK_RA = 30
 
 
 def capped_baskets(
@@ -268,4 +270,98 @@ def orders_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.orderBy(F.desc("a"), F.asc("p"))
         .limit(TOPK_AUTH)
         .select(F.col("p").alias("part"), F.col("a").alias("auth_e6"))
+    )
+
+
+@register(
+    "supplier_ra_link_prediction",
+    oracle=f"""
+    WITH sp AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS deg FROM sp GROUP BY p
+    ),
+    capped AS (
+        SELECT p, s FROM (
+            SELECT p, s,
+                   row_number() OVER (PARTITION BY p ORDER BY s) AS rn
+            FROM sp
+        ) WHERE rn <= {CAP_SUPP}
+    ),
+    pairs AS (
+        SELECT a.s AS s1, b.s AS s2, a.p
+        FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+    )
+    SELECT s1 AS supp_i, s2 AS supp_j,
+           CAST(count(*) AS BIGINT) AS common_parts,
+           CAST(sum(1000000000 // deg) AS BIGINT) AS ra_e9
+    FROM pairs JOIN deg USING (p)
+    GROUP BY 1, 2
+    ORDER BY ra_e9 DESC, supp_i, supp_j LIMIT {TOPK_RA}
+    """,
+    doc=(
+        "resource-allocation link prediction (Zhou et al. 2009) over "
+        "the supplier-part graph: RA(i,j) = sum over common parts z of "
+        "1/deg(z), exact nano-units — top-30 supplier pairs"
+    ),
+)
+def supplier_ra_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RA index: supplier pairs weighted by the rarity of their shared
+    parts (a part supplied by few suppliers is stronger evidence than
+    a commodity everyone supplies).
+
+    Same scale shape as copurchase_cosine_topk: per-part supplier
+    lists are CAPPED at the {CAP_SUPP} smallest before the map-side
+    pair HOF (bounds work at cap^2 per part regardless of part
+    fan-out — the cap BINDS on the fixtures), while deg(z) stays the
+    TRUE pre-cap degree so the weight is the real RA weight. One
+    shuffle builds lists, expansion is array HOFs, pair scoring
+    shuffles compact (s1, s2) keys. 1/deg as exact 1e9 div deg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    capped = per_part.select(
+        F.slice("supps", 1, CAP_SUPP).alias("items"),
+        # true degree from the same collect_set — no second shuffle
+        floordiv(
+            F.lit(1_000_000_000).cast("long"),
+            F.size("supps").cast("long"),
+        ).alias("w_e9"),
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("items"), i + F.lit(2), F.size(F.col("items"))
+                ),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
+    pairs = capped.select(
+        F.explode(pair_arr).alias("pr"), "w_e9"
+    ).select(
+        F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"), "w_e9"
+    )
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("common_parts"),
+            F.sum("w_e9").alias("ra_e9"),
+        )
+        .orderBy(F.desc("ra_e9"), F.asc("s1"), F.asc("s2"))
+        .limit(TOPK_RA)
+        .select(
+            F.col("s1").alias("supp_i"),
+            F.col("s2").alias("supp_j"),
+            "common_parts",
+            "ra_e9",
+        )
     )

@@ -208,6 +208,14 @@ HEADLINE = (
     "events_benford_digits",
     "stream_markov_batch_twin",
     "corpus_zipf_slope",
+    # round-7c: skyline, exact trend slope, recency decay,
+    # gaps-and-islands, order-2 sequences, RA link prediction
+    "part_pareto_frontier",
+    "events_trend_slope_per_type",
+    "user_recency_weighted_value",
+    "events_state_islands",
+    "events_trigram_sequences",
+    "supplier_ra_link_prediction",
 )
 
 
