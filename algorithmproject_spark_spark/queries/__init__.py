@@ -68,3 +68,5 @@ from algorithmproject_spark_spark.queries import lm  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import behavior  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import skyline  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import trend  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import search  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import profiling  # noqa: F401,E402

@@ -216,6 +216,9 @@ HEADLINE = (
     "events_state_islands",
     "events_trigram_sequences",
     "supplier_ra_link_prediction",
+    "bm25_search_topk",
+    "lineitem_constraint_suite",
+    "events_percentile_cont",
 )
 
 
