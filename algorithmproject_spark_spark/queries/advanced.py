@@ -207,3 +207,54 @@ def entity_word_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(tagged).alias("tagged_len"),
         ((F.length(tagged) - F.length("text")) / F.lit(marker_len)).alias("n_tags"),
     )
+
+
+# --------------------------------------------------------------------------
+# argmax/argmin aggregates (max_by / min_by, SQL-standard arg_max):
+# "which row attains the extreme" without a join-back or a window —
+# one keyed aggregation. Determinism under ties is the whole game:
+# max_by's choice between equal ordering values is engine-defined, so
+# the ordering value is made UNIQUE by composing (cents, orderkey)
+# into one BIGINT: cents * 2^31 + orderkey. Bound: cents < 4.3e9 and
+# orderkey < 2^31 keep the composite inside BIGINT (ANSI raises
+# loudly beyond — TPC-H totalprice tops out ~6e7 cents).
+# --------------------------------------------------------------------------
+_ARGMAX_SHIFT = 1 << 31
+
+
+@register(
+    "orders_argmax_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   * {_ARGMAX_SHIFT} + o_orderkey) AS top_orderkey,
+           CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS top_cents,
+           arg_min(o_orderkey,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   * {_ARGMAX_SHIFT} + o_orderkey) AS bottom_orderkey,
+           CAST(min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS bottom_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "argmax/argmin per priority class via max_by/min_by with a "
+        "tie-proof composite ordering key — no join-back, no window"
+    ),
+)
+def orders_argmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        scaled_long("o_totalprice").alias("cents"),
+    )
+    combo = F.col("cents") * F.lit(_ARGMAX_SHIFT) + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", combo).alias("top_orderkey"),
+        F.max("cents").alias("top_cents"),
+        F.min_by("o_orderkey", combo).alias("bottom_orderkey"),
+        F.min("cents").alias("bottom_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1,0 +1,144 @@
+"""Grid-bucketed 2-D spatial join — closest pairs without O(n²).
+
+The classic fixed-grid spatial-join pattern the ANN family's
+hyperplane/IVF buckets don't cover: embed points on an integer grid
+whose cell width equals the search radius, expand each point to its
+3×3 neighbor cells map-side (a 9× explode, no join blow-up), and
+equi-join on the cell id — every pair within the radius shares at
+least one (point-cell, neighbor-cell) match, by construction, exactly
+once (the non-expanded side's cell is unique). Candidate volume is
+linear in points × local density; distance verification runs only on
+co-located candidates. This is the same bucket-equi-join scale shape
+as MinHash LSH, instantiated for metric space instead of set space.
+
+Exactness: coordinates are the first two embedding dims, fixed-pointed
+per row (floor(x·2²⁰ + 0.5) — one IEEE multiply+floor, engine-exact),
+then SHIFTED by +2²¹ so cell ids come from division of non-negative
+ints (Spark's ``div`` truncates toward zero, DuckDB's ``//`` floors —
+identical only for non-negative operands; the shift removes the
+divergence class instead of documenting it). Squared distance in
+BIGINT (diffs < 2²², squares < 2⁴⁴).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import floordiv
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+SCALE_BITS = 20  # fixed-point: 2^-20 coordinate units
+COORD_OFFSET = 1 << 21  # shifts every coordinate non-negative
+CELL_W = 1 << 14  # grid cell width == search radius (≈0.0156 units)
+TOPK_PAIRS = 20
+
+
+def _fixed(col: Column) -> Column:
+    return F.floor(
+        col.cast("double") * F.lit(float(1 << SCALE_BITS)) + F.lit(0.5)
+    ).cast("long") + F.lit(COORD_OFFSET)
+
+
+def _sql_fixed(expr: str) -> str:
+    return (
+        f"CAST(floor(CAST({expr} AS DOUBLE) * {float(1 << SCALE_BITS)}"
+        f" + 0.5) AS BIGINT) + {COORD_OFFSET}"
+    )
+
+
+@register(
+    "grid_closest_pairs_2d",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id,
+               {_sql_fixed('embedding[1]')} AS x,
+               {_sql_fixed('embedding[2]')} AS y
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id, x, y,
+               x // {CELL_W} AS cx, y // {CELL_W} AS cy
+        FROM pts
+    ),
+    expanded AS (
+        SELECT vec_id, x, y, cx + dx.d AS ex, cy + dy.d AS ey
+        FROM cells,
+             (SELECT unnest([-1, 0, 1]) AS d) dx,
+             (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+               (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM expanded a JOIN cells b
+          ON a.ex = b.cx AND a.ey = b.cy AND a.vec_id < b.vec_id
+    )
+    SELECT vec_i, vec_j, d2 FROM cand
+    WHERE d2 <= {CELL_W * CELL_W}
+    ORDER BY d2, vec_i, vec_j LIMIT {TOPK_PAIRS}
+    """,
+    doc=(
+        "top-20 closest point pairs in the (dim0, dim1) embedding "
+        "plane via 3x3 neighbor-cell grid join — radius-complete, "
+        "never all-pairs"
+    ),
+)
+def grid_closest_pairs_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        _fixed(F.element_at("embedding", 1)).alias("x"),
+        _fixed(F.element_at("embedding", 2)).alias("y"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "x",
+        "y",
+        floordiv(F.col("x"), F.lit(CELL_W)).alias("cx"),
+        floordiv(F.col("y"), F.lit(CELL_W)).alias("cy"),
+    )
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    expanded = (
+        cells.select(
+            F.col("vec_id").alias("vec_i"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            "cx",
+            "cy",
+            F.explode(offs).alias("dx"),
+        )
+        .select(
+            "vec_i",
+            "xa",
+            "ya",
+            (F.col("cx") + F.col("dx")).alias("ex"),
+            "cy",
+            F.explode(offs).alias("dy"),
+        )
+        .select(
+            "vec_i", "xa", "ya", "ex", (F.col("cy") + F.col("dy")).alias("ey")
+        )
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_j"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("cbx"),
+        F.col("cy").alias("cby"),
+    )
+    cand = expanded.join(
+        b,
+        (F.col("ex") == F.col("cbx"))
+        & (F.col("ey") == F.col("cby"))
+        & (F.col("vec_i") < F.col("vec_j")),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        cand.select("vec_i", "vec_j", d2.alias("d2"))
+        .filter(F.col("d2") <= F.lit(CELL_W * CELL_W))
+        .orderBy("d2", "vec_i", "vec_j")
+        .limit(TOPK_PAIRS)
+    )

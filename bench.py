@@ -219,6 +219,10 @@ HEADLINE = (
     "bm25_search_topk",
     "lineitem_constraint_suite",
     "events_percentile_cont",
+    "grid_closest_pairs_2d",
+    "dedup_bfs_levels",
+    "orders_partition_merkle",
+    "orders_argmax_by_priority",
 )
 
 
