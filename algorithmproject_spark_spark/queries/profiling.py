@@ -274,3 +274,90 @@ def events_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"p{p}_e4")
 
     return br.select("n", *[interp(p) for p in PCTS])
+
+
+N_BINS = 10
+
+
+@register(
+    "events_equidepth_bins",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_e2
+        FROM events
+    ),
+    dist AS (
+        SELECT v_e2, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY v_e2
+    ),
+    cum AS (
+        SELECT v_e2, c,
+               CAST(SUM(c) OVER (ORDER BY v_e2) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM dist
+    ),
+    bounds AS (
+        SELECT
+        {','.join(f'''
+           MIN(CASE WHEN cum * {N_BINS} >= n * {k} THEN v_e2 END)
+               AS b{k}''' for k in range(1, N_BINS))}
+        FROM cum
+    )
+    SELECT 1 + {' + '.join(f'(CASE WHEN v_e2 > b{k} THEN 1 ELSE 0 END)' for k in range(1, N_BINS))}
+               AS bin,
+           CAST(min(v_e2) AS BIGINT) AS lo_e2,
+           CAST(max(v_e2) AS BIGINT) AS hi_e2,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM dist CROSS JOIN bounds
+    GROUP BY bin
+    """,
+    doc=(
+        "equi-depth binning (decile feature bucketing): exact "
+        "percentile_disc boundaries over the compacted distribution, "
+        "boundary values assigned to the lower bin — the ML "
+        "bucketizer-fit primitive"
+    ),
+    plan=("scalar_cross",),  # 1-row boundary vector ⨯ compacted dist
+)
+def events_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        scaled_long("value").alias("v_e2")
+    )
+    dist = ev.groupBy("v_e2").agg(F.count(F.lit(1)).alias("c"))
+    cum = dist.select(
+        "v_e2",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("v_e2").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    bounds = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * N_BINS >= F.col("n") * k, F.col("v_e2")
+                )
+            ).alias(f"b{k}")
+            for k in range(1, N_BINS)
+        ]
+    )
+    bin_expr = F.lit(1)
+    for k in range(1, N_BINS):
+        bin_expr = bin_expr + F.when(
+            F.col("v_e2") > F.col(f"b{k}"), 1
+        ).otherwise(0)
+    return (
+        dist.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.min("v_e2").alias("lo_e2"),
+            F.max("v_e2").alias("hi_e2"),
+            F.sum("c").alias("n_rows"),
+        )
+    )

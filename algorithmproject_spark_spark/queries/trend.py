@@ -169,3 +169,65 @@ def user_recency_weighted_value(
         .orderBy(F.desc("score_q20"), F.asc("user_id"))
         .limit(TOPK_RECENCY)
     )
+
+
+WINDOW_DAYS = 7
+
+
+@register(
+    "events_rolling_7d_active_users",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id, wday
+        FROM ud, unnest(range(day, day + {WINDOW_DAYS})) AS t(wday)
+    ),
+    span AS (
+        SELECT CAST(min(day) AS BIGINT) AS lo,
+               CAST(max(day) AS BIGINT) AS hi
+        FROM ud
+    )
+    SELECT wday AS day, CAST(count(*) AS BIGINT) AS active_users
+    FROM contrib CROSS JOIN span
+    WHERE wday >= lo + {WINDOW_DAYS} - 1 AND wday <= hi
+    GROUP BY wday
+    """,
+    doc=(
+        "rolling 7-day distinct active users (WAU curve) via the "
+        "expand-contributions pattern: each (user, day) emits the 7 "
+        "window-end days it counts toward over the COMPACTED per-day "
+        "relation — sliding distinct without re-scanning 7x or "
+        "holding per-window user sets"
+    ),
+    plan=("scalar_cross",),  # full-window trim via 1-row (lo, hi)
+)
+def events_rolling_7d_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ud = ev.select("user_id", _epoch_day().alias("day")).distinct()
+    # 7x map-side expansion of the compacted (user, day) relation;
+    # the second distinct dedups users active on several days of the
+    # same window — two keyed shuffles total, both on compact keys
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(WINDOW_DAYS - 1)
+            )
+        ).alias("wday"),
+    ).distinct()
+    span = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    return (
+        contrib.crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("wday") >= F.col("lo") + WINDOW_DAYS - 1)
+            & (F.col("wday") <= F.col("hi"))
+        )
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

@@ -223,6 +223,8 @@ HEADLINE = (
     "dedup_bfs_levels",
     "orders_partition_merkle",
     "orders_argmax_by_priority",
+    "events_equidepth_bins",
+    "events_rolling_7d_active_users",
 )
 
 

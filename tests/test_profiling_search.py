@@ -155,3 +155,57 @@ def test_percentile_cont_interpolates_exactly(spark, tmp_path):
         46_000,
         49_600,
     )
+
+
+from algorithmproject_spark_spark.queries.profiling import (  # noqa: E402
+    events_equidepth_bins,
+)
+from algorithmproject_spark_spark.queries.trend import (  # noqa: E402
+    events_rolling_7d_active_users,
+)
+
+
+def _evt(eid, uid, day, value):
+    return Row(
+        event_id=eid,
+        ts=dt.datetime(2024, 1, day),
+        user_id=uid,
+        event_type="view",
+        value=float(value),
+        props="{}",
+    )
+
+
+def test_equidepth_bins_uniform_twenty_values(spark, tmp_path):
+    # cents 100..2000 uniform → 10 bins of exactly 2 values each
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        [_evt(i, 1, 1, i) for i in range(1, 21)],
+    )
+    rows = sorted(
+        (r.bin, r.lo_e2, r.hi_e2, r.n_rows)
+        for r in events_equidepth_bins(spark, sf).collect()
+    )
+    assert rows == [
+        (b, (2 * b - 1) * 100, 2 * b * 100, 2) for b in range(1, 11)
+    ]
+
+
+def test_rolling_7d_actives_dedups_within_window(spark, tmp_path):
+    # u1 active Jan1 only; u2 active Jan5 AND Jan6 (counted once per
+    # window); u3 active Jan8. Full windows end Jan7 and Jan8.
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        [_evt(1, 1, 1, 1.0), _evt(2, 2, 5, 1.0), _evt(3, 2, 6, 1.0),
+         _evt(4, 3, 8, 1.0)],
+    )
+    d = lambda day: (dt.date(2024, 1, day) - dt.date(1970, 1, 1)).days
+    got = {
+        r.day: r.active_users
+        for r in events_rolling_7d_active_users(spark, sf).collect()
+    }
+    assert got == {d(7): 2, d(8): 2}
