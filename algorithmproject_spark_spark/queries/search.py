@@ -155,3 +155,46 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
         .limit(TOPK_DOCS)
     )
+
+
+KWIC_TERM = "join"
+KWIC_RADIUS = 24  # chars of context either side
+KWIC_TOPK = 25
+
+
+@register(
+    "doc_kwic_snippets",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strpos(text, '{KWIC_TERM}') AS BIGINT) AS pos,
+           substr(text,
+                  CAST(greatest(1, strpos(text, '{KWIC_TERM}')
+                                   - {KWIC_RADIUS}) AS BIGINT),
+                  {2 * KWIC_RADIUS + len(KWIC_TERM)}) AS snippet
+    FROM documents
+    WHERE strpos(text, '{KWIC_TERM}') > 0
+    ORDER BY doc_id LIMIT {KWIC_TOPK}
+    """,
+    doc=(
+        "keyword-in-context (KWIC) snippet extraction: first "
+        "occurrence of the term with fixed character context either "
+        "side — map-only substring arithmetic, the search-result "
+        "highlighting primitive"
+    ),
+)
+def doc_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = F.instr(F.col("text"), KWIC_TERM)
+    start = F.greatest(F.lit(1), pos - F.lit(KWIC_RADIUS))
+    return (
+        docs.filter(pos > 0)
+        .select(
+            "doc_id",
+            pos.cast("long").alias("pos"),
+            F.substring(
+                F.col("text"), start, 2 * KWIC_RADIUS + len(KWIC_TERM)
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+        .limit(KWIC_TOPK)
+    )

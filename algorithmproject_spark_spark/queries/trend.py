@@ -231,3 +231,86 @@ def events_rolling_7d_active_users(
         .groupBy(F.col("wday").alias("day"))
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+        SELECT d.event_type, d.day, t.n,
+               CAST(SUM(d.y * t.n - t.sy) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+               ) AS BIGINT) AS s_scaled
+        FROM daily d JOIN tot t USING (event_type)
+    ),
+    peak AS (
+        SELECT event_type, day, n, s_scaled, abs(s_scaled) AS mag,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(s_scaled) DESC, day
+               ) AS rn
+        FROM cusum
+    )
+    SELECT event_type, day AS change_day, s_scaled AS cusum_n_scaled,
+           n AS n_days
+    FROM peak WHERE rn = 1 AND n >= 2
+    """,
+    doc=(
+        "CUSUM change-point detection per event type: the day where "
+        "the cumulative deviation of daily counts from the mean peaks "
+        "— computed n-scaled (y*n - sum_y) so the mean never becomes "
+        "a fraction; exact integers end to end"
+    ),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy("event_type", _epoch_day().alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    # per-type totals are |event types| rows → broadcast back; the
+    # cumulative window partitions by type over per-day rows
+    cusum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "s_scaled",
+            F.sum(F.col("y") * F.col("n") - F.col("sy")).over(
+                W.partitionBy("event_type")
+                .orderBy("day")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    peak = cusum.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.abs(F.col("s_scaled")).desc(), F.asc("day")
+            )
+        ),
+    )
+    return (
+        peak.filter((F.col("rn") == 1) & (F.col("n") >= 2))
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("s_scaled").alias("cusum_n_scaled"),
+            F.col("n").alias("n_days"),
+        )
+    )

@@ -225,6 +225,10 @@ HEADLINE = (
     "orders_argmax_by_priority",
     "events_equidepth_bins",
     "events_rolling_7d_active_users",
+    "events_changepoint_cusum",
+    "events_signup_to_purchase_survival",
+    "events_ab_split_rates",
+    "doc_kwic_snippets",
 )
 
 
