@@ -136,3 +136,40 @@ def sql_ppm(count_expr: str, total_expr: str) -> str:
     canonicalizer rejects (the schema lint class killed in round 4)."""
     c, t = f"(({count_expr}) * 1000)", f"({total_expr})"
     return f"CAST(({c} // {t}) * 1000 + (({c} % {t}) * 1000) // {t} AS BIGINT)"
+
+
+def ppm_wide(count: Column, total: Column) -> Column:
+    """EXACT floor(count * 1e6 / total) for totals ppm() cannot reach.
+
+    ppm()'s 1000×1000 split needs total ≤ 9.2e15; quadratic-in-scale
+    denominators (Gini's n·Σv, any count×sum product) breach that at
+    sf1 already — found by the multi-scale oracle gate, not reasoned
+    post-hoc. Six ×10 long-division steps keep every intermediate
+    ≤ total·10, so this is exact for total ≤ 9.2e17 (100× further);
+    beyond that ANSI raises loudly and the caller promotes to
+    DECIMAL(38).
+
+    PRECONDITION: 0 ≤ count < total (a strict proportion — each digit
+    is then ≤ 9 and the accumulator ≤ 999999)."""
+    r = count
+    acc = F.lit(0).cast("long")
+    for _ in range(6):
+        acc = acc * F.lit(10) + floordiv(r * F.lit(10), total)
+        r = (r * F.lit(10)) % total
+    return acc
+
+
+def sql_ppm_wide(count_expr: str, total_expr: str) -> str:
+    """DuckDB twin of :func:`ppm_wide` (same six ×10 steps; remainder
+    chains are nested textually — each level references the previous
+    remainder once, so the expression stays linear in depth)."""
+    t = f"({total_expr})"
+    r = f"({count_expr})"
+    digits = []
+    for _ in range(6):
+        digits.append(f"((({r}) * 10) // {t})")
+        r = f"((({r}) * 10) % {t})"
+    acc = digits[0]
+    for d in digits[1:]:
+        acc = f"(({acc}) * 10 + {d})"
+    return f"CAST({acc} AS BIGINT)"

@@ -349,3 +349,59 @@ def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         benford[F.col("digit")].cast("long").alias("benford_permille"),
     )
+
+
+TOPK_FLOWS = 25
+
+
+@register(
+    "user_first_last_flows",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM events
+    ),
+    f AS (SELECT user_id, event_type AS first_type FROM ranked WHERE rn_a = 1),
+    l AS (SELECT user_id, event_type AS last_type FROM ranked WHERE rn_d = 1)
+    SELECT first_type, last_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM f JOIN l USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY n_users DESC, first_type, last_type LIMIT {TOPK_FLOWS}
+    """,
+    doc=(
+        "entry-to-exit flow matrix (Sankey endpoints): each user's "
+        "first and last event type on the deterministic timeline — "
+        "both ranks ride ONE user-partitioned exchange"
+    ),
+)
+def user_first_last_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    asc = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    dsc = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(dsc).alias("rn_d"),
+    )
+    f = ranked.filter(F.col("rn_a") == 1).select(
+        "user_id", F.col("event_type").alias("first_type")
+    )
+    l = ranked.filter(F.col("rn_d") == 1).select(
+        "user_id", F.col("event_type").alias("last_type")
+    )
+    return (
+        f.join(l, "user_id")
+        .groupBy("first_type", "last_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "first_type", "last_type")
+        .limit(TOPK_FLOWS)
+    )

@@ -314,3 +314,73 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
         )
     )
+
+
+AUTOCORR_LAGS = (1, 7)
+
+
+@register(
+    "events_autocorr_lags",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest([{', '.join(str(l) for l in AUTOCORR_LAGS)}]) AS lag),
+    pairs AS (
+        SELECT lags.lag, a.y AS ya, b.y AS yb
+        FROM daily a
+        JOIN lags ON TRUE
+        JOIN daily b ON b.day = a.day + lags.lag
+    )
+    SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) * CAST(sum(ya * yb) AS BIGINT)
+               - CAST(sum(ya) AS BIGINT) * CAST(sum(yb) AS BIGINT)
+               AS corr_num,
+           CAST(count(*) AS BIGINT) * CAST(sum(ya * ya) AS BIGINT)
+               - CAST(sum(ya) AS BIGINT) * CAST(sum(ya) AS BIGINT)
+               AS den_x,
+           CAST(count(*) AS BIGINT) * CAST(sum(yb * yb) AS BIGINT)
+               - CAST(sum(yb) AS BIGINT) * CAST(sum(yb) AS BIGINT)
+               AS den_y
+    FROM pairs GROUP BY lag
+    """,
+    doc=(
+        "autocorrelation of the daily event-count series at lags 1 "
+        "and 7 (the weekly-seasonality detector) — exact integer "
+        "Pearson numerator and denominators, no floats; r^2 = "
+        "num^2/(den_x*den_y) for the reader"
+    ),
+)
+def events_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(_epoch_day().alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in AUTOCORR_LAGS])
+    ).alias("lag")
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    # 2x map-side lag expansion of the compacted daily relation, then
+    # one equi-join on the shifted day — never a theta join
+    pairs = (
+        a.select("da", "ya", lags)
+        .join(b, F.col("db") == F.col("da") + F.col("lag").cast("long"))
+    )
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("ya") * F.col("yb"))
+            - F.sum("ya") * F.sum("yb")
+        ).alias("corr_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("ya") * F.col("ya"))
+            - F.sum("ya") * F.sum("ya")
+        ).alias("den_x"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("yb") * F.col("yb"))
+            - F.sum("yb") * F.sum("yb")
+        ).alias("den_y"),
+    )

@@ -229,6 +229,10 @@ HEADLINE = (
     "events_signup_to_purchase_survival",
     "events_ab_split_rates",
     "doc_kwic_snippets",
+    "orders_cohort_ltv_matrix",
+    "customer_spend_gini",
+    "user_first_last_flows",
+    "events_autocorr_lags",
 )
 
 
