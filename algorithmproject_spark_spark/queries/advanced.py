@@ -215,9 +215,12 @@ def entity_word_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one keyed aggregation. Determinism under ties is the whole game:
 # max_by's choice between equal ordering values is engine-defined, so
 # the ordering value is made UNIQUE by composing (cents, orderkey)
-# into one BIGINT: cents * 2^31 + orderkey. Bound: cents < 4.3e9 and
-# orderkey < 2^31 keep the composite inside BIGINT (ANSI raises
-# loudly beyond — TPC-H totalprice tops out ~6e7 cents).
+# into one BIGINT: cents * 2^31 + orderkey. The cents factor overflows
+# LOUDLY past 4.3e9 cents (ANSI), but an orderkey >= 2^31 would NOT
+# raise — it silently bleeds into the cents field and corrupts the
+# ordering (adversarial-review finding). Both sides therefore guard
+# the orderkey bound explicitly: Spark with assert_true, DuckDB with
+# error() — loud failure, never a silent wrong argmax.
 # --------------------------------------------------------------------------
 _ARGMAX_SHIFT = 1 << 31
 
@@ -225,19 +228,25 @@ _ARGMAX_SHIFT = 1 << 31
 @register(
     "orders_argmax_by_priority",
     oracle=f"""
+    WITH guarded AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey >= {_ARGMAX_SHIFT}
+                    THEN CAST(error(
+                        'orderkey exceeds argmax composite bound 2^31'
+                    ) AS BIGINT)
+                    ELSE o_orderkey END AS o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
     SELECT o_orderpriority,
            arg_max(o_orderkey,
-                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-                   * {_ARGMAX_SHIFT} + o_orderkey) AS top_orderkey,
-           CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS top_cents,
+                   cents * {_ARGMAX_SHIFT} + o_orderkey) AS top_orderkey,
+           CAST(max(cents) AS BIGINT) AS top_cents,
            arg_min(o_orderkey,
-                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-                   * {_ARGMAX_SHIFT} + o_orderkey) AS bottom_orderkey,
-           CAST(min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS bottom_cents,
+                   cents * {_ARGMAX_SHIFT} + o_orderkey) AS bottom_orderkey,
+           CAST(min(cents) AS BIGINT) AS bottom_cents,
            CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders GROUP BY o_orderpriority
+    FROM guarded GROUP BY o_orderpriority
     """,
     doc=(
         "argmax/argmin per priority class via max_by/min_by with a "
@@ -250,7 +259,19 @@ def orders_argmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         scaled_long("o_totalprice").alias("cents"),
     )
-    combo = F.col("cents") * F.lit(_ARGMAX_SHIFT) + F.col("o_orderkey")
+    # assert_true returns NULL on success — route it through coalesce
+    # so the (always-0) guard term joins the composite without NULLing
+    # it, and a violating orderkey fails the JOB, not the ordering
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("o_orderkey") < F.lit(_ARGMAX_SHIFT),
+            F.lit("orderkey exceeds argmax composite bound 2^31"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    combo = (
+        F.col("cents") * F.lit(_ARGMAX_SHIFT) + F.col("o_orderkey") + guard
+    )
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", combo).alias("top_orderkey"),
         F.max("cents").alias("top_cents"),

@@ -199,7 +199,8 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
            CAST(count(*) AS BIGINT) AS n_events
     FROM islands GROUP BY user_id, event_type, isl
-    ORDER BY n_events DESC, user_id, start_us LIMIT {TOPK_ISLANDS}
+    ORDER BY n_events DESC, user_id, start_us, end_us
+    LIMIT {TOPK_ISLANDS}
     """,
     doc=(
         "gaps-and-islands: collapse each user's consecutive same-type "
@@ -235,7 +236,17 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .drop("isl")
-        .orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("start_us"))
+        # end_us completes the tiebreak: same-timestamp event bursts
+        # can yield two same-user islands sharing (n_events, start_us)
+        # but different end_us (adversarial-review finding); with
+        # end_us included, remaining ties are full-row-identical and
+        # therefore multiset-safe at the LIMIT boundary
+        .orderBy(
+            F.desc("n_events"),
+            F.asc("user_id"),
+            F.asc("start_us"),
+            F.asc("end_us"),
+        )
         .limit(TOPK_ISLANDS)
         .select("user_id", "event_type", "start_us", "end_us", "n_events")
     )

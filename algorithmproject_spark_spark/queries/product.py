@@ -33,6 +33,7 @@ from algorithmproject_spark_spark.functions.numeric import (
     hash_mod,
     ppm,
     sql_hash_mod,
+    sql_ppm,
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -157,7 +158,7 @@ def events_signup_to_purchase_survival(
     )
     SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(converted) AS BIGINT) AS n_converters,
-           (sum(converted) * 1000000) // count(*) AS conv_ppm
+           {sql_ppm('sum(converted)', 'count(*)')} AS conv_ppm
     FROM u GROUP BY arm
     """,
     doc=(

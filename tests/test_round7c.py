@@ -197,3 +197,32 @@ def test_ra_link_prediction_weights(spark, tmp_path):
         (1, 3): (1, 333_333_333),
         (2, 3): (1, 333_333_333),
     }
+
+
+def test_islands_same_ts_burst_tie_includes_end_us(spark, tmp_path):
+    # same-second burst A,B,A then A one second later: the trailing
+    # A-run spans two timestamps while the leading 1-event islands all
+    # share start==end — regression for the LIMIT-boundary tiebreak
+    # (sort key must be unique up to full-row identity, so end_us is
+    # part of the ORDER BY)
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        [
+            _ev(1, 1, "A", sec=0),
+            _ev(2, 1, "B", sec=0),
+            _ev(3, 1, "A", sec=0),
+            _ev(4, 1, "A", sec=1),
+        ],
+    )
+    rows = [
+        (r.user_id, r.event_type, r.start_us, r.end_us, r.n_events)
+        for r in events_state_islands(spark, sf).collect()
+    ]
+    assert len(rows) == 3
+    # deterministic order: the 2-event A island (spanning 1s) first
+    assert rows[0][4] == 2 and rows[0][1] == "A"
+    assert rows[0][3] - rows[0][2] == 1_000_000
+    # the two 1-event same-ts islands sort after; both start==end
+    assert all(r[2] == r[3] for r in rows[1:])

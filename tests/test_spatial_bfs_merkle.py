@@ -114,3 +114,13 @@ def test_argmax_ties_resolve_to_larger_key(spark, tmp_path):
     # equal top prices: composite (cents, orderkey) picks key 2; the
     # bottom side picks key 3 outright
     assert (r.top_orderkey, r.top_cents, r.bottom_orderkey, r.bottom_cents, r.n_orders) == (2, 5000, 3, 1000, 3)
+
+
+def test_argmax_guard_raises_on_oversized_orderkey(spark, tmp_path):
+    import pytest
+
+    sf = _write(
+        spark, tmp_path, "orders", [_order((1 << 31) + 5, 10.0)]
+    )
+    with pytest.raises(Exception, match="composite bound"):
+        orders_argmax_by_priority(spark, sf).collect()
