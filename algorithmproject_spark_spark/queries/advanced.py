@@ -279,3 +279,107 @@ def orders_argmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("bottom_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-event temporal alignment: for each error, the CLOSEST view of
+# the same user in either direction (the sensor-alignment asof variant;
+# asof_click_to_view above is backward-only). One user-timeline window
+# pass: last preceding view via an IGNORE NULLS running last_value,
+# first following view via its mirror — no self-join, no time-bucket
+# blow-up. Ties (equidistant before/after) bind to the EARLIER view,
+# pinned by the oracle. Distances in exact microseconds.
+# --------------------------------------------------------------------------
+@register(
+    "events_nearest_view_per_error",
+    oracle="""
+    WITH tl AS (
+        SELECT user_id, event_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS us,
+               last_value(CASE WHEN event_type = 'view'
+                               THEN CAST(epoch_us(ts) AS BIGINT) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_view_us,
+               first_value(CASE WHEN event_type = 'view'
+                                THEN CAST(epoch_us(ts) AS BIGINT) END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_view_us
+        FROM events
+    )
+    SELECT user_id, event_id AS error_event_id, us AS error_us,
+           CASE WHEN next_view_us IS NULL THEN prev_view_us
+                WHEN prev_view_us IS NULL THEN next_view_us
+                WHEN us - prev_view_us <= next_view_us - us
+                    THEN prev_view_us
+                ELSE next_view_us END AS nearest_view_us,
+           CASE WHEN next_view_us IS NULL THEN us - prev_view_us
+                WHEN prev_view_us IS NULL THEN next_view_us - us
+                WHEN us - prev_view_us <= next_view_us - us
+                    THEN us - prev_view_us
+                ELSE next_view_us - us END AS dist_us
+    FROM tl
+    WHERE event_type = 'error'
+      AND (prev_view_us IS NOT NULL OR next_view_us IS NOT NULL)
+    """,
+    doc=(
+        "nearest-view alignment per error event (either direction, "
+        "ties to the earlier view) — one IGNORE NULLS window pass "
+        "per direction, zero self-joins"
+    ),
+)
+def events_nearest_view_per_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"), "ts"
+    )
+    view_us = F.when(F.col("event_type") == "view", F.col("us"))
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    tl = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        F.last(view_us, ignorenulls=True).over(back).alias("prev_view_us"),
+        F.first(view_us, ignorenulls=True).over(fwd).alias("next_view_us"),
+    )
+    prev_d = F.col("us") - F.col("prev_view_us")
+    next_d = F.col("next_view_us") - F.col("us")
+    nearest = (
+        F.when(F.col("next_view_us").isNull(), F.col("prev_view_us"))
+        .when(F.col("prev_view_us").isNull(), F.col("next_view_us"))
+        .when(prev_d <= next_d, F.col("prev_view_us"))
+        .otherwise(F.col("next_view_us"))
+    )
+    dist = (
+        F.when(F.col("next_view_us").isNull(), prev_d)
+        .when(F.col("prev_view_us").isNull(), next_d)
+        .when(prev_d <= next_d, prev_d)
+        .otherwise(next_d)
+    )
+    return tl.filter(
+        (F.col("event_type") == "error")
+        & (
+            F.col("prev_view_us").isNotNull()
+            | F.col("next_view_us").isNotNull()
+        )
+    ).select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.col("us").alias("error_us"),
+        nearest.alias("nearest_view_us"),
+        dist.alias("dist_us"),
+    )

@@ -47,10 +47,10 @@ def _sql_fixed(expr: str) -> str:
     )
 
 
-@register(
-    "grid_closest_pairs_2d",
-    oracle=f"""
-    WITH pts AS (
+def sql_grid_pairs_cte() -> str:
+    """CTE chain producing ``grid_cand(vec_i, vec_j, d2)`` — every
+    within-radius pair via the 3x3 neighbor-cell join (no limit)."""
+    return f"""pts AS (
         SELECT vec_id,
                {_sql_fixed('embedding[1]')} AS x,
                {_sql_fixed('embedding[2]')} AS y
@@ -67,24 +67,21 @@ def _sql_fixed(expr: str) -> str:
              (SELECT unnest([-1, 0, 1]) AS d) dx,
              (SELECT unnest([-1, 0, 1]) AS d) dy
     ),
-    cand AS (
+    grid_cand AS (
         SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
                (a.x - b.x) * (a.x - b.x)
              + (a.y - b.y) * (a.y - b.y) AS d2
         FROM expanded a JOIN cells b
           ON a.ex = b.cx AND a.ey = b.cy AND a.vec_id < b.vec_id
-    )
-    SELECT vec_i, vec_j, d2 FROM cand
-    WHERE d2 <= {CELL_W * CELL_W}
-    ORDER BY d2, vec_i, vec_j LIMIT {TOPK_PAIRS}
-    """,
-    doc=(
-        "top-20 closest point pairs in the (dim0, dim1) embedding "
-        "plane via 3x3 neighbor-cell grid join — radius-complete, "
-        "never all-pairs"
-    ),
-)
-def grid_closest_pairs_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+        WHERE (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= {CELL_W * CELL_W}
+    )"""
+
+
+def grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All within-radius pairs (vec_i < vec_j, d2) — the reusable
+    spatial adjacency relation (closest-pairs query + message-passing
+    graph both consume it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id",
@@ -136,9 +133,143 @@ def grid_closest_pairs_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
+    return cand.select("vec_i", "vec_j", d2.alias("d2")).filter(
+        F.col("d2") <= F.lit(CELL_W * CELL_W)
+    )
+
+
+@register(
+    "grid_closest_pairs_2d",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id,
+               {_sql_fixed('embedding[1]')} AS x,
+               {_sql_fixed('embedding[2]')} AS y
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id, x, y,
+               x // {CELL_W} AS cx, y // {CELL_W} AS cy
+        FROM pts
+    ),
+    expanded AS (
+        SELECT vec_id, x, y, cx + dx.d AS ex, cy + dy.d AS ey
+        FROM cells,
+             (SELECT unnest([-1, 0, 1]) AS d) dx,
+             (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+               (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM expanded a JOIN cells b
+          ON a.ex = b.cx AND a.ey = b.cy AND a.vec_id < b.vec_id
+    )
+    SELECT vec_i, vec_j, d2 FROM cand
+    WHERE d2 <= {CELL_W * CELL_W}
+    ORDER BY d2, vec_i, vec_j LIMIT {TOPK_PAIRS}
+    """,
+    doc=(
+        "top-20 closest point pairs in the (dim0, dim1) embedding "
+        "plane via 3x3 neighbor-cell grid join — radius-complete, "
+        "never all-pairs"
+    ),
+)
+def grid_closest_pairs_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        cand.select("vec_i", "vec_j", d2.alias("d2"))
-        .filter(F.col("d2") <= F.lit(CELL_W * CELL_W))
+        grid_neighbor_pairs(spark, sf_dir)
         .orderBy("d2", "vec_i", "vec_j")
         .limit(TOPK_PAIRS)
+    )
+
+
+# feature fixed-point shift: h + FEAT_OFFSET >= 0 keeps the mean's
+# floor division in non-negative territory (Spark div truncates toward
+# zero, DuckDB // floors — identical only for non-negative operands);
+# the shift is affine so mean(h+C) - C is the shifted-exact mean
+FEAT_OFFSET = 1 << 21
+MSG_ROUNDS = 2
+TOPK_NODES = 15
+
+
+@register(
+    "graph_message_passing_2hop",
+    oracle=f"""
+    WITH {sql_grid_pairs_cte()},
+    sym AS MATERIALIZED (
+        SELECT vec_i AS s, vec_j AS d FROM grid_cand
+        UNION ALL SELECT vec_j, vec_i FROM grid_cand
+    ),
+    f0 AS (
+        SELECT vec_id,
+               CAST(floor(CAST(embedding[4] AS DOUBLE) * {1 << 20}
+                          + 0.5) AS BIGINT) AS h
+        FROM embeddings
+    ),
+    h1 AS (
+        SELECT s AS vec_id,
+               CAST(sum(h + {FEAT_OFFSET}) AS BIGINT) // count(*)
+                   - {FEAT_OFFSET} AS h
+        FROM sym JOIN f0 ON d = vec_id GROUP BY s
+    ),
+    h2 AS (
+        SELECT s AS vec_id,
+               CAST(sum(h + {FEAT_OFFSET}) AS BIGINT) // count(*)
+                   - {FEAT_OFFSET} AS h
+        FROM sym JOIN h1 ON d = vec_id GROUP BY s
+    )
+    SELECT vec_id, h AS h2_q20 FROM h2
+    ORDER BY h2_q20 DESC, vec_id LIMIT {TOPK_NODES}
+    """,
+    doc=(
+        "2-round GNN-style mean message passing over the spatial "
+        "neighbor graph: h_t+1(v) = floor-mean of neighbors' h_t, "
+        "exact fixed-point with an affine shift keeping division "
+        "non-negative — each round one equi-join + one keyed agg"
+    ),
+)
+def graph_message_passing_2hop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = grid_neighbor_pairs(spark, sf_dir)
+    # the graph feeds both rounds — pin it once (kcore/bfs discipline)
+    sym = (
+        pairs.select(F.col("vec_i").alias("s"), F.col("vec_j").alias("d"))
+        .unionAll(
+            pairs.select(
+                F.col("vec_j").alias("s"), F.col("vec_i").alias("d")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    h = emb.select(
+        "vec_id",
+        F.floor(
+            F.element_at("embedding", 4).cast("double")
+            * F.lit(float(1 << 20))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    for _ in range(MSG_ROUNDS):
+        h = (
+            sym.join(h, sym["d"] == h["vec_id"])
+            .groupBy(F.col("s").alias("v"))
+            .agg(
+                (
+                    floordiv(
+                        F.sum(F.col("h") + F.lit(FEAT_OFFSET)),
+                        F.count(F.lit(1)),
+                    )
+                    - F.lit(FEAT_OFFSET)
+                ).alias("h")
+            )
+            .select(F.col("v").alias("vec_id"), "h")
+        )
+    return (
+        h.orderBy(F.desc("h"), F.asc("vec_id"))
+        .limit(TOPK_NODES)
+        .select("vec_id", F.col("h").alias("h2_q20"))
     )

@@ -233,6 +233,8 @@ HEADLINE = (
     "customer_spend_gini",
     "user_first_last_flows",
     "events_autocorr_lags",
+    "graph_message_passing_2hop",
+    "events_nearest_view_per_error",
 )
 
 

@@ -124,3 +124,84 @@ def test_argmax_guard_raises_on_oversized_orderkey(spark, tmp_path):
     )
     with pytest.raises(Exception, match="composite bound"):
         orders_argmax_by_priority(spark, sf).collect()
+
+
+from algorithmproject_spark_spark.queries.advanced import (  # noqa: E402
+    events_nearest_view_per_error,
+)
+from algorithmproject_spark_spark.queries.spatial import (  # noqa: E402
+    FEAT_OFFSET,
+    graph_message_passing_2hop,
+)
+
+
+def _vec4(vid, x, y, f):
+    return Row(
+        vec_id=vid, embedding=[float(x), float(y), 0.0, float(f)], label=0
+    )
+
+
+def test_message_passing_matches_python_fold(spark, tmp_path):
+    # triangle: all three mutually within the grid radius; features
+    # chosen to exercise negative fixed-point values
+    feats = {1: 1.0, 2: 0.5, 3: -0.25}
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        [_vec4(1, 0.0, 0.0, feats[1]), _vec4(2, 0.001, 0.0, feats[2]),
+         _vec4(3, 0.0, 0.001, feats[3])],
+    )
+    import math
+
+    h = {v: math.floor(f * (1 << 20) + 0.5) for v, f in feats.items()}
+    neigh = {1: [2, 3], 2: [1, 3], 3: [1, 2]}
+    for _ in range(2):
+        h = {
+            v: (sum(h[u] + FEAT_OFFSET for u in ns) // len(ns))
+            - FEAT_OFFSET
+            for v, ns in neigh.items()
+        }
+    got = {
+        r.vec_id: r.h2_q20
+        for r in graph_message_passing_2hop(spark, sf).collect()
+    }
+    assert got == h
+
+
+def _evt2(eid, uid, typ, sec):
+    return Row(
+        event_id=eid,
+        ts=dt.datetime(2024, 1, 1, 0, 0, sec),
+        user_id=uid,
+        event_type=typ,
+        value=1.0,
+        props="{}",
+    )
+
+
+def test_nearest_view_direction_and_tie(spark, tmp_path):
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        [
+            _evt2(1, 1, "view", 0),
+            _evt2(2, 1, "error", 10),   # prev d=10 < next d=20 → view@0
+            _evt2(3, 1, "error", 25),   # prev d=25 > next d=5  → view@30
+            _evt2(4, 1, "view", 30),
+            _evt2(5, 2, "view", 0),
+            _evt2(6, 2, "error", 5),    # tie d=5 both ways → EARLIER view
+            _evt2(7, 2, "view", 10),
+            _evt2(8, 3, "error", 0),    # no views at all → excluded
+        ],
+    )
+    base = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    got = {
+        r.error_event_id: (r.nearest_view_us - base, r.dist_us)
+        for r in events_nearest_view_per_error(spark, sf).collect()
+    }
+    s = 10**6
+    assert got == {2: (0, 10 * s), 3: (30 * s, 5 * s), 6: (0, 5 * s)}
