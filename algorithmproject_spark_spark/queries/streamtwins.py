@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from algorithmproject_spark_spark.cacheutil import tracked_cache
+from algorithmproject_spark_spark.functions.numeric import sql_hash_mod
+from algorithmproject_spark_spark.queries.kmv import KMV_K, KMV_MOD
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 from algorithmproject_spark_spark.streaming.dedup import dedup_stream
@@ -260,3 +262,40 @@ def stream_anomaly_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return user_anomaly_summary(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_kmv_batch_twin",
+    plan=("arrow",),
+    oracle=f"""
+    WITH sk AS (
+        SELECT event_type AS g,
+               list_slice(list_sort(list(DISTINCT
+                   {sql_hash_mod('CAST(user_id AS BIGINT)', KMV_MOD)}
+               )), 1, {KMV_K}) AS mins
+        FROM events GROUP BY event_type
+    )
+    SELECT g AS event_type,
+           CAST(len(mins) AS BIGINT) AS kmv_size,
+           CAST(mins[len(mins)] AS BIGINT) AS kth_min,
+           CASE WHEN len(mins) < {KMV_K} THEN CAST(len(mins) AS BIGINT)
+                ELSE CAST({KMV_K - 1} AS BIGINT) * {KMV_MOD}
+                     // mins[len(mins)]
+           END AS est_distinct
+    FROM sk
+    """,
+    doc="batch twin of the applyInPandasWithState KMV sketch "
+    "(streaming/kmvstream.py): state IS the sketch (bounded k-minima "
+    "array), and the same Python merge/estimate kernel folds each "
+    "type's full history in one applyInPandas pass — output equals "
+    "the native batch KMV query's sketch columns exactly",
+)
+def stream_kmv_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.streaming.kmvstream import (
+        kmv_sketch_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    return kmv_sketch_batch(ev)

@@ -235,6 +235,7 @@ HEADLINE = (
     "events_autocorr_lags",
     "graph_message_passing_2hop",
     "events_nearest_view_per_error",
+    "stream_kmv_batch_twin",
 )
 
 

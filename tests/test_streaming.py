@@ -747,3 +747,80 @@ def test_markov_transitions_stream_equals_batch(spark, scratch):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_kmv_sketch_stream_equals_batch(spark, scratch):
+    """applyInPandasWithState KMV sketch: the state IS the bounded
+    k-minima array and must survive the micro-batch seam — the final
+    snapshot per type (kmv_size DESC, kth_min ASC) over a 2-file
+    stream equals the batch twin AND the native batch KMV query."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.queries.kmv import (
+        events_kmv_distinct_users,
+    )
+    from algorithmproject_spark_spark.sources.catalog import load_table
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+    from algorithmproject_spark_spark.streaming.kmvstream import (
+        kmv_sketch_batch,
+        kmv_sketch_stateful,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    expected = {
+        (r.event_type): (r.kmv_size, r.kth_min, r.est_distinct)
+        for r in kmv_sketch_batch(
+            ev.select("event_type", "user_id")
+        ).collect()
+    }
+    # the same Python kernel must reproduce the NATIVE batch query's
+    # sketch columns — one definition, zero drift
+    native = {
+        r.event_type: (r.kmv_size, r.kth_min, r.est_distinct)
+        for r in events_kmv_distinct_users(spark, sf).collect()
+    }
+    assert expected == native
+
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    ).select("event_type", "user_id", "rn")
+    src_dir = scratch / "kmv_in"
+    ranked.filter(F.col("rn") <= 500).drop("rn").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir))
+
+    stream = stream_read_parquet(
+        spark,
+        str(src_dir),
+        ranked.drop("rn").schema,
+        max_files_per_trigger=1,
+    )
+    q = stream_write_memory(
+        kmv_sketch_stateful(stream), "kmv_snapshots", output_mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        ranked.filter(F.col("rn") > 500).drop("rn").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        q.processAllAvailable()
+        got = {
+            r.event_type: (r.kmv_size, r.kth_min, r.est_distinct)
+            for r in spark.sql(
+                "SELECT event_type, kmv_size, kth_min, est_distinct "
+                "FROM (SELECT *, row_number() OVER ("
+                "  PARTITION BY event_type "
+                "  ORDER BY kmv_size DESC, kth_min ASC) AS rn "
+                "FROM kmv_snapshots) WHERE rn = 1"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
