@@ -1,0 +1,389 @@
+"""Statistical process control + merchandising analytics.
+
+Four last-mile analytics families, all in the exact-integer oracle
+discipline:
+
+- **Day-of-week seasonality profile** (``events_dow_profile``): the
+  weekly rhythm behind the lag-7 autocorrelation — per (day-of-week,
+  type) counts with exact permille share of the type's total. Epoch
+  day mod 7 (1970-01-01 was a Thursday — dow 0 = Thursday; a
+  consistent, engine-portable convention that avoids locale-dependent
+  DAYOFWEEK functions entirely).
+
+- **p-chart error-rate control** (``events_error_pchart_days``): the
+  classic SPC proportion chart — flag days whose error share departs
+  more than 3σ from the corpus rate. The binomial 3σ test
+  |p̂−p| > 3·√(p(1−p)/n) is cross-multiplied into PURE integers on
+  permille-floored proportions: flag ⇔ d²·n > 9·P·(1000−P) with
+  d = p̂‰−P‰ — no sqrt, no floats, overflow-safe to ~10¹⁰ rows/day.
+
+- **ABC (Pareto) revenue classes** (``part_abc_classes``): rank parts
+  by revenue, class A = first 80% of cumulative revenue, B = next
+  15%, C = tail — the inventory-management standard. Cumulative
+  window over the per-part revenue relation (dimension-sized);
+  boundaries by exact integer comparison cum·100 vs total·{{80,95}}.
+
+- **Spend-decile migration** (``customer_decile_migration``): split
+  the order history at its median date, band customers into spend
+  terciles within each half (exact cumulative-count cuts over the
+  compacted per-customer spend distribution), and count the
+  tercile→tercile transition matrix — the "customer movement" view
+  behind churn/upsell dashboards. Customers absent from a half land
+  in band 0 via the full-outer join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import (
+    floordiv,
+    scaled_long,
+    sql_scaled_long,
+)
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+
+@register(
+    "events_dow_profile",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) % 7
+                   AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS tn
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, d.dow, d.n,
+           (d.n * 1000) // tot.tn AS share_permille
+    FROM d JOIN tot USING (event_type)
+    """,
+    doc=(
+        "day-of-week seasonality profile per event type (epoch-day "
+        "mod 7 — locale-free), exact permille shares"
+    ),
+)
+def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    day = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    d = ev.groupBy("event_type", (day % 7).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = d.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    return d.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        floordiv(F.col("n") * F.lit(1000), F.col("tn")).alias(
+            "share_permille"
+        ),
+    )
+
+
+@register(
+    "events_error_pchart_days",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(e) AS BIGINT) AS te
+        FROM daily
+    ),
+    scored AS (
+        SELECT day, n, e,
+               (e * 1000) // n AS p_hat_permille,
+               (te * 1000) // tn AS p_permille
+        FROM daily CROSS JOIN tot
+    )
+    SELECT day, n, e, p_hat_permille, p_permille,
+           CASE WHEN (p_hat_permille - p_permille)
+                     * (p_hat_permille - p_permille) * n
+                    > 9 * p_permille * (1000 - p_permille)
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM scored
+    """,
+    doc=(
+        "p-chart SPC on daily error proportion: 3-sigma binomial test "
+        "cross-multiplied to pure integers on permille proportions — "
+        "d^2*n > 9*P*(1000-P), no sqrt, no floats"
+    ),
+    plan=("scalar_cross",),  # corpus rate is a broadcast 1-row aggregate
+)
+def events_error_pchart_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    day = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    tot = daily.agg(F.sum("n").alias("tn"), F.sum("e").alias("te"))
+    scored = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "e",
+        floordiv(F.col("e") * F.lit(1000), F.col("n")).alias(
+            "p_hat_permille"
+        ),
+        floordiv(F.col("te") * F.lit(1000), F.col("tn")).alias(
+            "p_permille"
+        ),
+    )
+    d = F.col("p_hat_permille") - F.col("p_permille")
+    return scored.select(
+        "day",
+        "n",
+        "e",
+        "p_hat_permille",
+        "p_permille",
+        F.when(
+            d * d * F.col("n")
+            > F.lit(9)
+            * F.col("p_permille")
+            * (F.lit(1000) - F.col("p_permille")),
+            1,
+        )
+        .otherwise(0)
+        .alias("out_of_control"),
+    )
+
+
+@register(
+    "part_abc_classes",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum({sql_scaled_long('l_extendedprice')}) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+        SELECT l_partkey, cents,
+               CAST(SUM(cents) OVER (
+                   ORDER BY cents DESC, l_partkey
+               ) AS BIGINT) AS cumrev,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN cumrev * 100 <= total * 80 THEN 'A'
+                    WHEN cumrev * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc,
+               cents
+        FROM cum
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(min(cents) AS BIGINT) AS min_part_cents
+    FROM classed GROUP BY abc
+    """,
+    doc=(
+        "ABC (Pareto 80/15/5) revenue classification of parts: "
+        "cumulative-revenue window over the per-part relation, exact "
+        "integer boundary comparisons"
+    ),
+    plan=("global_sort",),  # the cumulative order over the compacted
+    # per-part revenue relation IS the semantics
+)
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", scaled_long("l_extendedprice").alias("cents")
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("cents").alias("cents"))
+    cum = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents")
+        .over(
+            W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cumrev"),
+        F.sum("cents")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    abc = (
+        F.when(F.col("cumrev") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cumrev") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(abc.alias("abc"), "cents")
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("revenue_cents"),
+            F.min("cents").alias("min_part_cents"),
+        )
+    )
+
+
+N_BANDS = 3  # spend terciles per half-period
+
+
+def _sql_banded(spend_cte: str) -> str:
+    """Band a (o_custkey, v) spend CTE into terciles by exact
+    cumulative-count cuts over the compacted spend distribution."""
+    return f"""(
+        SELECT s.o_custkey,
+               CAST(1 + (CASE WHEN c.cum * {N_BANDS} <= c.n * 1 THEN 0
+                              WHEN c.cum * {N_BANDS} <= c.n * 2 THEN 1
+                              ELSE 2 END) AS BIGINT) AS band
+        FROM {spend_cte} s JOIN (
+            SELECT v,
+                   CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM (SELECT v, count(*) AS cnt FROM {spend_cte} GROUP BY v)
+        ) c ON s.v = c.v
+    )"""
+
+
+@register(
+    "customer_decile_migration",
+    oracle=f"""
+    WITH half AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS day,
+               o_custkey,
+               {sql_scaled_long('o_totalprice')} AS cents
+        FROM orders
+    ),
+    med AS (
+        SELECT CAST(min(CASE WHEN cum * 2 >= n THEN day END) AS BIGINT)
+                   AS cut
+        FROM (
+            SELECT day,
+                   CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER () AS BIGINT) AS n
+            FROM (SELECT day, count(*) AS c FROM half GROUP BY day)
+        )
+    ),
+    s1 AS (
+        SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS v
+        FROM half CROSS JOIN med WHERE day <= cut GROUP BY o_custkey
+    ),
+    s2 AS (
+        SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS v
+        FROM half CROSS JOIN med WHERE day > cut GROUP BY o_custkey
+    ),
+    b1 AS (SELECT * FROM {_sql_banded('s1')}),
+    b2 AS (SELECT * FROM {_sql_banded('s2')})
+    SELECT COALESCE(b1.band, 0) AS band_then,
+           COALESCE(b2.band, 0) AS band_now,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM b1 FULL OUTER JOIN b2 ON b1.o_custkey = b2.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "customer spend-tercile migration across the median-date "
+        "split: exact cumulative-count band cuts per half, "
+        "full-outer transition matrix (band 0 = absent that half)"
+    ),
+    plan=("scalar_cross", "global_sort"),  # median-day scalar; banding
+    # windows ride compacted spend distributions
+)
+def customer_decile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+        "o_custkey",
+        scaled_long("o_totalprice").alias("cents"),
+    )
+    # median order day via the compacted day distribution
+    dd = o.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    dcum = dd.select(
+        "day",
+        F.sum("c")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    med = dcum.agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("day"))
+        ).alias("cut")
+    )
+    oc = o.crossJoin(F.broadcast(med))
+
+    def banded(spend: DataFrame) -> DataFrame:
+        dist = spend.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+        cum = dist.select(
+            "v",
+            F.sum("cnt")
+            .over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("cnt")
+            .over(
+                W.partitionBy().rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .alias("n"),
+        )
+        band = (
+            F.lit(1)
+            + F.when(F.col("cum") * N_BANDS <= F.col("n") * 1, 0)
+            .when(F.col("cum") * N_BANDS <= F.col("n") * 2, 1)
+            .otherwise(2)
+        ).cast("long")
+        return spend.join(cum, "v").select(
+            "o_custkey", band.alias("band")
+        )
+
+    s1 = (
+        oc.filter(F.col("day") <= F.col("cut"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("v"))
+    )
+    s2 = (
+        oc.filter(F.col("day") > F.col("cut"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("v"))
+    )
+    b1 = banded(s1).withColumnRenamed("band", "band_then")
+    b2 = banded(s2).withColumnRenamed(
+        "band", "band_now"
+    ).withColumnRenamed("o_custkey", "ck2")
+    return (
+        b1.join(b2, b1["o_custkey"] == b2["ck2"], "full_outer")
+        .select(
+            F.coalesce("band_then", F.lit(0)).alias("band_then"),
+            F.coalesce("band_now", F.lit(0)).alias("band_now"),
+        )
+        .groupBy("band_then", "band_now")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

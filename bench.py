@@ -236,6 +236,10 @@ HEADLINE = (
     "graph_message_passing_2hop",
     "events_nearest_view_per_error",
     "stream_kmv_batch_twin",
+    "events_dow_profile",
+    "events_error_pchart_days",
+    "part_abc_classes",
+    "customer_decile_migration",
 )
 
 
