@@ -240,6 +240,7 @@ HEADLINE = (
     "events_error_pchart_days",
     "part_abc_classes",
     "customer_decile_migration",
+    "doc_token_positions_udtf",
 )
 
 

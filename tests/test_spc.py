@@ -142,3 +142,26 @@ def test_decile_migration_with_churn_and_new(spark, tmp_path):
         for r in customer_decile_migration(spark, sf).collect()
     }
     assert got == {(1, 0): 1, (2, 3): 1, (3, 1): 1, (0, 2): 1}
+
+
+def test_udtf_first_occurrence_state(spark, tmp_path):
+    from algorithmproject_spark_spark.queries.udtf_demo import (
+        doc_token_positions_udtf,
+    )
+
+    # doc 1: "a b a" → a: n=2, firsts=1, min_pos=1; b: n=1, firsts=1
+    # doc 2: "b b"   → b: n=2, firsts=1 (second b is NOT first)
+    sf = _write(
+        spark,
+        tmp_path,
+        "documents",
+        [
+            Row(doc_id=1, text="a b a", lang="en", source="s", n_chars=5),
+            Row(doc_id=2, text="b b", lang="en", source="s", n_chars=3),
+        ],
+    )
+    got = {
+        r.tok: (r.n_total, r.n_first_docs, r.min_pos)
+        for r in doc_token_positions_udtf(spark, sf).collect()
+    }
+    assert got == {"a": (2, 1, 1), "b": (3, 2, 1)}
