@@ -141,32 +141,8 @@ def grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grid_closest_pairs_2d",
     oracle=f"""
-    WITH pts AS (
-        SELECT vec_id,
-               {_sql_fixed('embedding[1]')} AS x,
-               {_sql_fixed('embedding[2]')} AS y
-        FROM embeddings
-    ),
-    cells AS (
-        SELECT vec_id, x, y,
-               x // {CELL_W} AS cx, y // {CELL_W} AS cy
-        FROM pts
-    ),
-    expanded AS (
-        SELECT vec_id, x, y, cx + dx.d AS ex, cy + dy.d AS ey
-        FROM cells,
-             (SELECT unnest([-1, 0, 1]) AS d) dx,
-             (SELECT unnest([-1, 0, 1]) AS d) dy
-    ),
-    cand AS (
-        SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
-               (a.x - b.x) * (a.x - b.x)
-             + (a.y - b.y) * (a.y - b.y) AS d2
-        FROM expanded a JOIN cells b
-          ON a.ex = b.cx AND a.ey = b.cy AND a.vec_id < b.vec_id
-    )
-    SELECT vec_i, vec_j, d2 FROM cand
-    WHERE d2 <= {CELL_W * CELL_W}
+    WITH {sql_grid_pairs_cte()}
+    SELECT vec_i, vec_j, d2 FROM grid_cand
     ORDER BY d2, vec_i, vec_j LIMIT {TOPK_PAIRS}
     """,
     doc=(
@@ -202,8 +178,14 @@ TOPK_NODES = 15
     ),
     f0 AS (
         SELECT vec_id,
-               CAST(floor(CAST(embedding[4] AS DOUBLE) * {1 << 20}
-                          + 0.5) AS BIGINT) AS h
+               CASE WHEN abs(CAST(floor(CAST(embedding[4] AS DOUBLE)
+                                  * {1 << 20} + 0.5) AS BIGINT))
+                         > {FEAT_OFFSET}
+                    THEN CAST(error(
+                        'feature exceeds affine-shift bound 2^21'
+                    ) AS BIGINT)
+                    ELSE CAST(floor(CAST(embedding[4] AS DOUBLE)
+                              * {1 << 20} + 0.5) AS BIGINT) END AS h
         FROM embeddings
     ),
     h1 AS (
@@ -232,8 +214,10 @@ def graph_message_passing_2hop(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = grid_neighbor_pairs(spark, sf_dir)
-    # the graph feeds both rounds — pin it once (kcore/bfs discipline)
+    # pin the PAIR relation first: the unionAll references it twice
+    # and Catalyst does not dedupe identical join subtrees — unpinned,
+    # the 3x3 grid join would execute once per branch
+    pairs = grid_neighbor_pairs(spark, sf_dir).localCheckpoint(eager=True)
     sym = (
         pairs.select(F.col("vec_i").alias("s"), F.col("vec_j").alias("d"))
         .unionAll(
@@ -243,16 +227,24 @@ def graph_message_passing_2hop(
         )
         .localCheckpoint(eager=True)
     )
-    h = emb.select(
-        "vec_id",
-        F.floor(
-            F.element_at("embedding", 4).cast("double")
-            * F.lit(float(1 << 20))
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("h"),
+    raw_h = F.floor(
+        F.element_at("embedding", 4).cast("double")
+        * F.lit(float(1 << 20))
+        + F.lit(0.5)
+    ).cast("long")
+    # loud precondition: the affine shift only removes the truncate-
+    # vs-floor division divergence while h + FEAT_OFFSET >= 0 — an
+    # out-of-range feature must FAIL the job, never silently diverge
+    # (adversarial-review finding; same discipline as the argmax
+    # composite guard)
+    guard = F.coalesce(
+        F.assert_true(
+            F.abs(raw_h) <= F.lit(FEAT_OFFSET),
+            F.lit("feature exceeds affine-shift bound 2^21"),
+        ).cast("long"),
+        F.lit(0),
     )
+    h = emb.select("vec_id", (raw_h + guard).alias("h"))
     for _ in range(MSG_ROUNDS):
         h = (
             sym.join(h, sym["d"] == h["vec_id"])

@@ -23,7 +23,7 @@ discipline:
   window over the per-part revenue relation (dimension-sized);
   boundaries by exact integer comparison cum·100 vs total·{{80,95}}.
 
-- **Spend-decile migration** (``customer_decile_migration``): split
+- **Spend-band migration** (``customer_band_migration``): split
   the order history at its median date, band customers into spend
   terciles within each half (exact cumulative-count cuts over the
   compacted per-customer spend distribution), and count the
@@ -41,6 +41,7 @@ from algorithmproject_spark_spark.functions.numeric import (
     scaled_long,
     sql_scaled_long,
 )
+from algorithmproject_spark_spark.queries.trend import _epoch_day
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -70,10 +71,7 @@ from algorithmproject_spark_spark.sources.catalog import load_table
 )
 def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
-    day = F.datediff(
-        F.to_date("ts"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    d = ev.groupBy("event_type", (day % 7).alias("dow")).agg(
+    d = ev.groupBy("event_type", (_epoch_day() % 7).alias("dow")).agg(
         F.count(F.lit(1)).alias("n")
     )
     tot = d.groupBy("event_type").agg(F.sum("n").alias("tn"))
@@ -123,10 +121,7 @@ def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_error_pchart_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
-    day = F.datediff(
-        F.to_date("ts"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    daily = ev.groupBy(day.alias("day")).agg(
+    daily = ev.groupBy(_epoch_day().alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(F.col("event_type") == "error", 1).otherwise(0)
@@ -262,7 +257,7 @@ def _sql_banded(spend_cte: str) -> str:
 
 
 @register(
-    "customer_decile_migration",
+    "customer_band_migration",
     oracle=f"""
     WITH half AS (
         SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
@@ -305,15 +300,11 @@ def _sql_banded(spend_cte: str) -> str:
     plan=("scalar_cross", "global_sort"),  # median-day scalar; banding
     # windows ride compacted spend distributions
 )
-def customer_decile_migration(
+def customer_band_migration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
-        F.datediff(
-            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
-        )
-        .cast("long")
-        .alias("day"),
+        _epoch_day("o_orderdate").alias("day"),
         "o_custkey",
         scaled_long("o_totalprice").alias("cents"),
     )

@@ -36,6 +36,10 @@ class TokenPositions:
     (per-call state: the seen-set)."""
 
     def eval(self, text: str):
+        # NULL text must mean "no rows", matching the oracle's
+        # string_split(NULL, ' ') — not a Python-worker crash
+        if text is None:
+            return
         seen = set()
         for pos, tok in enumerate(text.split(" "), start=1):
             first = 1 if tok not in seen else 0

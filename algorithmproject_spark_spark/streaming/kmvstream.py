@@ -56,9 +56,19 @@ KMV_OUTPUT_SCHEMA = StructType(
 )
 
 
+def _tmod(a: int, m: int) -> int:
+    """C-style TRUNCATED modulo — Spark's and DuckDB's % take the
+    dividend's sign; Python's % is always non-negative, so a naive
+    Python % would silently diverge for negative keys
+    (adversarial-review finding)."""
+    r = abs(a) % m
+    return r if a >= 0 else -r
+
+
 def _hash_key(uid: int) -> int:
-    """Python twin of functions.numeric.hash_mod(key, KMV_MOD)."""
-    return ((uid % HASH_REDUCE) * HASH_MULT) % KMV_MOD
+    """Python twin of functions.numeric.hash_mod(key, KMV_MOD) —
+    truncated-modulo exact, including negative keys."""
+    return _tmod(_tmod(uid, HASH_REDUCE) * HASH_MULT, KMV_MOD)
 
 
 def _sketch_row(key: str, mins: list[int]) -> pd.DataFrame:

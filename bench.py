@@ -239,7 +239,7 @@ HEADLINE = (
     "events_dow_profile",
     "events_error_pchart_days",
     "part_abc_classes",
-    "customer_decile_migration",
+    "customer_band_migration",
     "doc_token_positions_udtf",
 )
 

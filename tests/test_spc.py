@@ -8,7 +8,7 @@ import datetime as dt
 from pyspark.sql import Row
 
 from algorithmproject_spark_spark.queries.spc import (
-    customer_decile_migration,
+    customer_band_migration,
     events_dow_profile,
     events_error_pchart_days,
     part_abc_classes,
@@ -120,7 +120,7 @@ def _order(ok, cust, price, day):
     )
 
 
-def test_decile_migration_with_churn_and_new(spark, tmp_path):
+def test_band_migration_with_churn_and_new(spark, tmp_path):
     # half 1 (median cut = day 1): custs 1,2,3 spend 10/20/30 → bands
     # 1/2/3; half 2: custs 3,4,2 spend 10/20/30 → bands 1/2/3.
     # cust 1 churns (→0), cust 4 is new (0→).
@@ -139,7 +139,7 @@ def test_decile_migration_with_churn_and_new(spark, tmp_path):
     )
     got = {
         (r.band_then, r.band_now): r.n_customers
-        for r in customer_decile_migration(spark, sf).collect()
+        for r in customer_band_migration(spark, sf).collect()
     }
     assert got == {(1, 0): 1, (2, 3): 1, (3, 1): 1, (0, 2): 1}
 

@@ -824,3 +824,33 @@ def test_kmv_sketch_stream_equals_batch(spark, scratch):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_kmv_python_hash_twin_matches_engines_for_negative_keys(spark):
+    """The streaming sketch's Python hash must equal the Spark/DuckDB
+    hash_mod INCLUDING negative keys — Python's % is floored while the
+    engines truncate, the divergence _tmod exists to remove."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.functions.numeric import (
+        hash_mod,
+        sql_hash_mod,
+    )
+    from algorithmproject_spark_spark.queries.kmv import KMV_MOD
+    from algorithmproject_spark_spark.streaming.kmvstream import _hash_key
+
+    keys = [-5, -1000003, -999999999, 0, 7, 1000002, 123456789]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    spark_vals = [
+        r.h
+        for r in df.select(hash_mod(F.col("k"), KMV_MOD).alias("h"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    duck_vals = [
+        con.execute(f"SELECT {sql_hash_mod(str(k), KMV_MOD)}").fetchone()[0]
+        for k in keys
+    ]
+    py_vals = [_hash_key(k) for k in keys]
+    assert py_vals == spark_vals == duck_vals
