@@ -12,7 +12,9 @@ CTEs, so both sides of the comparison are independently re-derived.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
+from algorithmproject_spark_spark.functions.numeric import floordiv
 from algorithmproject_spark_spark.registry import REGISTRY, register
 
 _LSH_SQL = REGISTRY["ann_lsh_topk"].oracle
@@ -86,4 +88,176 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("q_id").agg(
         F.count("ivf_neighbor").alias("n_hits"),
         F.count(F.lit(1)).alias("k"),
+    )
+
+
+def _approx_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate rankings stacked with a method tag — the shape
+    every rank metric below consumes (and the RRF fusion input)."""
+    lsh = (
+        REGISTRY["ann_lsh_topk"].fn(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "q_id", "neighbor_id", "rk")
+    )
+    ivf = (
+        REGISTRY["ann_ivf_topk"].fn(spark, sf_dir)
+        .select(F.lit("ivf").alias("method"), "q_id", "neighbor_id", "rk")
+    )
+    return lsh.unionAll(ivf)
+
+
+_SQL_APPROX_UNION = f"""
+        SELECT 'lsh' AS method, q_id, neighbor_id, rk FROM ({_LSH_SQL})
+        UNION ALL
+        SELECT 'ivf' AS method, q_id, neighbor_id, rk FROM ({_IVF_SQL})
+"""
+
+
+@register(
+    "ann_rank_metrics",
+    plan=("scalar_cross",),
+    oracle=f"""
+    WITH approx AS ({_SQL_APPROX_UNION}),
+    bf AS ({_BF_SQL}),
+    joined AS (
+        SELECT a.method, bf.q_id, bf.rk AS bf_rk, a.rk AS a_rk
+        FROM bf LEFT JOIN approx a
+          ON bf.q_id = a.q_id AND bf.neighbor_id = a.neighbor_id
+    )
+    SELECT m.method, m.q_id,
+           CAST(coalesce(max(CASE WHEN j.bf_rk = 1
+                             THEN 1000000 // j.a_rk END), 0)
+                AS BIGINT) AS mrr_e6,
+           CAST(coalesce(sum(abs(j.a_rk - j.bf_rk)), 0)
+                AS BIGINT) AS footrule,
+           CAST(count(j.a_rk) AS BIGINT) AS n_common
+    FROM (SELECT DISTINCT method, q_id FROM approx) m
+    LEFT JOIN joined j
+      ON j.method = m.method AND j.q_id = m.q_id AND j.a_rk IS NOT NULL
+    GROUP BY m.method, m.q_id
+    """,
+    doc=(
+        "retrieval rank-quality metrics per ANN path and query vector: "
+        "MRR of the true nearest neighbor (exact 1e6 // rank), Spearman "
+        "footrule distance vs the exact ranking on the common items, "
+        "and overlap size — recall@k says WHETHER the items came back, "
+        "these say WHERE in the list they landed"
+    ),
+)
+def ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-position quality of each approximate path vs brute force.
+
+    Exact-integer metric suite (no floats, floor-division MRR units):
+
+    - ``mrr_e6``: 1e6 // (approx rank of the TRUE top-1 neighbor),
+      0 when the true nearest neighbor is missing from the approx list
+      — the metric that penalizes burying the best hit.
+    - ``footrule``: Σ |approx_rank − exact_rank| over the items both
+      rankings contain (Spearman's footrule, the L1 rank-agreement
+      distance; 0 = identical ordering on the overlap).
+    - ``n_common``: overlap size (ties the two metrics to recall@k).
+
+    Scale shape: both inputs are already top-k-per-query relations
+    (N_QUERIES × TOP_K rows), so every join here is dimension-sized;
+    the heavy lifting happened inside the bucketed/celled ANN paths.
+    A per-(method, q_id) group row survives even when the overlap is
+    empty (left join from the method×query spine) so a recall-0 path
+    reads as (0, 0, 0), not a missing row.
+    """
+    approx = _approx_union(spark, sf_dir)
+    bf = REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rk").alias("bf_rk")
+    )
+    joined = bf.join(
+        approx.withColumnRenamed("rk", "a_rk"),
+        ["q_id", "neighbor_id"],
+        "left",
+    )
+    spine = approx.select("method", "q_id").distinct()
+    j = joined.filter(F.col("a_rk").isNotNull()).select(
+        "method", "q_id", "bf_rk", "a_rk"
+    )
+    per = j.groupBy("method", "q_id").agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("bf_rk") == 1,
+                    floordiv(
+                        F.lit(1_000_000).cast("long"),
+                        F.col("a_rk").cast("long"),
+                    ),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("mrr_e6"),
+        F.sum(F.abs(F.col("a_rk") - F.col("bf_rk")))
+        .cast("long")
+        .alias("footrule"),
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+    )
+    return spine.join(per, ["method", "q_id"], "left").select(
+        "method",
+        "q_id",
+        F.coalesce("mrr_e6", F.lit(0).cast("long")).alias("mrr_e6"),
+        F.coalesce("footrule", F.lit(0).cast("long")).alias("footrule"),
+        F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+    )
+
+
+RRF_K = 60  # the standard Cormack/Clarke smoothing constant
+
+
+@register(
+    "ann_rrf_fusion",
+    plan=("scalar_cross",),
+    oracle=f"""
+    WITH approx AS ({_SQL_APPROX_UNION})
+    SELECT q_id, neighbor_id, rrf_e6, n_lists FROM (
+        SELECT q_id, neighbor_id,
+               CAST(sum(1000000 // ({RRF_K} + rk)) AS BIGINT) AS rrf_e6,
+               CAST(count(*) AS BIGINT) AS n_lists,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY sum(1000000 // ({RRF_K} + rk)) DESC,
+                            count(*) DESC, neighbor_id
+               ) AS frk
+        FROM approx GROUP BY q_id, neighbor_id
+    ) WHERE frk <= 3
+    """,
+    doc=(
+        "reciprocal-rank fusion of the LSH and IVF candidate lists "
+        "(Cormack & Clarke 2009): per-item Σ 1e6 // (60 + rank) across "
+        "lists, top-3 fused neighbors per query — the standard cheap "
+        "ensemble over heterogeneous retrievers, exact integer units"
+    ),
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF ensemble of the two approximate rankings.
+
+    Each list contributes 1e6 // (RRF_K + rank) per item (floor
+    division — the DuckDB twin uses the identical composition, so the
+    fused scores hash-match); items found by both retrievers naturally
+    rise. Ties break by how many lists carried the item, then id.
+    Input relations are top-k-per-query sized, so the fusion group-by
+    shuffles N_QUERIES × TOP_K × 2 rows — free at any corpus scale.
+    """
+    approx = _approx_union(spark, sf_dir)
+    contrib = approx.select(
+        "q_id",
+        "neighbor_id",
+        floordiv(
+            F.lit(1_000_000).cast("long"),
+            (F.lit(RRF_K) + F.col("rk")).cast("long"),
+        ).alias("pts"),
+    )
+    fused = contrib.groupBy("q_id", "neighbor_id").agg(
+        F.sum("pts").cast("long").alias("rrf_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.desc("rrf_e6"), F.desc("n_lists"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("frk", F.row_number().over(w))
+        .filter(F.col("frk") <= 3)
+        .select("q_id", "neighbor_id", "rrf_e6", "n_lists")
     )

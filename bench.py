@@ -241,6 +241,8 @@ HEADLINE = (
     "part_abc_classes",
     "customer_band_migration",
     "doc_token_positions_udtf",
+    "ann_rank_metrics",
+    "ann_rrf_fusion",
 )
 
 
