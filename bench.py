@@ -243,6 +243,8 @@ HEADLINE = (
     "doc_token_positions_udtf",
     "ann_rank_metrics",
     "ann_rrf_fusion",
+    "langid_eval_prf",
+    "langid_cohens_kappa",
 )
 
 
