@@ -411,13 +411,19 @@ def ngram_jaccard_index_pairs(
         .filter((F.col("df") >= 2) & (F.col("df") <= max_posting_df))
         .select("g")
     )
-    rare_posts = posts.join(rare, "g")
     # Both sides of the candidate self-join are restricted to rare
     # shingles: a.g == b.g and a.g is rare implies b.g is rare, so
     # joining rare_posts to rare_posts is semantically identical to
     # joining against the full posting table while shuffling only the
     # df-capped subset on BOTH sides — at 100 TB the b-side shuffle of
     # the unfiltered posting relation would dominate this query's cost.
+    # Pinned once: Catalyst does not dedupe the identical a/b subtrees,
+    # so unpinned the explode + rare-df filter executes twice — a
+    # data-scale duplicate at 100 TB (the sf0.1 reading moves ~10%
+    # because the corpus is small there; the avoided work grows with
+    # the posting table). The pinned relation is the df-capped posting
+    # subset, tiny relative to the corpus by construction.
+    rare_posts = posts.join(rare, "g").localCheckpoint(eager=True)
     cand = (
         rare_posts.alias("a")
         .join(

@@ -245,6 +245,7 @@ HEADLINE = (
     "ann_rrf_fusion",
     "langid_eval_prf",
     "langid_cohens_kappa",
+    "knn_label_noise",
 )
 
 
