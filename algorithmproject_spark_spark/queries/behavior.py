@@ -416,3 +416,129 @@ def user_first_last_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "first_type", "last_type")
         .limit(TOPK_FLOWS)
     )
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution. The streaming
+# twins cover last-touch click attribution; batch marketing pipelines
+# want the position-based model: for each purchase, the view/click
+# touches since the user's previous purchase share the credit
+# 40% first / 40% last / 20% split across the middles — exact 1e6
+# units with the documented floor on the middle split (k=1 → 1e6,
+# k=2 → 500k/500k).
+#
+# Scale shape: one user-timeline window pass attaches every touch to
+# its next purchase (the reverse-first trick — no touch×purchase
+# join), then per-(user, conversion) windows rank positions; both ride
+# the same per-user shuffle every sessionization query pays. Touches
+# with no following purchase are excluded (the batch analog of the
+# stream_unattributed_views twin).
+# --------------------------------------------------------------------------
+@register(
+    "events_position_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    seg AS (
+        -- reverse-running purchase count: every touch shares its value
+        -- with the NEXT purchase in (ts, event_id) timeline order —
+        -- purchase ids need not be timeline-monotone, so a min-id
+        -- trick would attach touches to the wrong conversion
+        SELECT user_id, event_id, event_type, ts,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS seg_id
+        FROM ordered
+    ),
+    convs AS (
+        SELECT user_id, seg_id, event_id AS conv_id
+        FROM seg WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT s.user_id, c.conv_id, s.event_id AS touch_id,
+               s.event_type AS touch_type,
+               row_number() OVER (PARTITION BY s.user_id, s.seg_id
+                                  ORDER BY s.ts, s.event_id) AS pos,
+               count(*) OVER (PARTITION BY s.user_id, s.seg_id) AS k
+        FROM seg s JOIN convs c
+          ON c.user_id = s.user_id AND c.seg_id = s.seg_id
+        WHERE s.event_type <> 'purchase'
+    )
+    SELECT user_id, conv_id, touch_id, touch_type,
+           CAST(pos AS BIGINT) AS pos, CAST(k AS BIGINT) AS k_touches,
+           CAST(CASE
+             WHEN k = 1 THEN 1000000
+             WHEN k = 2 THEN 500000
+             WHEN pos = 1 OR pos = k THEN 400000
+             ELSE 200000 // (k - 2)
+           END AS BIGINT) AS credit_e6
+    FROM touches
+    """,
+    doc=(
+        "U-shaped multi-touch attribution: each purchase's preceding "
+        "view/click touches (since the user's prior purchase) share "
+        "credit 40/20/40 in exact 1e6 units — one user-timeline window "
+        "attaches touches to conversions, no touch-to-purchase join"
+    ),
+)
+def events_position_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Reverse-running purchase count: a touch and the NEXT purchase in
+    # (ts, event_id) timeline order share the same seg_id. Purchase ids
+    # are not guaranteed timeline-monotone, so "min future purchase id"
+    # would attach touches to the wrong conversion — the segment key is
+    # order-derived, never id-derived. The conv-id lookup is then a
+    # compact (user, seg) equi-join against the purchase rows only.
+    seg_id = F.count(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+    ).over(tl.rowsBetween(W.currentRow, W.unboundedFollowing))
+    seg = ev.select(
+        "user_id", "event_id", "event_type", "ts", seg_id.alias("seg_id")
+    )
+    convs = seg.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg_id", F.col("event_id").alias("conv_id")
+    )
+    touches = seg.filter(F.col("event_type") != "purchase").join(
+        convs, ["user_id", "seg_id"]
+    )
+    per = W.partitionBy("user_id", "seg_id")
+    ranked = touches.select(
+        "user_id",
+        "conv_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.row_number().over(per.orderBy("ts", "event_id")).alias("pos"),
+        F.count(F.lit(1)).over(per).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1_000_000))
+        .when(F.col("k") == 2, F.lit(500_000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")),
+            F.lit(400_000),
+        )
+        .otherwise(
+            floordiv(
+                F.lit(200_000).cast("long"),
+                (F.col("k") - 2).cast("long"),
+            )
+        )
+    )
+    return ranked.select(
+        "user_id",
+        "conv_id",
+        "touch_id",
+        "touch_type",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("k").cast("long").alias("k_touches"),
+        credit.cast("long").alias("credit_e6"),
+    )

@@ -246,6 +246,7 @@ HEADLINE = (
     "langid_eval_prf",
     "langid_cohens_kappa",
     "knn_label_noise",
+    "events_position_attribution",
 )
 
 

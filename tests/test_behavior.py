@@ -90,3 +90,71 @@ def test_benford_digits_from_exact_cents(spark, tmp_path):
         for r in events_benford_digits(spark, sf).collect()
     }
     assert rows == {1: (2, 666, 301), 2: (1, 333, 176)}
+
+
+# ---------------------------------------------------------------------------
+# Position-based multi-touch attribution
+# ---------------------------------------------------------------------------
+from algorithmproject_spark_spark.queries.behavior import (  # noqa: E402
+    events_position_attribution,
+)
+
+
+def test_attribution_u_shape_and_segments(spark, tmp_path):
+    # user 1: v,v,c → P(id 90); then v → P(id 91). First conversion has
+    # k=3 (400k/200k/400k), second k=1 (1e6). Purchase ids are NOT
+    # timeline-monotone (90 before 91 in time but after touch ids) —
+    # the segment key must come from timeline order, not id order.
+    sf = _events(
+        spark,
+        tmp_path,
+        [
+            _ev(1, 1, "view", 1),
+            _ev(2, 1, "view", 2),
+            _ev(3, 1, "click", 3),
+            _ev(90, 1, "purchase", 4),
+            _ev(4, 1, "view", 5),
+            _ev(91, 1, "purchase", 6),
+            # user 2: two touches then purchase with a SMALLER id than
+            # a later purchase of user 1 — and a trailing view that
+            # never converts (must be absent from the output)
+            _ev(5, 2, "view", 1),
+            _ev(6, 2, "click", 2),
+            _ev(50, 2, "purchase", 3),
+            _ev(7, 2, "view", 4),
+        ],
+    )
+    got = {
+        r.touch_id: (r.conv_id, r.pos, r.k_touches, r.credit_e6)
+        for r in events_position_attribution(spark, sf).collect()
+    }
+    assert got == {
+        1: (90, 1, 3, 400_000),
+        2: (90, 2, 3, 200_000),
+        3: (90, 3, 3, 400_000),
+        4: (91, 1, 1, 1_000_000),
+        5: (50, 1, 2, 500_000),
+        6: (50, 2, 2, 500_000),
+        # touch 7 unattributed → excluded
+    }
+
+
+def test_attribution_next_purchase_beats_smaller_later_id(spark, tmp_path):
+    # Adversarial id ordering: the SECOND purchase in time has the
+    # SMALLER event_id. A min-id assignment would send touch 1 to
+    # purchase 10; timeline order sends it to purchase 20.
+    sf = _events(
+        spark,
+        tmp_path,
+        [
+            _ev(1, 1, "view", 1),
+            _ev(20, 1, "purchase", 2),
+            _ev(2, 1, "view", 3),
+            _ev(10, 1, "purchase", 4),
+        ],
+    )
+    got = {
+        r.touch_id: r.conv_id
+        for r in events_position_attribution(spark, sf).collect()
+    }
+    assert got == {1: 20, 2: 10}
