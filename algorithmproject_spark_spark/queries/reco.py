@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import floordiv
-from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.registry import REGISTRY, register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 CAP_ITEMS = 8  # per-basket item cap — bounds pair expansion at K²
@@ -376,5 +376,122 @@ def supplier_ra_link_prediction(
             F.col("s2").alias("supp_j"),
             "common_parts",
             "ra_e9",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end CF recommendation: item-item similarities → per-customer
+# top-N. Completes the pipeline copurchase_cosine_topk starts — the
+# batch "customers also bought" table every commerce stack materializes
+# nightly.
+# --------------------------------------------------------------------------
+TOPK_RECS = 3
+
+_COPURCHASE_SQL = REGISTRY["copurchase_cosine_topk"].oracle
+
+
+@register(
+    "customer_item_recs_topk",
+    oracle=f"""
+    WITH sims AS ({_COPURCHASE_SQL}),
+    sym AS (
+        SELECT part_i AS src, part_j AS dst, cos2_e6 FROM sims
+        UNION ALL
+        SELECT part_j AS src, part_i AS dst, cos2_e6 FROM sims
+    ),
+    owned AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    cand AS (
+        SELECT w.cust, s.dst AS part,
+               CAST(sum(s.cos2_e6) AS BIGINT) AS score_e6,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM owned w JOIN sym s ON w.part = s.src
+        GROUP BY 1, 2
+    ),
+    fresh AS (
+        SELECT c.cust, c.part, c.score_e6, c.n_paths
+        FROM cand c LEFT JOIN owned w
+          ON w.cust = c.cust AND w.part = c.part
+        WHERE w.part IS NULL
+    )
+    SELECT cust AS c_custkey, part AS rec_part, score_e6, n_paths FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cust ORDER BY score_e6 DESC, part
+        ) AS rk FROM fresh
+    ) WHERE rk <= {TOPK_RECS}
+    """,
+    doc=(
+        "per-customer top-3 'also bought' recommendations: broadcast "
+        "the top-30 item-item cosine pairs against each customer's "
+        "owned-part profile, sum similarity over paths, anti-join out "
+        "already-owned parts — the nightly batch CF table"
+    ),
+)
+def customer_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF recommendations from the co-purchase similarity graph.
+
+    Scale shape: the similarity relation is the top-{TOPK_PAIRS} pair
+    table — a bounded dimension, broadcast to both the scoring join
+    and nothing else; the owned-profile relation shuffles once on its
+    natural (cust, part) key for the distinct, then the scoring join
+    is map-side (broadcast), the candidate agg shuffles compact
+    (cust, part) keys, and the already-owned filter is a native
+    left_anti join on the same key the profile is already partitioned
+    by. No step is quadratic in customers, parts, or baskets; the only
+    data-scale shuffle is the profile distinct every CF variant pays.
+    """
+    sims = copurchase_cosine_topk(spark, sf_dir).select(
+        "part_i", "part_j", "cos2_e6"
+    )
+    sym = sims.select(
+        F.col("part_i").alias("src"),
+        F.col("part_j").alias("dst"),
+        "cos2_e6",
+    ).unionAll(
+        sims.select(
+            F.col("part_j").alias("src"),
+            F.col("part_i").alias("dst"),
+            "cos2_e6",
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    owned = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    cand = (
+        owned.join(F.broadcast(sym), owned["part"] == sym["src"])
+        .groupBy("cust", F.col("dst").alias("rec"))
+        .agg(
+            F.sum("cos2_e6").cast("long").alias("score_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+        )
+    )
+    fresh = cand.join(
+        owned.select("cust", F.col("part").alias("rec")),
+        ["cust", "rec"],
+        "left_anti",
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("cust").orderBy(F.desc("score_e6"), F.asc("rec"))
+    return (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_RECS)
+        .select(
+            F.col("cust").alias("c_custkey"),
+            F.col("rec").alias("rec_part"),
+            "score_e6",
+            "n_paths",
         )
     )

@@ -247,6 +247,7 @@ HEADLINE = (
     "langid_cohens_kappa",
     "knn_label_noise",
     "events_position_attribution",
+    "customer_item_recs_topk",
 )
 
 
