@@ -378,3 +378,140 @@ def customer_band_migration(
         .groupBy("band_then", "band_now")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonally-adjusted robust outlier days: remove the day-of-week mean
+# (the dominant periodic component events_dow_profile measures), then
+# flag days whose residual departs more than 3 MADs from the residual
+# median — the robust volume-anomaly detector that neither raw-count
+# thresholds (fooled by weekends) nor mean/stddev flags (broken by the
+# outliers they hunt) give you. Exact integers end to end: dow means
+# in 1e6 units (count·1e6 div days-observed), lower-medians over the
+# compacted per-day relation (one row per day — calendar-bounded, so
+# the single-partition median windows are windows over a dimension,
+# the events_mad_outliers discipline).
+# --------------------------------------------------------------------------
+@register(
+    "events_dow_adjusted_outliers",
+    plan=("scalar_cross", "global_sort"),
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    dowm AS (
+        SELECT day % 7 AS dow,
+               CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS mean_e6
+        FROM daily GROUP BY 1
+    ),
+    resid AS (
+        SELECT d.day, d.day % 7 AS dow, d.n,
+               d.n * 1000000 - m.mean_e6 AS r_e6
+        FROM daily d JOIN dowm m ON d.day % 7 = m.dow
+    ),
+    med AS (
+        SELECT MIN(CASE WHEN rn * 2 >= cnt THEN r_e6 END) AS med_e6
+        FROM (
+            SELECT r_e6,
+                   row_number() OVER (ORDER BY r_e6) AS rn,
+                   count(*) OVER () AS cnt
+            FROM resid
+        )
+    ),
+    mad AS (
+        SELECT MIN(CASE WHEN rn * 2 >= cnt THEN dev END) AS mad_e6
+        FROM (
+            SELECT abs(r.r_e6 - m.med_e6) AS dev,
+                   row_number() OVER (ORDER BY abs(r.r_e6 - m.med_e6)) AS rn,
+                   count(*) OVER () AS cnt
+            FROM resid r CROSS JOIN med m
+        )
+    )
+    SELECT r.day, r.dow, r.n, r.r_e6,
+           CASE WHEN abs(r.r_e6 - m.med_e6) > 3 * a.mad_e6
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM resid r CROSS JOIN med m CROSS JOIN mad a
+    """,
+    doc=(
+        "seasonally-adjusted robust outlier days: per-day counts minus "
+        "the day-of-week mean (1e6 units), flagged when the residual "
+        "departs >3 MADs from the residual median — dow profile + "
+        "robust stats composed, exact integers throughout"
+    ),
+)
+def events_dow_adjusted_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(_epoch_day().alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dowm = daily.groupBy((F.col("day") % 7).alias("dow")).agg(
+        floordiv(
+            F.sum("n") * F.lit(1_000_000).cast("long"),
+            F.count(F.lit(1)).cast("long"),
+        ).alias("mean_e6")
+    )
+    resid = daily.join(dowm, daily["day"] % 7 == dowm["dow"]).select(
+        "day",
+        "dow",
+        "n",
+        (F.col("n") * F.lit(1_000_000).cast("long") - F.col("mean_e6"))
+        .alias("r_e6"),
+    )
+    # Lower-median windows run over the per-day relation — one row per
+    # calendar day, a bounded dimension (the global_sort trait below
+    # declares the intentional single-partition window).
+    wall = W.orderBy("r_e6").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    med = (
+        resid.select(
+            "r_e6",
+            F.row_number().over(W.orderBy("r_e6")).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("cnt"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("rn") * 2 >= F.col("cnt"), F.col("r_e6"))
+            ).alias("med_e6")
+        )
+    )
+    dev = resid.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("r_e6") - F.col("med_e6")).alias("dev")
+    )
+    wdev = W.orderBy("dev").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    mad = (
+        dev.select(
+            "dev",
+            F.row_number().over(W.orderBy("dev")).alias("rn"),
+            F.count(F.lit(1)).over(wdev).alias("cnt"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("rn") * 2 >= F.col("cnt"), F.col("dev"))
+            ).alias("mad_e6")
+        )
+    )
+    return (
+        resid.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "dow",
+            "n",
+            "r_e6",
+            F.when(
+                F.abs(F.col("r_e6") - F.col("med_e6"))
+                > 3 * F.col("mad_e6"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_outlier"),
+        )
+    )

@@ -248,6 +248,7 @@ HEADLINE = (
     "knn_label_noise",
     "events_position_attribution",
     "customer_item_recs_topk",
+    "events_dow_adjusted_outliers",
 )
 
 

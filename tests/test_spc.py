@@ -165,3 +165,42 @@ def test_udtf_first_occurrence_state(spark, tmp_path):
         for r in doc_token_positions_udtf(spark, sf).collect()
     }
     assert got == {"a": (2, 1, 1), "b": (3, 2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted robust outliers
+# ---------------------------------------------------------------------------
+from algorithmproject_spark_spark.queries.spc import (  # noqa: E402
+    events_dow_adjusted_outliers,
+)
+
+
+def test_dow_adjusted_flags_only_the_seasonal_break(spark, tmp_path):
+    # Two full weeks: weekdays carry 10 events, the two weekend dows
+    # carry 100 — a raw-count detector would flag every weekend. Week 2
+    # has ONE weekday spiking to 40: after dow-mean removal it is the
+    # only large residual.
+    evs, eid = [], 0
+    for day in range(1, 15):
+        dow = (dt.date(2024, 1, day) - dt.date(1970, 1, 1)).days % 7
+        n = 100 if dow in (2, 3) else 10
+        if day == 10 and dow not in (2, 3):
+            n = 40
+        for _ in range(n):
+            eid += 1
+            evs.append(_ev(eid, "view", day))
+    sf = _write(spark, tmp_path, "events", evs)
+    rows = {r.day: r for r in events_dow_adjusted_outliers(spark, sf).collect()}
+    spike_day = (dt.date(2024, 1, 10) - dt.date(1970, 1, 1)).days
+    assert rows[spike_day].is_outlier == 1
+    # with 2 observations per dow the spike also shifts its OWN dow
+    # mean, so its partner day legitimately deviates too — but no day
+    # of any OTHER dow may be flagged (raw-count detectors would flag
+    # every 100-event weekend)
+    spike_dow = rows[spike_day].dow
+    for r in rows.values():
+        if r.dow != spike_dow:
+            assert r.is_outlier == 0
+    # weekend days sit exactly on their dow mean → residual 0
+    weekend = [r for r in rows.values() if r.dow in (2, 3)]
+    assert weekend and all(r.r_e6 == 0 for r in weekend)
