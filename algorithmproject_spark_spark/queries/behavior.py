@@ -542,3 +542,116 @@ def events_position_attribution(
         F.col("k").cast("long").alias("k_touches"),
         credit.cast("long").alias("credit_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bit-packed per-user activity calendar + streak stats. Retention
+# infrastructure trick: the last 63 days of activity packed into ONE
+# BIGINT per user (bit i = active on max_day − i), so streaks, recency
+# and frequency all become integer bit arithmetic — no window over the
+# user's timeline, no per-day rows retained after the first agg. The
+# longest-streak fold runs over the 63 bit POSITIONS (a constant-size
+# HOF, map-only), with the (cur, best) pair packed into one integer
+# (cur·128 + best — both < 128) so the identical fold runs in Spark's
+# aggregate() and DuckDB's list_reduce() without struct accumulators.
+# Current streak = trailing ones via the mask & ~(mask+1) identity.
+# --------------------------------------------------------------------------
+ACTIVITY_WINDOW = 63  # days; bits fit one signed BIGINT with room
+
+
+@register(
+    "user_activity_bitmask",
+    plan=("scalar_cross",),
+    oracle=f"""
+    WITH days AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day
+        FROM events
+    ),
+    mx AS (SELECT max(day) AS max_day FROM days),
+    masks AS (
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT) << CAST(mx.max_day - day AS INT))
+                   AS mask
+        FROM days CROSS JOIN mx
+        WHERE mx.max_day - day < {ACTIVITY_WINDOW}
+        GROUP BY user_id
+    )
+    SELECT user_id, mask,
+           CAST(bit_count(mask) AS BIGINT) AS n_active,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(0, {ACTIVITY_WINDOW}),
+                                           i_ -> CAST(i_ AS BIGINT))),
+               (acc_, i_) -> CASE
+                   WHEN (mask >> CAST(i_ AS INT)) & 1 = 1
+                   THEN (acc_ // 128 + 1) * 128
+                        + greatest(acc_ % 128, acc_ // 128 + 1)
+                   ELSE acc_ % 128
+               END
+           ) % 128 AS BIGINT) AS longest_streak,
+           CAST(bit_count(mask & ~(mask + 1)) AS BIGINT)
+               AS current_streak
+    FROM masks
+    """,
+    doc=(
+        "per-user 63-day activity calendar packed into one BIGINT "
+        "(bit i = active max_day−i): active-day count, longest streak "
+        "(constant-size fold over bit positions, integer-packed "
+        "accumulator), current streak (trailing-ones bit identity) — "
+        "retention stats with no per-user timeline window"
+    ),
+)
+def user_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    mx = ev.agg(F.max("day").alias("max_day"))
+    masks = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("max_day") - F.col("day") < ACTIVITY_WINDOW)
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(max_day - day as int))")
+            ).alias("mask")
+        )
+    )
+    # (cur, best) packed as cur·128 + best: both bounded by the 63-bit
+    # window, and the fold is branch-identical to the DuckDB twin.
+    # Built with expr() because PySpark's F.shiftright only takes a
+    # Python-int shift amount while the fold needs the lambda's `i`;
+    # the underlying SQL function accepts a column. `div` (never `/`,
+    # which is double division) keeps the unpack exact.
+    masks = masks.withColumn(
+        "longest_streak",
+        F.expr(
+            f"""
+            CAST(aggregate(
+                sequence(0, {ACTIVITY_WINDOW - 1}),
+                CAST(0 AS BIGINT),
+                (acc, i) -> CASE
+                    WHEN (shiftright(mask, i) & 1) = 1
+                    THEN (acc div 128 + 1) * 128
+                         + greatest(acc % 128, acc div 128 + 1)
+                    ELSE acc % 128
+                END
+            ) % 128 AS BIGINT)
+            """
+        ),
+    )
+    return masks.select(
+        "user_id",
+        "mask",
+        F.bit_count("mask").cast("long").alias("n_active"),
+        "longest_streak",
+        F.bit_count(
+            F.col("mask").bitwiseAND(F.bitwise_not(F.col("mask") + 1))
+        )
+        .cast("long")
+        .alias("current_streak"),
+    )

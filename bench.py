@@ -249,6 +249,7 @@ HEADLINE = (
     "events_position_attribution",
     "customer_item_recs_topk",
     "events_dow_adjusted_outliers",
+    "user_activity_bitmask",
 )
 
 

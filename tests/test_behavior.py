@@ -158,3 +158,45 @@ def test_attribution_next_purchase_beats_smaller_later_id(spark, tmp_path):
         for r in events_position_attribution(spark, sf).collect()
     }
     assert got == {1: 20, 2: 10}
+
+
+# ---------------------------------------------------------------------------
+# Activity bitmask streaks
+# ---------------------------------------------------------------------------
+from algorithmproject_spark_spark.queries.behavior import (  # noqa: E402
+    user_activity_bitmask,
+)
+
+
+def test_bitmask_streaks_hand_computed(spark, tmp_path):
+    # max day = Jan 10. user 1 active on days 10,9,8,5,4 (offsets
+    # 0,1,2,5,6): mask 0b1100111, current streak 3, longest 3, n=5.
+    # user 2 active only day 3 (offset 7): current 0, longest 1.
+    # user 3 active every day 1..10: current=longest=10.
+    def _day_ev(eid, uid, day):
+        return Row(
+            event_id=eid,
+            ts=dt.datetime(2024, 1, day),
+            user_id=uid,
+            event_type="view",
+            value=1.0,
+            props="{}",
+        )
+
+    evs, eid = [], 0
+    for day in (10, 9, 8, 5, 4):
+        eid += 1
+        evs.append(_day_ev(eid, 1, day))
+    eid += 1
+    evs.append(_day_ev(eid, 2, 3))
+    for day in range(1, 11):
+        eid += 1
+        evs.append(_day_ev(eid, 3, day))
+    sf = _events(spark, tmp_path, evs)
+    got = {
+        r.user_id: (r.n_active, r.longest_streak, r.current_streak, r.mask)
+        for r in user_activity_bitmask(spark, sf).collect()
+    }
+    assert got[1] == (5, 3, 3, 0b1100111)
+    assert got[2] == (1, 1, 0, 1 << 7)
+    assert got[3] == (10, 10, 10, (1 << 10) - 1)
