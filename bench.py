@@ -250,6 +250,7 @@ HEADLINE = (
     "customer_item_recs_topk",
     "events_dow_adjusted_outliers",
     "user_activity_bitmask",
+    "user_churn_features",
 )
 
 
