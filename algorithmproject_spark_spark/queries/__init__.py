@@ -79,3 +79,4 @@ from algorithmproject_spark_spark.queries import udtf_demo  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import evalmetrics  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import labelnoise  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import churn  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import datacard  # noqa: F401,E402

@@ -1,0 +1,144 @@
+"""Corpus data card — the one-row summary a training run ships with.
+
+Data documentation practice (Datasheets for Datasets, Gebru et al.
+2021; model cards) wants every released corpus to carry its headline
+statistics. At 100 TB the card IS a distributed computation: this
+query composes four already-oracle-checked per-document relations into
+one row of exact-integer corpus facts:
+
+- volume: doc count, total whitespace tokens, mean tokens/doc (1e3)
+- quality: share of docs passing the curation gate (1e6)
+- duplication: share of docs whose full-text rolling-hash fingerprint
+  collides with an earlier doc (1e6)
+- language mix: number of languages + Shannon entropy of the language
+  distribution in exact micro-nats (per-row-floored c·ln c, the
+  user_event_entropy discipline — integer sums are partition-order
+  independent, float sums are not)
+
+Scale shape: each component is one aggregation over a map-only
+per-doc relation; the five 1-row aggregates meet in broadcast
+cross-joins (the plan-linter-sanctioned scalar pattern). The corpus
+text is scanned once per component family — and those components are
+the cached derived relations sibling queries in a session already
+share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.numeric import floordiv
+from algorithmproject_spark_spark.registry import REGISTRY, register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+_TOKSTATS_SQL = REGISTRY["doc_token_stats"].oracle
+_QUALITY_SQL = REGISTRY["doc_quality_score"].oracle
+_FP_SQL = REGISTRY["doc_fingerprint"].oracle
+
+
+@register(
+    "corpus_datacard",
+    plan=("scalar_cross",),
+    oracle=f"""
+    WITH ts AS ({_TOKSTATS_SQL}),
+    q AS ({_QUALITY_SQL}),
+    fp AS ({_FP_SQL}),
+    vol AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM ts
+    ),
+    keep AS (SELECT CAST(sum(keep) AS BIGINT) AS n_keep FROM q),
+    dup AS (
+        SELECT CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT)
+                   AS n_dups
+        FROM fp
+    ),
+    lc AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang
+    ),
+    lent AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(sum(CAST(floor(c * ln(c) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS s_e6,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM lc
+    )
+    SELECT vol.n_docs, vol.total_tokens,
+           CAST(vol.total_tokens * 1000 // vol.n_docs AS BIGINT)
+               AS mean_doc_tokens_e3,
+           CAST(keep.n_keep * 1000000 // vol.n_docs AS BIGINT)
+               AS keep_rate_e6,
+           CAST(dup.n_dups * 1000000 // vol.n_docs AS BIGINT)
+               AS dup_rate_e6,
+           lent.n_langs,
+           CAST(floor(ln(lent.n) * 1000000.0 + 0.5) AS BIGINT)
+               - lent.s_e6 // lent.n AS lang_entropy_e6
+    FROM vol CROSS JOIN keep CROSS JOIN dup CROSS JOIN lent
+    """,
+    doc=(
+        "corpus data card: one exact-integer row of release statistics "
+        "— volume (docs, tokens, mean doc length), curation keep rate, "
+        "exact-dup rate via rolling-hash fingerprints, language count "
+        "and mix entropy in micro-nats — Datasheets-for-Datasets as a "
+        "distributed query"
+    ),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vol = REGISTRY["doc_token_stats"].fn(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    keep = REGISTRY["doc_quality_score"].fn(spark, sf_dir).agg(
+        F.sum("keep").cast("long").alias("n_keep")
+    )
+    dup = REGISTRY["doc_fingerprint"].fn(spark, sf_dir).agg(
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint"))
+        .cast("long")
+        .alias("n_dups")
+    )
+    lc = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lent = lc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(
+            F.floor(
+                F.col("c").cast("double") * F.log(F.col("c")) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s_e6"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    e6 = F.lit(1_000_000).cast("long")
+    return (
+        vol.crossJoin(F.broadcast(keep))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(lent))
+        .select(
+            "n_docs",
+            "total_tokens",
+            floordiv(
+                F.col("total_tokens") * F.lit(1_000).cast("long"),
+                F.col("n_docs"),
+            ).alias("mean_doc_tokens_e3"),
+            floordiv(F.col("n_keep") * e6, F.col("n_docs")).alias(
+                "keep_rate_e6"
+            ),
+            floordiv(F.col("n_dups") * e6, F.col("n_docs")).alias(
+                "dup_rate_e6"
+            ),
+            "n_langs",
+            (
+                F.floor(F.log(F.col("n")) * F.lit(1e6) + F.lit(0.5)).cast(
+                    "long"
+                )
+                - floordiv(F.col("s_e6"), F.col("n"))
+            ).alias("lang_entropy_e6"),
+        )
+    )

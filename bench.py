@@ -251,6 +251,7 @@ HEADLINE = (
     "events_dow_adjusted_outliers",
     "user_activity_bitmask",
     "user_churn_features",
+    "corpus_datacard",
 )
 
 
