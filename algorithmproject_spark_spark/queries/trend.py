@@ -384,3 +384,89 @@ def events_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("yb") * F.sum("yb")
         ).alias("den_y"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-type inter-arrival time quantiles — the latency-distribution view
+# of the event stream (burst detection thresholds, SLA percentiles,
+# arrival-process modeling all start here). Exact order statistics via
+# the compacted-distribution pattern (events_exact_global_quantiles):
+# the per-type windows run over DISTINCT gap values, never data rows.
+# --------------------------------------------------------------------------
+@register(
+    "events_interarrival_quantiles",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT)
+               - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ),
+    dist AS (
+        SELECT event_type, gap_us, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE gap_us IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, gap_us,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY gap_us)
+                   AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM dist
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN gap_us END)
+                AS BIGINT) AS p50_us,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN gap_us END)
+                AS BIGINT) AS p90_us,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_us END)
+                AS BIGINT) AS p99_us
+    FROM cum GROUP BY event_type
+    """,
+    doc=(
+        "exact per-type inter-arrival quantiles (p50/p90/p99 in "
+        "microseconds): lag over the per-type timeline, then the "
+        "compacted (gap, count) distribution selects exact order "
+        "statistics — windows over distinct gaps, never data rows"
+    ),
+)
+def events_interarrival_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    tl = W.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "event_type", (us - F.lag(us).over(tl)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    dist = seq.groupBy("event_type", "gap_us").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = W.partitionBy("event_type")
+    cum = dist.select(
+        "event_type",
+        "gap_us",
+        F.sum("c")
+        .over(wt.orderBy("gap_us").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c")
+        .over(wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n"),
+    )
+
+    def q(p: int) -> F.Column:  # type: ignore[name-defined]
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("gap_us"))
+        ).cast("long")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        q(50).alias("p50_us"),
+        q(90).alias("p90_us"),
+        q(99).alias("p99_us"),
+    )

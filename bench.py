@@ -252,6 +252,7 @@ HEADLINE = (
     "user_activity_bitmask",
     "user_churn_features",
     "corpus_datacard",
+    "events_interarrival_quantiles",
 )
 
 
