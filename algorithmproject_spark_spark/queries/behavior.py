@@ -591,8 +591,13 @@ ACTIVITY_WINDOW = 63  # days; bits fit one signed BIGINT with room
                    ELSE acc_ % 128
                END
            ) % 128 AS BIGINT) AS longest_streak,
-           CAST(bit_count(mask & ~(mask + 1)) AS BIGINT)
-               AS current_streak
+           -- all-63-days mask is BIGINT max: mask+1 would overflow
+           -- (loudly, in both engines) — handle the full window as its
+           -- own case
+           CAST(CASE WHEN mask = 9223372036854775807
+                     THEN {ACTIVITY_WINDOW}
+                     ELSE bit_count(mask & ~(mask + 1)) END
+                AS BIGINT) AS current_streak
     FROM masks
     """,
     doc=(
@@ -644,13 +649,21 @@ def user_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     )
+    # The all-63-days mask is BIGINT max; mask+1 would raise on ANSI
+    # overflow in both engines, so the full window is its own case.
+    full = F.lit((1 << ACTIVITY_WINDOW) - 1).cast("long")
     return masks.select(
         "user_id",
         "mask",
         F.bit_count("mask").cast("long").alias("n_active"),
         "longest_streak",
-        F.bit_count(
-            F.col("mask").bitwiseAND(F.bitwise_not(F.col("mask") + 1))
+        F.when(F.col("mask") == full, F.lit(ACTIVITY_WINDOW))
+        .otherwise(
+            F.bit_count(
+                F.col("mask").bitwiseAND(
+                    F.bitwise_not(F.col("mask") + 1)
+                )
+            )
         )
         .cast("long")
         .alias("current_streak"),

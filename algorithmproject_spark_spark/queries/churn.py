@@ -92,8 +92,11 @@ CAST(list_reduce(
                AS events_per_active_day_e3,
            CAST(n_active_days * 1000 // (max_day - first_day + 1)
                 AS BIGINT) AS active_share_e3,
-           CAST(bit_count(mask & ~(mask + 1)) AS BIGINT)
-               AS current_streak,
+           -- all-63-days mask is BIGINT max: mask+1 would overflow
+           CAST(CASE WHEN mask = 9223372036854775807
+                     THEN {ACTIVITY_WINDOW}
+                     ELSE bit_count(mask & ~(mask + 1)) END
+                AS BIGINT) AS current_streak,
            {_SQL_STREAK_FOLD} AS longest_streak
     FROM agg
     """,
@@ -152,8 +155,17 @@ def user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         floordiv(
             F.col("n_active_days") * F.lit(1_000).cast("long"), tenure
         ).alias("active_share_e3"),
-        F.bit_count(
-            F.col("mask").bitwiseAND(F.bitwise_not(F.col("mask") + 1))
+        # all-63-days mask is BIGINT max; mask+1 would raise on ANSI
+        # overflow — the full window is its own case (CASE branches
+        # are per-row short-circuited in both engines' execution)
+        F.when(
+            F.col("mask") == F.lit((1 << ACTIVITY_WINDOW) - 1).cast("long"),
+            F.lit(ACTIVITY_WINDOW),
+        )
+        .otherwise(
+            F.bit_count(
+                F.col("mask").bitwiseAND(F.bitwise_not(F.col("mask") + 1))
+            )
         )
         .cast("long")
         .alias("current_streak"),

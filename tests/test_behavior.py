@@ -200,3 +200,32 @@ def test_bitmask_streaks_hand_computed(spark, tmp_path):
     assert got[1] == (5, 3, 3, 0b1100111)
     assert got[2] == (1, 1, 0, 1 << 7)
     assert got[3] == (10, 10, 10, (1 << 10) - 1)
+
+
+def test_bitmask_full_window_does_not_overflow(spark, tmp_path):
+    # A user active on EVERY day of the 63-day window packs mask =
+    # 2^63-1 (BIGINT max) — the naive trailing-ones identity computes
+    # mask+1 and raises on ANSI overflow; the full window must instead
+    # report a 63-day streak.
+    evs = []
+    for i, day_off in enumerate(range(63)):
+        evs.append(Row(
+            event_id=i + 1,
+            ts=dt.datetime(2024, 1, 1) + dt.timedelta(days=day_off),
+            user_id=1,
+            event_type="view",
+            value=1.0,
+            props="{}",
+        ))
+    sf = _events(spark, tmp_path, evs)
+    [r] = user_activity_bitmask(spark, sf).collect()
+    assert r.mask == (1 << 63) - 1
+    assert (r.n_active, r.longest_streak, r.current_streak) == (63, 63, 63)
+
+    from algorithmproject_spark_spark.queries.churn import (
+        user_churn_features,
+    )
+
+    [c] = user_churn_features(spark, sf).collect()
+    assert (c.current_streak, c.longest_streak) == (63, 63)
+    assert (c.tenure_days, c.recency_days, c.n_active_days) == (63, 0, 63)
