@@ -264,15 +264,21 @@ def test_q4_exists_is_semi_join(spark):
 
 
 def test_ngram_jaccard_filters_both_posting_sides(spark):
-    """The rare-shingle (df-capped) filter must reach BOTH children of
-    the candidate self-join: a.g == b.g with a.g rare implies b.g rare,
-    so shuffling the unfiltered posting table on the b-side is pure
-    waste — at 100 TB it would dominate the query."""
+    """Both children of the candidate self-join must consume the
+    df-capped posting relation — shuffling the unfiltered posting
+    table on either side would dominate the query at 100 TB. The
+    relation is pinned once (localCheckpoint: Catalyst does not dedupe
+    identical subtrees), so the optimized plan shows the pinned scan
+    on BOTH join children and the df filter runs exactly once,
+    upstream of the pin — not zero times, and not once per side."""
     import re
 
     df = REGISTRY["ngram_jaccard_index_pairs"].fn(spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert len(re.findall(r"df#\d+L? >= 2", opt)) >= 2
+    # pinned (pre-filtered) relation on both self-join sides
+    assert opt.count("LogicalRDD") >= 2
+    # the df filter itself no longer appears downstream of the pin
+    assert len(re.findall(r"df#\d+L? >= 2", opt)) == 0
 
 
 def test_q2_correlated_min_is_reaggregation_not_subquery(spark):
