@@ -80,3 +80,4 @@ from algorithmproject_spark_spark.queries import evalmetrics  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import labelnoise  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import churn  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import datacard  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import scorecards  # noqa: F401,E402

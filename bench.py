@@ -253,6 +253,8 @@ HEADLINE = (
     "user_churn_features",
     "corpus_datacard",
     "events_interarrival_quantiles",
+    "source_quality_profile",
+    "supplier_scorecard",
 )
 
 
