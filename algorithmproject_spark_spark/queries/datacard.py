@@ -65,16 +65,26 @@ _FP_SQL = REGISTRY["doc_fingerprint"].oracle
                CAST(sum(c) AS BIGINT) AS n
         FROM lc
     )
-    SELECT vol.n_docs, vol.total_tokens,
-           CAST(vol.total_tokens * 1000 // vol.n_docs AS BIGINT)
-               AS mean_doc_tokens_e3,
-           CAST(keep.n_keep * 1000000 // vol.n_docs AS BIGINT)
-               AS keep_rate_e6,
-           CAST(dup.n_dups * 1000000 // vol.n_docs AS BIGINT)
-               AS dup_rate_e6,
+    SELECT vol.n_docs,
+           coalesce(vol.total_tokens, 0) AS total_tokens,
+           -- empty-corpus contract: every figure is 0, in BOTH engines
+           -- (Spark's ANSI div raises on /0 while DuckDB's // returns
+           -- NULL — edge-sweep finding; the explicit guard removes the
+           -- divergent failure behavior)
+           CAST(CASE WHEN vol.n_docs = 0 THEN 0
+                     ELSE vol.total_tokens * 1000 // vol.n_docs END
+                AS BIGINT) AS mean_doc_tokens_e3,
+           CAST(CASE WHEN vol.n_docs = 0 THEN 0
+                     ELSE keep.n_keep * 1000000 // vol.n_docs END
+                AS BIGINT) AS keep_rate_e6,
+           CAST(CASE WHEN vol.n_docs = 0 THEN 0
+                     ELSE dup.n_dups * 1000000 // vol.n_docs END
+                AS BIGINT) AS dup_rate_e6,
            lent.n_langs,
-           CAST(floor(ln(lent.n) * 1000000.0 + 0.5) AS BIGINT)
-               - lent.s_e6 // lent.n AS lang_entropy_e6
+           CAST(CASE WHEN lent.n IS NULL OR lent.n = 0 THEN 0
+                     ELSE CAST(floor(ln(lent.n) * 1000000.0 + 0.5)
+                               AS BIGINT) - lent.s_e6 // lent.n END
+                AS BIGINT) AS lang_entropy_e6
     FROM vol CROSS JOIN keep CROSS JOIN dup CROSS JOIN lent
     """,
     doc=(
@@ -116,29 +126,41 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n"),
     )
     e6 = F.lit(1_000_000).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def rate(num, alias):
+        # empty-corpus contract: 0, never a divide-by-zero (ANSI raises
+        # where DuckDB's // would NULL — the edge-sweep divergence class)
+        return (
+            F.when(F.col("n_docs") == 0, zero)
+            .otherwise(floordiv(num, F.col("n_docs")))
+            .alias(alias)
+        )
+
     return (
         vol.crossJoin(F.broadcast(keep))
         .crossJoin(F.broadcast(dup))
         .crossJoin(F.broadcast(lent))
         .select(
             "n_docs",
-            "total_tokens",
-            floordiv(
-                F.col("total_tokens") * F.lit(1_000).cast("long"),
-                F.col("n_docs"),
-            ).alias("mean_doc_tokens_e3"),
-            floordiv(F.col("n_keep") * e6, F.col("n_docs")).alias(
-                "keep_rate_e6"
+            F.coalesce("total_tokens", zero).alias("total_tokens"),
+            rate(
+                F.coalesce("total_tokens", zero)
+                * F.lit(1_000).cast("long"),
+                "mean_doc_tokens_e3",
             ),
-            floordiv(F.col("n_dups") * e6, F.col("n_docs")).alias(
-                "dup_rate_e6"
-            ),
+            rate(F.coalesce("n_keep", zero) * e6, "keep_rate_e6"),
+            rate(F.coalesce("n_dups", zero) * e6, "dup_rate_e6"),
             "n_langs",
-            (
+            F.when(
+                F.col("n").isNull() | (F.col("n") == 0), zero
+            )
+            .otherwise(
                 F.floor(F.log(F.col("n")) * F.lit(1e6) + F.lit(0.5)).cast(
                     "long"
                 )
                 - floordiv(F.col("s_e6"), F.col("n"))
-            ).alias("lang_entropy_e6"),
+            )
+            .alias("lang_entropy_e6"),
         )
     )

@@ -155,7 +155,11 @@ def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
         FROM mg_h GROUP BY g
     ),
     mg_u AS (SELECT DISTINCT unnest(mins) AS h FROM mg_sk),
-    mg_m AS (SELECT list_slice(list_sort(list(h)), 1, {KMV_K}) AS mins FROM mg_u)
+    -- list(h) over ZERO rows is NULL in DuckDB while Spark's
+    -- collect_list is [] — coalesce so an empty events table yields
+    -- the same (0, NULL, 0) row in both engines (edge-sweep finding)
+    mg_m AS (SELECT list_slice(list_sort(coalesce(list(h),
+                    CAST([] AS BIGINT[]))), 1, {KMV_K}) AS mins FROM mg_u)
     SELECT CAST(len(mins) AS BIGINT) AS kmv_size,
            CAST(mins[len(mins)] AS BIGINT) AS kth_min,
            CASE WHEN len(mins) < {KMV_K} THEN CAST(len(mins) AS BIGINT)
