@@ -223,6 +223,13 @@ def corpus_pagerank(
     )
     nodes = tracked_cache(edges.select(F.col("src").alias("word")).distinct())
     n = nodes.count()
+    if n == 0:
+        # empty corpus → empty rank table (the DuckDB twin's CTE chain
+        # yields zero rows; without this guard the driver-side base
+        # division raises ZeroDivisionError — edge-sweep finding)
+        return nodes.select(
+            "word", F.lit(0).cast("long").alias("rank")
+        )
     base = (scale * 3 // 20) // n
     ranks = nodes.select("word", F.lit(scale // n).cast("long").alias("rank"))
     for _ in range(iterations):

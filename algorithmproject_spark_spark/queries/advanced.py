@@ -84,6 +84,11 @@ def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark emits ZERO rows for grouping sets over an empty input,
+    -- DuckDB emits the SQL-standard grand-total row; on any non-empty
+    -- table every rollup group contains >=1 row, so this HAVING only
+    -- pins the empty-input behavior to Spark's (edge-sweep finding)
+    HAVING count(*) > 0
     """,
     doc="ROLLUP aggregate (reference has no grouping sets at all)",
 )
@@ -101,6 +106,8 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0  -- pin Spark's empty-input grouping-set
+                         -- semantics (see rollup twin)
     """,
     doc="CUBE aggregate over two dimensions",
 )

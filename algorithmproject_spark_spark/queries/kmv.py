@@ -215,16 +215,22 @@ def _sql_est(mins: str, k: int = KMV_K) -> str:
                user_id
         FROM events WHERE event_type IN ('view', 'purchase')
     ),
+    -- coalesce to a typed empty list: DuckDB's list() over zero rows
+    -- is NULL while Spark's collect_set is [] (edge-sweep finding;
+    -- same fix as the merge query)
     ki_a AS (
-        SELECT list_slice(list_sort(list(DISTINCT h)), 1, {KMV_K}) AS mins
+        SELECT list_slice(list_sort(coalesce(list(DISTINCT h),
+               CAST([] AS BIGINT[]))), 1, {KMV_K}) AS mins
         FROM ki_h WHERE event_type = 'view'
     ),
     ki_b AS (
-        SELECT list_slice(list_sort(list(DISTINCT h)), 1, {KMV_K}) AS mins
+        SELECT list_slice(list_sort(coalesce(list(DISTINCT h),
+               CAST([] AS BIGINT[]))), 1, {KMV_K}) AS mins
         FROM ki_h WHERE event_type = 'purchase'
     ),
     ki_u AS (
-        SELECT list_slice(list_sort(list(h)), 1, {KMV_K}) AS mins
+        SELECT list_slice(list_sort(coalesce(list(h),
+               CAST([] AS BIGINT[]))), 1, {KMV_K}) AS mins
         FROM (SELECT DISTINCT unnest(mins) AS h
               FROM (SELECT mins FROM ki_a UNION ALL SELECT mins FROM ki_b))
     ),
