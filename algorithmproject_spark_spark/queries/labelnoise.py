@@ -8,15 +8,18 @@ nearest neighbors mostly carry a DIFFERENT label is a suspect (Northcutt
 et al., "Confident Learning", JAIR 2021 — this is the k-NN agreement
 variant, the form that needs no model probabilities).
 
-Scale shape: neighbors come from the vector's own IVF cell (the
-``nprobe=1`` posture), so candidate generation is an equi-join on the
-cell key — linear in vectors × cell size, never all-pairs; cell size is
-bounded by the ``cells_for(n)`` knob exactly as in the ANN top-k path.
-Within-cell work is the same O(cell²) kernel as SemDeDup, with the same
-documented bound. Per-vector top-k keeps ties deterministic
-(cosine_e6 DESC, neighbor id ASC). Singleton-cell vectors still emit a
-row (k_eff = 0, not suspect) via the left spine join, so the output is
-a complete per-vector verdict table.
+Scale shape — the full SemDeDup discipline (queries/llmprep.py):
+neighbors come from the vector's IVF cell REFINED by the oversized-cell
+residual-parity split, so the candidate join is an equi-join on
+(cell, subcell) whose per-group pair work is capped at
+~SEMDEDUP_CELL_CAP² regardless of corpus size or embedding skew —
+never all-pairs, and never an unbounded within-cell quadratic (the
+first sf1 sweep caught the unsplit form: 50k vectors × 8 pinned cells
+is ~300M candidate pairs, hours in the single-threaded oracle; split,
+it is bounded and sweeps in seconds). Per-vector norms are computed
+once; cosine is dot/(na·nb) in integer micros, ties break by neighbor
+id, and singleton-group vectors still emit a (0, 0, not-suspect) row
+via the spine left join.
 """
 
 from __future__ import annotations
@@ -25,13 +28,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
-from algorithmproject_spark_spark.functions.vectors import cosine, sql_cosine
+from algorithmproject_spark_spark.functions.vectors import (
+    _dot_d,
+    _norm_d,
+    sql_dot,
+    sql_norm,
+    sql_to_double,
+    to_double,
+)
 from algorithmproject_spark_spark.operators.annivf import (
-    _SQL_CELLS,
-    cells,
+    K_CELLS,
+    cell_col,
     sql_cell,
 )
+from algorithmproject_spark_spark.queries.llmprep import (
+    SEMDEDUP_CELL_CAP,
+    _sql_residual_code,
+    semdedup_subcells,
+)
 from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
 
 KNN_K = 5
 
@@ -39,13 +55,29 @@ KNN_K = 5
 @register(
     "knn_label_noise",
     oracle=f"""
-    WITH c AS ({_SQL_CELLS.format(c=sql_cell('embedding'))}),
+    WITH cn AS MATERIALIZED (
+        SELECT vec_id, label, {sql_cell('embedding')} AS cell,
+               {sql_to_double('embedding')} AS we,
+               {sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    sz AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS c FROM cn GROUP BY cell
+    ),
+    cs AS MATERIALIZED (
+        SELECT cn.vec_id, cn.label, cn.cell, cn.we, cn.nrm,
+               {_sql_residual_code('cn.we')}
+                   % ((sz.c + {SEMDEDUP_CELL_CAP - 1}) // {SEMDEDUP_CELL_CAP})
+                   AS subcell
+        FROM cn JOIN sz USING (cell)
+    ),
     scored AS (
         SELECT a.vec_id, a.label, b.label AS nlabel, b.vec_id AS n_id,
-               {sql_micros(sql_cosine('a.embedding', 'b.embedding'))}
+               {sql_micros(f"({sql_dot('a.we', 'b.we')}) / (a.nrm * b.nrm)")}
                    AS cos_e6
-        FROM c a JOIN c b
-          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        FROM cs a JOIN cs b
+          ON a.cell = b.cell AND a.subcell = b.subcell
+         AND a.vec_id <> b.vec_id
     ),
     ranked AS (
         SELECT vec_id, label, nlabel,
@@ -71,35 +103,55 @@ KNN_K = 5
     """,
     doc=(
         "k-NN label-noise detection (confident-learning agreement "
-        "variant): per vector, the share of its 5 nearest same-cell "
-        "neighbors carrying its own label; minority-label vectors are "
-        "flagged suspect — IVF-cell-bounded candidate generation, "
-        "never all-pairs"
+        "variant): per vector, the share of its 5 nearest "
+        "same-(cell, subcell) neighbors carrying its own label; "
+        "minority-label vectors flagged suspect — SemDeDup-capped "
+        "candidate groups, never all-pairs, bounded under skew"
     ),
 )
-def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = cells(spark, sf_dir)
-    a = c.select(
-        F.col("vec_id"),
-        F.col("label"),
-        F.col("embedding").alias("emb_a"),
-        F.col("cell"),
+def knn_label_noise(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int | None = None,
+    cell_cap: int = SEMDEDUP_CELL_CAP,
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = n_cells or K_CELLS
+    cn = emb.select(
+        "vec_id",
+        "label",
+        cell_col(F.col("embedding"), k).alias("cell"),
+        to_double(F.col("embedding")).alias("we"),
+    ).withColumn("nrm", _norm_d(F.col("we")))
+    cs = semdedup_subcells(cn, cell_cap)
+    a = cs.select(
+        "vec_id",
+        "label",
+        F.col("we").alias("a_we"),
+        F.col("nrm").alias("a_n"),
+        "cell",
+        "subcell",
     )
-    b = c.select(
+    b = cs.select(
         F.col("vec_id").alias("n_id"),
         F.col("label").alias("nlabel"),
-        F.col("embedding").alias("emb_b"),
-        F.col("cell"),
+        F.col("we").alias("b_we"),
+        F.col("nrm").alias("b_n"),
+        "cell",
+        "subcell",
     )
     scored = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "subcell"])
         .filter(F.col("vec_id") != F.col("n_id"))
         .select(
             "vec_id",
             "label",
             "nlabel",
             "n_id",
-            micros(cosine(F.col("emb_a"), F.col("emb_b"))).alias("cos_e6"),
+            micros(
+                _dot_d(F.col("a_we"), F.col("b_we"))
+                / (F.col("a_n") * F.col("b_n"))
+            ).alias("cos_e6"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_e6"), F.asc("n_id"))
@@ -114,7 +166,7 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("k_eff"),
         )
     )
-    spine = c.select("vec_id", "label")
+    spine = cn.select("vec_id", "label")
     j = spine.join(votes, "vec_id", "left")
     n_same = F.coalesce("n_same", F.lit(0).cast("long"))
     k_eff = F.coalesce("k_eff", F.lit(0).cast("long"))
