@@ -586,7 +586,23 @@ def kmeans_cells(
 
     feat = emb.withColumn("features", array_to_vector(to_double(F.col("embedding"))))
     fit_input = feat.filter(hash_mod("vec_id", fit_mod) == 0) if fit_mod > 1 else feat
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(
+    # Tiny-input guard (edge-sweep finding): pyspark.ml KMeans aborts
+    # when the fit input has fewer rows than k (and requires k >= 2).
+    # The count here is on the SAMPLE (bounded ~256*k rows in production
+    # sizing), not the corpus, and the fit itself is already an action —
+    # no extra data-scale pass. Degenerate corpora (<2 rows) skip the
+    # fit entirely: one trivial cell, no model.
+    n_fit = fit_input.count()
+    if n_fit < k and fit_mod > 1:
+        fit_input = feat
+        n_fit = feat.count()
+    k_eff = min(k, n_fit)
+    if k_eff < 2:
+        assigned = feat.select(
+            "vec_id", "label", "embedding", F.lit(0).cast("int").alias("cell")
+        )
+        return assigned, None
+    model = KMeans(k=k_eff, seed=seed, maxIter=20).fit(
         fit_input.coalesce(1).sortWithinPartitions("vec_id")
     )
     assigned = model.transform(feat).select(
@@ -614,7 +630,13 @@ def kmeans_cells(
 def ann_ivf_ml_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, model = kmeans_cells(emb)
-    centers = [tuple(float(x) for x in c) for c in model.clusterCenters()]
+    # model is None only for degenerate (<2 row) corpora: everything sat
+    # in cell 0, so one zero-vector "center" routes every probe there
+    centers = (
+        [tuple(float(x) for x in c) for c in model.clusterCenters()]
+        if model is not None
+        else [tuple(0.0 for _ in range(DIM))]
+    )
 
     def probe_cells(e: Column) -> Column:
         """NPROBE nearest learned cells by the same exact-integer argmin
@@ -636,7 +658,9 @@ def ann_ivf_ml_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: F.array(
                     *[
                         (F.element_at(s, i + 1) % len(centers)).cast("int")
-                        for i in range(NPROBE)
+                        # clamp: a guarded tiny fit can return < NPROBE
+                        # centers, and element_at past the end raises
+                        for i in range(min(NPROBE, len(centers)))
                     ]
                 ),
             ),

@@ -174,3 +174,34 @@ def test_ml_kmeans_seeded_rerun_is_deterministic(spark):
     c1 = [tuple(float(x) for x in c) for c in m1.clusterCenters()]
     c2 = [tuple(float(x) for x in c) for c in m2.clusterCenters()]
     assert c1 == c2
+
+
+def test_ml_kmeans_tiny_input_guard(spark):
+    """kmeans_cells must degrade, not abort, below k rows: pyspark.ml
+    KMeans fails when the fit input has fewer rows than k (edge-sweep
+    finding, EDGE_SWEEP_r07). Contract: 0/1-row corpora get one trivial
+    cell and no model; 2..k-1 rows fit with a clamped k."""
+    from algorithmproject_spark_spark.operators.annivf import (
+        DIM,
+        K_CELLS,
+        kmeans_cells,
+    )
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(DIM)], i % 3) for i in range(3)]
+
+    empty = spark.createDataFrame([], schema)
+    assigned, model = kmeans_cells(empty)
+    assert model is None and assigned.count() == 0
+
+    one = spark.createDataFrame(rows[:1], schema)
+    assigned, model = kmeans_cells(one)
+    assert model is None
+    assert [r.cell for r in assigned.collect()] == [0]
+
+    three = spark.createDataFrame(rows, schema)
+    assigned, model = kmeans_cells(three)
+    assert model is not None
+    k_eff = len(model.clusterCenters())
+    assert 2 <= k_eff <= min(K_CELLS, 3)
+    assert assigned.count() == 3

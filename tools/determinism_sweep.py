@@ -37,6 +37,7 @@ committed per round as DETERMINISM_r{N}.json.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
@@ -150,8 +151,14 @@ def main() -> int:
         ca, ra = _normalize(rows_a, cols_a)
         cb, rb = _normalize(rows_b, cols_b)
         if ca != cb or ra != rb:
-            bad = [(x, y) for x, y in zip(ra, rb) if x != y]
-            first = bad[0] if bad else (len(ra), len(rb))
+            # zip_longest so a row-count mismatch still surfaces the
+            # first extra/missing row, not just the two lengths
+            bad = [
+                (x, y)
+                for x, y in itertools.zip_longest(ra, rb)
+                if x != y
+            ]
+            first = bad[0] if bad else (ca, cb)
             print(f"DIFF  {name}: A≠B; first delta: {first}")
             record[name] = {"status": "mismatch", "rows": len(ra)}
             n_mismatch += 1

@@ -34,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
+from algorithmproject_spark_spark.cacheutil import release_caches
 from algorithmproject_spark_spark.queries import REGISTRY
+from algorithmproject_spark_spark.queries.itemsets import clear_itemset_cache
 
 
 
@@ -86,6 +88,11 @@ def main() -> int:
     out: dict[str, dict[str, float]] = {}
     for name in names:
         fn = REGISTRY[name].fn
+        # drop caches a prior query left behind: a later query reusing a
+        # sibling's cached relation would record reduced input bytes,
+        # making its measured ratio depend on registry iteration order
+        release_caches()
+        clear_itemset_cache()
         w0, r0, i0 = _stage_totals(ui, app_id)
         t0 = time.time()
         try:
