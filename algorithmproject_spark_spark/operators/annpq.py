@@ -157,13 +157,14 @@ def pq_pack(emb: Column) -> Column:
     return F.element_at(F.transform(F.array(enc_arr), pack), 1)
 
 
-def pq_codes_exploded(emb_df: DataFrame) -> DataFrame:
-    """(vec_id, j, code) — one row per subspace, the join-ready form of
-    the codes table (8 small rows per vector, 64× lighter than the
-    embedding)."""
-    codes = F.element_at(
+def pq_code_array(emb: Column) -> Column:
+    """array<int> of the M per-subspace PQ codes for one embedding —
+    the map-only encoding kernel, kept as one compact column for
+    symmetric (all-pairs) consumers like the knn_label_noise
+    prefilter."""
+    return F.element_at(
         F.transform(
-            F.array(to_double(F.col("embedding"))),
+            F.array(to_double(emb)),
             lambda v: F.transform(
                 _enc_from_dists(_dists_2d(v)),
                 lambda e: (e % K_PQ).cast("int"),
@@ -171,7 +172,70 @@ def pq_codes_exploded(emb_df: DataFrame) -> DataFrame:
         ),
         1,
     )
-    return emb_df.select("vec_id", F.posexplode(codes).alias("j", "code"))
+
+
+def sql_pq_code_array(emb: str) -> str:
+    """DuckDB twin of :func:`pq_code_array`."""
+    return (
+        f"list_transform({_sql_enc_array(emb)}, "
+        f"e_ -> CAST(e_ % {K_PQ} AS INT))"
+    )
+
+
+def pq_codes_exploded(emb_df: DataFrame) -> DataFrame:
+    """(vec_id, j, code) — one row per subspace, the join-ready form of
+    the codes table (8 small rows per vector, 64× lighter than the
+    embedding)."""
+    return emb_df.select(
+        "vec_id",
+        F.posexplode(pq_code_array(F.col("embedding"))).alias("j", "code"),
+    )
+
+
+# Symmetric-distance (SDC) dot table: DOT_TABS[j][a*K + b] is the exact
+# Python-double dot product of codebook entries a and b in subspace j —
+# M flat 256-double literals, 2 KB each, always in-plan. A pair's
+# reconstructed dot product is then M literal-array lookups instead of
+# a DIM-element fold: the prefilter currency for all-pairs consumers
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 — the symmetric variant).
+DOT_TABS: tuple[tuple[float, ...], ...] = tuple(
+    tuple(
+        sum(x * y for x, y in zip(CODEBOOKS[j][a], CODEBOOKS[j][b]))
+        for a in range(K_PQ)
+        for b in range(K_PQ)
+    )
+    for j in range(M_SUB)
+)
+
+
+def recon_dot(codes_a: Column, codes_b: Column) -> Column:
+    """Reconstructed dot product of two PQ-coded vectors:
+    Σ_j DOT_TABS[j][code_a[j]·K + code_b[j]]. Left-associated addition
+    of table literals — bit-exact cross-engine because both engines
+    only LOOK UP doubles that were computed once in Python (the SQL
+    twin parses the same shortest-repr decimal strings)."""
+    out: Column | None = None
+    for j in range(M_SUB):
+        idx = (
+            F.element_at(codes_a, j + 1) * F.lit(K_PQ)
+            + F.element_at(codes_b, j + 1)
+            + F.lit(1)
+        )
+        term = F.element_at(F.lit(list(DOT_TABS[j])), idx)
+        out = term if out is None else out + term
+    assert out is not None
+    return out
+
+
+def sql_recon_dot(codes_a: str, codes_b: str) -> str:
+    """DuckDB twin of :func:`recon_dot` (same association order)."""
+    terms = " + ".join(
+        f"([{', '.join(repr(x) for x in DOT_TABS[j])}])"
+        f"[{codes_a}[{j + 1}] * {K_PQ} + {codes_b}[{j + 1}] + 1]"
+        for j in range(M_SUB)
+    )
+    return f"({terms})"
 
 
 def _sql_enc_array(emb: str) -> str:

@@ -8,18 +8,34 @@ nearest neighbors mostly carry a DIFFERENT label is a suspect (Northcutt
 et al., "Confident Learning", JAIR 2021 — this is the k-NN agreement
 variant, the form that needs no model probabilities).
 
-Scale shape — the full SemDeDup discipline (queries/llmprep.py):
-neighbors come from the vector's IVF cell REFINED by the oversized-cell
-residual-parity split, so the candidate join is an equi-join on
-(cell, subcell) whose per-group pair work is capped at
-~SEMDEDUP_CELL_CAP² regardless of corpus size or embedding skew —
-never all-pairs, and never an unbounded within-cell quadratic (the
-first sf1 sweep caught the unsplit form: 50k vectors × 8 pinned cells
-is ~300M candidate pairs, hours in the single-threaded oracle; split,
-it is bounded and sweeps in seconds). Per-vector norms are computed
-once; cosine is dot/(na·nb) in integer micros, ties break by neighbor
-id, and singleton-group vectors still emit a (0, 0, not-suspect) row
-via the spine left join.
+Scale shape — SemDeDup grouping + PQ symmetric prefilter:
+
+1. Candidates come from the vector's IVF cell REFINED by the
+   oversized-cell residual-parity split, so the candidate join is an
+   equi-join on (cell, subcell) whose per-group pair work is capped at
+   ~KNN_CELL_CAP² regardless of corpus size or embedding skew — never
+   all-pairs (the first sf1 sweep caught the unsplit form: 50k vectors
+   × 8 pinned cells is ~300M candidate pairs). The cap here is 128,
+   not SemDeDup's 512: a k=5 NN vote needs a ~25·k candidate pool,
+   and total pair volume — the rows GENERATED and SORTED, the true
+   sf1 wall-clock driver — is cap·n. A 16-bit residual code keeps the
+   split factor real past the 8-bit ceiling (2^8 subcells saturates
+   exactly when cells exceed 256·cap vectors, as at sf1).
+2. Within a group, pairs are first scored by the PQ RECONSTRUCTED dot
+   product — M_SUB literal-table lookups per pair (operators/annpq.py
+   ``recon_dot``) instead of a DIM-element fold — and only the top
+   ``PQ_PREFILTER_C`` (= 4·k) candidates per vector by that proxy get
+   the exact cosine. The exact-cosine volume drops from ~cap per
+   vector to 4·k per vector (~25× here), which is what made the sf1
+   run 13× the sf0.1 time before this stage (round-7 verdict hotspot).
+   The oracle applies the IDENTICAL prefilter, so the result — an
+   ADC-prefiltered approximate k-NN, the standard production trade —
+   stays bit-exact cross-engine.
+
+Per-vector norms are computed once and carried as scalars; cosine is
+dot/(na·nb) in integer micros, ties break by neighbor id at BOTH
+ranking stages, and singleton-group vectors still emit a
+(0, 0, not-suspect) row via the spine left join.
 """
 
 from __future__ import annotations
@@ -41,8 +57,13 @@ from algorithmproject_spark_spark.operators.annivf import (
     cell_col,
     sql_cell,
 )
+from algorithmproject_spark_spark.operators.annpq import (
+    pq_code_array,
+    recon_dot,
+    sql_pq_code_array,
+    sql_recon_dot,
+)
 from algorithmproject_spark_spark.queries.llmprep import (
-    SEMDEDUP_CELL_CAP,
     _sql_residual_code,
     semdedup_subcells,
 )
@@ -50,6 +71,21 @@ from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 KNN_K = 5
+#: exact-cosine survivors per vector from the PQ proxy ranking — 4·k
+#: keeps the true top-k with high probability (recall measured by the
+#: ann_pq_recall query family) while cutting exact-fold volume ~cap/4k.
+PQ_PREFILTER_C = 4 * KNN_K
+#: candidate-group cap for THIS query: k-NN needs a ~25·k candidate
+#: pool, not SemDeDup's 512-wide redundancy scan — pair volume (the
+#: sf1 wall-clock driver: cap²·n_groups rows generated AND sorted) is
+#: linear in the cap, so 128 cuts it 4× while still giving every
+#: vector ~25× KNN_K candidates.
+KNN_CELL_CAP = 128
+#: 16-bit residual code (vs the default 8): the split factor needed at
+#: a tight cap exceeds the 8-bit code's 256-subcell ceiling as soon as
+#: a cell holds > 256·cap vectors (true already at sf1), which would
+#: silently let group sizes grow past the cap again.
+KNN_CODE_BITS = 16
 
 
 @register(
@@ -58,26 +94,43 @@ KNN_K = 5
     WITH cn AS MATERIALIZED (
         SELECT vec_id, label, {sql_cell('embedding')} AS cell,
                {sql_to_double('embedding')} AS we,
-               {sql_norm('embedding')} AS nrm
+               {sql_norm('embedding')} AS nrm,
+               {sql_pq_code_array('embedding')} AS codes
         FROM embeddings
     ),
     sz AS (
         SELECT cell, CAST(count(*) AS BIGINT) AS c FROM cn GROUP BY cell
     ),
     cs AS MATERIALIZED (
-        SELECT cn.vec_id, cn.label, cn.cell, cn.we, cn.nrm,
-               {_sql_residual_code('cn.we')}
-                   % ((sz.c + {SEMDEDUP_CELL_CAP - 1}) // {SEMDEDUP_CELL_CAP})
+        SELECT cn.vec_id, cn.label, cn.cell, cn.nrm, cn.codes,
+               {_sql_residual_code('cn.we', KNN_CODE_BITS)}
+                   % ((sz.c + {KNN_CELL_CAP - 1}) // {KNN_CELL_CAP})
                    AS subcell
         FROM cn JOIN sz USING (cell)
     ),
-    scored AS (
-        SELECT a.vec_id, a.label, b.label AS nlabel, b.vec_id AS n_id,
-               {sql_micros(f"({sql_dot('a.we', 'b.we')}) / (a.nrm * b.nrm)")}
-                   AS cos_e6
+    cand AS (
+        SELECT a.vec_id, a.label, b.vec_id AS n_id, b.label AS nlabel,
+               a.nrm AS a_n, b.nrm AS b_n,
+               {sql_micros(f"({sql_recon_dot('a.codes', 'b.codes')})"
+                           " / (a.nrm * b.nrm)")} AS approx_e6
         FROM cs a JOIN cs b
           ON a.cell = b.cell AND a.subcell = b.subcell
          AND a.vec_id <> b.vec_id
+    ),
+    pre AS (
+        SELECT vec_id, label, n_id, nlabel, a_n, b_n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY approx_e6 DESC, n_id
+            ) AS prk FROM cand
+        ) WHERE prk <= {PQ_PREFILTER_C}
+    ),
+    scored AS (
+        SELECT p.vec_id, p.label, p.nlabel, p.n_id,
+               {sql_micros(f"({sql_dot('ea.we', 'eb.we')}) / (p.a_n * p.b_n)")}
+                   AS cos_e6
+        FROM pre p
+        JOIN cn ea ON ea.vec_id = p.vec_id
+        JOIN cn eb ON eb.vec_id = p.n_id
     ),
     ranked AS (
         SELECT vec_id, label, nlabel,
@@ -106,14 +159,16 @@ KNN_K = 5
         "variant): per vector, the share of its 5 nearest "
         "same-(cell, subcell) neighbors carrying its own label; "
         "minority-label vectors flagged suspect — SemDeDup-capped "
-        "candidate groups, never all-pairs, bounded under skew"
+        "candidate groups with a PQ reconstructed-dot prefilter "
+        "(exact cosine only on the top 4·k proxy survivors), "
+        "never all-pairs, bounded under skew"
     ),
 )
 def knn_label_noise(
     spark: SparkSession,
     sf_dir: str,
     n_cells: int | None = None,
-    cell_cap: int = SEMDEDUP_CELL_CAP,
+    cell_cap: int = KNN_CELL_CAP,
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     k = n_cells or K_CELLS
@@ -122,12 +177,16 @@ def knn_label_noise(
         "label",
         cell_col(F.col("embedding"), k).alias("cell"),
         to_double(F.col("embedding")).alias("we"),
+        pq_code_array(F.col("embedding")).alias("codes"),
     ).withColumn("nrm", _norm_d(F.col("we")))
-    cs = semdedup_subcells(cn, cell_cap)
+    cs = semdedup_subcells(cn, cell_cap, code_bits=KNN_CODE_BITS)
+    # Stage 1 — proxy scoring: the pair join carries 8-int code arrays
+    # and a scalar norm, never the 64-double widened vector, and scores
+    # each pair with M literal-table lookups (recon_dot)
     a = cs.select(
         "vec_id",
         "label",
-        F.col("we").alias("a_we"),
+        F.col("codes").alias("a_cd"),
         F.col("nrm").alias("a_n"),
         "cell",
         "subcell",
@@ -135,14 +194,55 @@ def knn_label_noise(
     b = cs.select(
         F.col("vec_id").alias("n_id"),
         F.col("label").alias("nlabel"),
-        F.col("we").alias("b_we"),
+        F.col("codes").alias("b_cd"),
         F.col("nrm").alias("b_n"),
         "cell",
         "subcell",
     )
-    scored = (
+    cand = (
         a.join(b, ["cell", "subcell"])
         .filter(F.col("vec_id") != F.col("n_id"))
+        .select(
+            "cell",
+            "subcell",
+            "vec_id",
+            "label",
+            "n_id",
+            "nlabel",
+            "a_n",
+            "b_n",
+            micros(
+                recon_dot(F.col("a_cd"), F.col("b_cd"))
+                / (F.col("a_n") * F.col("b_n"))
+            ).alias("approx_e6"),
+        )
+    )
+    # Partitioning trick: a vector lives in exactly ONE (cell, subcell)
+    # group, so ranking within (cell, subcell, vec_id) is identical to
+    # ranking within vec_id — but HashPartitioning(cell, subcell) from
+    # the join already SATISFIES this window's ClusteredDistribution,
+    # so the cap·n-row candidate relation is ranked in place, never
+    # re-shuffled (the pre-trick plan exchanged ~250M rows here at sf1)
+    wp = W.partitionBy("cell", "subcell", "vec_id").orderBy(
+        F.desc("approx_e6"), F.asc("n_id")
+    )
+    pre = (
+        cand.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= PQ_PREFILTER_C)
+        .select("vec_id", "label", "n_id", "nlabel", "a_n", "b_n")
+    )
+    # Stage 2 — exact cosine on the 4·k survivors only: join the
+    # widened vectors back by id (column-pruned re-scan, 64 doubles
+    # per row travel through a C·n-row join, not the cap·n pair join)
+    we_rel = cn.select("vec_id", "we")
+    scored = (
+        pre.join(we_rel.select("vec_id", F.col("we").alias("a_we")), "vec_id")
+        .join(
+            we_rel.select(
+                F.col("vec_id").alias("n_id"), F.col("we").alias("b_we")
+            ),
+            "n_id",
+        )
         .select(
             "vec_id",
             "label",

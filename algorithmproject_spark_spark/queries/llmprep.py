@@ -567,8 +567,8 @@ _CODE_BITS = 8     # sub-code bits (dims 1..8) -> codes 0..255
 _CODE_SCALE = 1024  # residual quantization step = 1/1024 per dim
 
 
-def _residual_code(we):
-    """8-bit quantized-residual code of a double-array column: bit d is
+def _residual_code(we, bits: int = _CODE_BITS):
+    """Quantized-residual code of a double-array column: bit d is
     the parity of floor(we[d] * 1024). Unlike an axis-SIGN code, the
     parity of the fine-grained quantization varies even inside a tight
     cluster (any per-dim spread over ~1/1024 flips bits), which is
@@ -577,32 +577,40 @@ def _residual_code(we):
     in Spark and DuckDB (both % truncate toward zero; the +2)%2 fold
     maps negative parities into {0,1})."""
     code = F.lit(0)
-    for d in range(_CODE_BITS):
+    for d in range(bits):
         q = F.floor(F.element_at(we, d + 1) * F.lit(_CODE_SCALE)).cast("long")
         bit = ((q % 2) + 2) % 2
         code = code + bit * F.lit(1 << d)
     return code.cast("long")
 
 
-def _sql_residual_code(we: str) -> str:
+def _sql_residual_code(we: str, bits: int = _CODE_BITS) -> str:
     terms = " + ".join(
         f"(((CAST(floor({we}[{d + 1}] * {_CODE_SCALE}) AS BIGINT) % 2) + 2) % 2)"
         f" * {1 << d}"
-        for d in range(_CODE_BITS)
+        for d in range(bits)
     )
     return f"CAST({terms} AS BIGINT)"
 
 
-def semdedup_subcells(cn: DataFrame, cell_cap: int) -> DataFrame:
+def semdedup_subcells(
+    cn: DataFrame, cell_cap: int, code_bits: int = _CODE_BITS
+) -> DataFrame:
     """Attach the oversized-cell ``subcell`` id: quantized-residual
     parity code modulo ceil(cell_size / cell_cap). Cells at or under the cap collapse to
     subcell 0 (code % 1) — the split is a no-op until needed. The
-    cell-size relation is cell-count-sized, so it broadcasts."""
+    cell-size relation is cell-count-sized, so it broadcasts.
+
+    ``code_bits`` bounds the maximum split factor at 2**code_bits:
+    past that the modulo saturates and group sizes grow to
+    cell_size / 2**code_bits instead of cell_cap. Callers whose
+    cell_size/cell_cap ratio can exceed 256 (e.g. knn_label_noise's
+    tight cap) pass a wider code; needs DIM >= code_bits."""
     sizes = cn.groupBy("cell").agg(F.count(F.lit(1)).alias("__c"))
     k2 = floordiv(F.col("__c") + F.lit(cell_cap - 1), F.lit(cell_cap))
     return (
         cn.join(F.broadcast(sizes), "cell")
-        .withColumn("subcell", _residual_code(F.col("we")) % k2)
+        .withColumn("subcell", _residual_code(F.col("we"), code_bits) % k2)
         .drop("__c")
     )
 
