@@ -81,3 +81,5 @@ from algorithmproject_spark_spark.queries import labelnoise  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import churn  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import datacard  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import scorecards  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import prototypes  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import dsir  # noqa: F401,E402

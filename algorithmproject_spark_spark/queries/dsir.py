@@ -1,0 +1,124 @@
+"""Data Selection with Importance Resampling (DSIR) — hashed-n-gram
+importance weights for domain-matched pretraining data selection.
+
+Xie et al., "Data Selection for Language Models via Importance
+Resampling" (NeurIPS 2023): estimate target-domain and raw-corpus
+distributions over HASHED n-gram buckets, weight every raw document by
+its feature likelihood ratio, and resample by weight. Here the target
+distribution is the English subcorpus (the lang column plays the
+"formal text" domain of the paper) and features are hashed unigrams.
+
+Integer-exact formulation: the paper's per-feature log-ratio
+``log p_tgt(b) − log p_raw(b)`` needs libm logs, whose last-ulp
+behavior differs across engines; this variant scores each token by the
+CONDITIONAL ratio ``tgt_b / raw_b`` in ppm (exact BIGINT floor
+division; tgt ⊆ raw so the ratio is a proportion and never overflows:
+tgt_b·1e6 stays in BIGINT to ~9.2e12 target tokens) and averages over
+the document's tokens. The corpus-level constant factor T_raw/T_tgt is
+rank-invariant and omitted; the mean-of-ratios (vs the paper's
+sum-of-logs) preserves the "favor documents whose tokens concentrate
+in target-heavy buckets" ordering intent while being bit-exact
+cross-engine — the same trade every other scoring query in this repo
+makes (ppm discipline, functions/numeric.py).
+
+Scale shape: explode tokens (map-only), ONE partial-aggregated shuffle
+to the B-bucket histograms (B = 256 here, 10k in the paper — always
+tiny), broadcast the bucket-weight relation back, one map-side-combined
+groupBy(doc_id). Never a doc×doc or token×token join; at 100 TB the
+histogram build is the only shuffle and it combines to B rows per
+partition map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.functions.hashing import (
+    sql_token_hash_array,
+    token_hash_array,
+)
+from algorithmproject_spark_spark.functions.numeric import floordiv
+from algorithmproject_spark_spark.functions.text import tokenize
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+N_BUCKETS = 256
+TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH ds_long AS MATERIALIZED (
+        SELECT doc_id, lang,
+               unnest({sql_token_hash_array("string_split(text, ' ')")})
+                   % {N_BUCKETS} AS b
+        FROM documents
+    ),
+    ds_raw AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS raw_b
+        FROM ds_long GROUP BY b
+    ),
+    ds_tgt AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS tgt_b
+        FROM ds_long WHERE lang = '{TARGET_LANG}' GROUP BY b
+    ),
+    ds_w AS (
+        SELECT r.b,
+               CAST(coalesce(t.tgt_b, 0) * 1000000 // r.raw_b AS BIGINT)
+                   AS w_ppm
+        FROM ds_raw r LEFT JOIN ds_tgt t USING (b)
+    ),
+    ds_score AS (
+        SELECT doc_id,
+               CAST(sum(w.w_ppm) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM ds_long l JOIN ds_w w USING (b)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, sc.n_tokens,
+           CAST(sc.s // sc.n_tokens AS BIGINT) AS dsir_avg_ppm
+    FROM documents d JOIN ds_score sc USING (doc_id)
+    """,
+    doc=(
+        "DSIR importance weights (Xie et al. 2023, integer-exact "
+        "variant): hashed-unigram bucket histograms for the English "
+        "target vs the raw corpus, per-token conditional ratio in ppm, "
+        "averaged per document — one tiny-histogram shuffle + "
+        "broadcast weights, the domain-matched data-selection scorer"
+    ),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    long = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(token_hash_array(tokenize("text"))).alias("h"),
+    ).select("doc_id", "lang", (F.col("h") % N_BUCKETS).alias("b"))
+    raw = long.groupBy("b").agg(F.count(F.lit(1)).alias("raw_b"))
+    tgt = (
+        long.filter(F.col("lang") == TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_b"))
+    )
+    w = raw.join(tgt, "b", "left").select(
+        "b",
+        floordiv(
+            F.coalesce("tgt_b", F.lit(0).cast("long")) * F.lit(1_000_000),
+            F.col("raw_b"),
+        ).alias("w_ppm"),
+    )
+    score = (
+        long.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_ppm").alias("s"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return docs.select("doc_id", "lang").join(score, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        floordiv(F.col("s"), F.col("n_tokens")).alias("dsir_avg_ppm"),
+    )

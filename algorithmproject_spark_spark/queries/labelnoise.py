@@ -88,6 +88,109 @@ KNN_CELL_CAP = 128
 KNN_CODE_BITS = 16
 
 
+def _prefiltered_exact_pairs(
+    emb: DataFrame,
+    n_cells: int,
+    cell_cap: int,
+    pre_c: int,
+    diff_label_only: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared two-stage candidate machinery: (cell, subcell)-grouped
+    pair join scored by the PQ reconstructed dot, top ``pre_c`` proxy
+    survivors per vector, exact cosine on survivors only. Returns
+    (cn, scored) where scored = (vec_id, label, nlabel, n_id, cos_e6).
+    ``diff_label_only`` restricts candidates to other-label vectors
+    BEFORE the proxy ranking (the hard-negative-mining form)."""
+    cn = emb.select(
+        "vec_id",
+        "label",
+        cell_col(F.col("embedding"), n_cells).alias("cell"),
+        to_double(F.col("embedding")).alias("we"),
+        pq_code_array(F.col("embedding")).alias("codes"),
+    ).withColumn("nrm", _norm_d(F.col("we")))
+    cs = semdedup_subcells(cn, cell_cap, code_bits=KNN_CODE_BITS)
+    # Stage 1 — proxy scoring: the pair join carries 8-int code arrays
+    # and a scalar norm, never the 64-double widened vector, and scores
+    # each pair with M literal-table lookups (recon_dot)
+    a = cs.select(
+        "vec_id",
+        "label",
+        F.col("codes").alias("a_cd"),
+        F.col("nrm").alias("a_n"),
+        "cell",
+        "subcell",
+    )
+    b = cs.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("nlabel"),
+        F.col("codes").alias("b_cd"),
+        F.col("nrm").alias("b_n"),
+        "cell",
+        "subcell",
+    )
+    keep = (
+        F.col("label") != F.col("nlabel")
+        if diff_label_only
+        else F.col("vec_id") != F.col("n_id")
+    )
+    cand = (
+        a.join(b, ["cell", "subcell"])
+        .filter(keep)
+        .select(
+            "cell",
+            "subcell",
+            "vec_id",
+            "label",
+            "n_id",
+            "nlabel",
+            "a_n",
+            "b_n",
+            micros(
+                recon_dot(F.col("a_cd"), F.col("b_cd"))
+                / (F.col("a_n") * F.col("b_n"))
+            ).alias("approx_e6"),
+        )
+    )
+    # Partitioning trick: a vector lives in exactly ONE (cell, subcell)
+    # group, so ranking within (cell, subcell, vec_id) is identical to
+    # ranking within vec_id — but HashPartitioning(cell, subcell) from
+    # the join already SATISFIES this window's ClusteredDistribution,
+    # so the cap·n-row candidate relation is ranked in place, never
+    # re-shuffled (the pre-trick plan exchanged ~250M rows here at sf1)
+    wp = W.partitionBy("cell", "subcell", "vec_id").orderBy(
+        F.desc("approx_e6"), F.asc("n_id")
+    )
+    pre = (
+        cand.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= pre_c)
+        .select("vec_id", "label", "n_id", "nlabel", "a_n", "b_n")
+    )
+    # Stage 2 — exact cosine on the pre_c survivors only: join the
+    # widened vectors back by id (column-pruned re-scan, 64 doubles
+    # per row travel through a C·n-row join, not the cap·n pair join)
+    we_rel = cn.select("vec_id", "we")
+    scored = (
+        pre.join(we_rel.select("vec_id", F.col("we").alias("a_we")), "vec_id")
+        .join(
+            we_rel.select(
+                F.col("vec_id").alias("n_id"), F.col("we").alias("b_we")
+            ),
+            "n_id",
+        )
+        .select(
+            "vec_id",
+            "label",
+            "nlabel",
+            "n_id",
+            micros(
+                _dot_d(F.col("a_we"), F.col("b_we"))
+                / (F.col("a_n") * F.col("b_n"))
+            ).alias("cos_e6"),
+        )
+    )
+    return cn, scored
+
+
 @register(
     "knn_label_noise",
     oracle=f"""
@@ -171,88 +274,8 @@ def knn_label_noise(
     cell_cap: int = KNN_CELL_CAP,
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    k = n_cells or K_CELLS
-    cn = emb.select(
-        "vec_id",
-        "label",
-        cell_col(F.col("embedding"), k).alias("cell"),
-        to_double(F.col("embedding")).alias("we"),
-        pq_code_array(F.col("embedding")).alias("codes"),
-    ).withColumn("nrm", _norm_d(F.col("we")))
-    cs = semdedup_subcells(cn, cell_cap, code_bits=KNN_CODE_BITS)
-    # Stage 1 — proxy scoring: the pair join carries 8-int code arrays
-    # and a scalar norm, never the 64-double widened vector, and scores
-    # each pair with M literal-table lookups (recon_dot)
-    a = cs.select(
-        "vec_id",
-        "label",
-        F.col("codes").alias("a_cd"),
-        F.col("nrm").alias("a_n"),
-        "cell",
-        "subcell",
-    )
-    b = cs.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("label").alias("nlabel"),
-        F.col("codes").alias("b_cd"),
-        F.col("nrm").alias("b_n"),
-        "cell",
-        "subcell",
-    )
-    cand = (
-        a.join(b, ["cell", "subcell"])
-        .filter(F.col("vec_id") != F.col("n_id"))
-        .select(
-            "cell",
-            "subcell",
-            "vec_id",
-            "label",
-            "n_id",
-            "nlabel",
-            "a_n",
-            "b_n",
-            micros(
-                recon_dot(F.col("a_cd"), F.col("b_cd"))
-                / (F.col("a_n") * F.col("b_n"))
-            ).alias("approx_e6"),
-        )
-    )
-    # Partitioning trick: a vector lives in exactly ONE (cell, subcell)
-    # group, so ranking within (cell, subcell, vec_id) is identical to
-    # ranking within vec_id — but HashPartitioning(cell, subcell) from
-    # the join already SATISFIES this window's ClusteredDistribution,
-    # so the cap·n-row candidate relation is ranked in place, never
-    # re-shuffled (the pre-trick plan exchanged ~250M rows here at sf1)
-    wp = W.partitionBy("cell", "subcell", "vec_id").orderBy(
-        F.desc("approx_e6"), F.asc("n_id")
-    )
-    pre = (
-        cand.withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") <= PQ_PREFILTER_C)
-        .select("vec_id", "label", "n_id", "nlabel", "a_n", "b_n")
-    )
-    # Stage 2 — exact cosine on the 4·k survivors only: join the
-    # widened vectors back by id (column-pruned re-scan, 64 doubles
-    # per row travel through a C·n-row join, not the cap·n pair join)
-    we_rel = cn.select("vec_id", "we")
-    scored = (
-        pre.join(we_rel.select("vec_id", F.col("we").alias("a_we")), "vec_id")
-        .join(
-            we_rel.select(
-                F.col("vec_id").alias("n_id"), F.col("we").alias("b_we")
-            ),
-            "n_id",
-        )
-        .select(
-            "vec_id",
-            "label",
-            "nlabel",
-            "n_id",
-            micros(
-                _dot_d(F.col("a_we"), F.col("b_we"))
-                / (F.col("a_n") * F.col("b_n"))
-            ).alias("cos_e6"),
-        )
+    cn, scored = _prefiltered_exact_pairs(
+        emb, n_cells or K_CELLS, cell_cap, PQ_PREFILTER_C
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_e6"), F.asc("n_id"))
     votes = (
@@ -278,4 +301,98 @@ def knn_label_noise(
         F.when((k_eff > 0) & (2 * n_same < k_eff), 1)
         .otherwise(0)
         .alias("suspect"),
+    )
+
+
+#: negatives returned per anchor and the proxy-survivor width for the
+#: mining query (4x, same recall rationale as PQ_PREFILTER_C)
+HN_K = 10
+HN_PRE_C = 4 * HN_K
+
+
+@register(
+    "hard_negative_mining_grouped",
+    oracle=f"""
+    WITH cn AS MATERIALIZED (
+        SELECT vec_id, label, {sql_cell('embedding')} AS cell,
+               {sql_to_double('embedding')} AS we,
+               {sql_norm('embedding')} AS nrm,
+               {sql_pq_code_array('embedding')} AS codes
+        FROM embeddings
+    ),
+    sz AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS c FROM cn GROUP BY cell
+    ),
+    cs AS MATERIALIZED (
+        SELECT cn.vec_id, cn.label, cn.cell, cn.nrm, cn.codes,
+               {_sql_residual_code('cn.we', KNN_CODE_BITS)}
+                   % ((sz.c + {KNN_CELL_CAP - 1}) // {KNN_CELL_CAP})
+                   AS subcell
+        FROM cn JOIN sz USING (cell)
+    ),
+    cand AS (
+        SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
+               a.nrm AS a_n, b.nrm AS b_n,
+               {sql_micros(f"({sql_recon_dot('a.codes', 'b.codes')})"
+                           " / (a.nrm * b.nrm)")} AS approx_e6
+        FROM cs a JOIN cs b
+          ON a.cell = b.cell AND a.subcell = b.subcell
+         AND a.label <> b.label
+    ),
+    pre AS (
+        SELECT vec_id, label, neg_id, neg_label, a_n, b_n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY approx_e6 DESC, neg_id
+            ) AS prk FROM cand
+        ) WHERE prk <= {HN_PRE_C}
+    )
+    SELECT vec_id, label, neg_id, neg_label, cos_e6, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT p.vec_id, p.label, p.neg_id, p.neg_label,
+               {sql_micros(f"({sql_dot('ea.we', 'eb.we')}) / (p.a_n * p.b_n)")}
+                   AS cos_e6,
+               row_number() OVER (
+                   PARTITION BY p.vec_id ORDER BY
+                   {sql_micros(f"({sql_dot('ea.we', 'eb.we')}) / (p.a_n * p.b_n)")}
+                       DESC, p.neg_id
+               ) AS rk
+        FROM pre p
+        JOIN cn ea ON ea.vec_id = p.vec_id
+        JOIN cn eb ON eb.vec_id = p.neg_id
+    ) WHERE rk <= {HN_K}
+    """,
+    doc=(
+        "Corpus-wide hard-negative mining for contrastive training "
+        "(ANCE, Xiong et al. 2021): for EVERY anchor (not the probe-"
+        "query subset of the brute-force ann_hard_negatives), the 10 "
+        "highest-cosine "
+        "OTHER-label vectors from its (cell, subcell) candidate group "
+        "— PQ reconstructed-dot proxy ranks the group, exact cosine "
+        "only on the top 4·k survivors, identical machinery to "
+        "knn_label_noise with the label filter pushed before the "
+        "proxy window"
+    ),
+)
+def hard_negative_mining_grouped(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int | None = None,
+    cell_cap: int = KNN_CELL_CAP,
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, scored = _prefiltered_exact_pairs(
+        emb, n_cells or K_CELLS, cell_cap, HN_PRE_C, diff_label_only=True
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_e6"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= HN_K)
+        .select(
+            "vec_id",
+            "label",
+            F.col("n_id").alias("neg_id"),
+            F.col("nlabel").alias("neg_label"),
+            "cos_e6",
+            "rk",
+        )
     )

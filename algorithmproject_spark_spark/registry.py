@@ -46,6 +46,11 @@ def register(name: str, oracle: str | None, doc: str = "", plan=()):
         raise ValueError(f"unknown plan traits {sorted(unknown)} for {name}")
 
     def wrap(fn: QueryFn) -> QueryFn:
+        # a duplicate name would silently SHADOW the earlier query in
+        # every sweep and driver snapshot (round-8 found a real
+        # collision this way) — fail at import time instead
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, doc=doc, plan=traits
         )
