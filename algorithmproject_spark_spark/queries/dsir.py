@@ -46,6 +46,38 @@ N_BUCKETS = 256
 TARGET_LANG = "en"
 
 
+def token_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): one row per token, b = hashed-unigram bucket.
+    Map-only; the shared front end of the batch scorer and the
+    streaming histogram (streaming/dsirstream.py)."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(token_hash_array(tokenize("text"))).alias("h"),
+    ).select("doc_id", "lang", (F.col("h") % N_BUCKETS).alias("b"))
+
+
+def bucket_weights(long: DataFrame) -> DataFrame:
+    """(b, raw_b, tgt_b, w_ppm): per-bucket histograms and the
+    conditional-ratio weight. ONE aggregation — the target count is a
+    conditional count inside the same groupBy, not a second pass, so
+    the streaming form is a single stateful aggregation whose snapshot
+    IS this relation."""
+    return long.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_b"),
+        F.sum(F.when(F.col("lang") == TARGET_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("tgt_b"),
+    ).select(
+        "b",
+        "raw_b",
+        "tgt_b",
+        floordiv(F.col("tgt_b") * F.lit(1_000_000), F.col("raw_b")).alias(
+            "w_ppm"
+        ),
+    )
+
+
 @register(
     "dsir_importance_weights",
     oracle=f"""
@@ -90,24 +122,8 @@ TARGET_LANG = "en"
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    long = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(token_hash_array(tokenize("text"))).alias("h"),
-    ).select("doc_id", "lang", (F.col("h") % N_BUCKETS).alias("b"))
-    raw = long.groupBy("b").agg(F.count(F.lit(1)).alias("raw_b"))
-    tgt = (
-        long.filter(F.col("lang") == TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tgt_b"))
-    )
-    w = raw.join(tgt, "b", "left").select(
-        "b",
-        floordiv(
-            F.coalesce("tgt_b", F.lit(0).cast("long")) * F.lit(1_000_000),
-            F.col("raw_b"),
-        ).alias("w_ppm"),
-    )
+    long = token_buckets(docs)
+    w = bucket_weights(long).select("b", "w_ppm")
     score = (
         long.join(F.broadcast(w), "b")
         .groupBy("doc_id")
@@ -122,3 +138,37 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         floordiv(F.col("s"), F.col("n_tokens")).alias("dsir_avg_ppm"),
     )
+
+
+@register(
+    "stream_dsir_weights_batch_twin",
+    oracle=f"""
+    WITH dt_long AS (
+        SELECT lang,
+               unnest({sql_token_hash_array("string_split(text, ' ')")})
+                   % {N_BUCKETS} AS b
+        FROM documents
+    )
+    SELECT b, CAST(count(*) AS BIGINT) AS raw_b,
+           CAST(sum(CASE WHEN lang = '{TARGET_LANG}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS tgt_b,
+           CAST(sum(CASE WHEN lang = '{TARGET_LANG}' THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS w_ppm
+    FROM dt_long GROUP BY b
+    """,
+    doc=(
+        "batch twin of the streaming DSIR histogram "
+        "(streaming/dsirstream.py): per-bucket raw/target token counts "
+        "and the conditional-ratio weight from ONE conditional-count "
+        "aggregation — the streaming state is these N_BUCKETS rows and "
+        "its complete-mode snapshot converges to exactly this relation"
+    ),
+)
+def stream_dsir_weights_batch_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from algorithmproject_spark_spark.streaming.dsirstream import (
+        dsir_weights_batch,
+    )
+
+    return dsir_weights_batch(load_table(spark, sf_dir, "documents"))

@@ -854,3 +854,54 @@ def test_kmv_python_hash_twin_matches_engines_for_negative_keys(spark):
     ]
     py_vals = [_hash_key(k) for k in keys]
     assert py_vals == spark_vals == duck_vals
+
+
+def test_dsir_weights_stream_equals_batch(spark, scratch):
+    """Streaming DSIR histogram: the complete-mode snapshot after a
+    2-file stream (forced micro-batch seam) equals the batch twin —
+    bucket counts are order-insensitive and the weight is a pure
+    function of the counts."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.sources.catalog import load_table
+    from algorithmproject_spark_spark.streaming.dsirstream import (
+        dsir_weights_batch,
+        dsir_weights_stream,
+    )
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    expected = {
+        r.b: (r.raw_b, r.tgt_b, r.w_ppm)
+        for r in dsir_weights_batch(docs).collect()
+    }
+    assert expected
+
+    src_dir = scratch / "dsir_in"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir))
+    stream = stream_read_parquet(
+        spark, str(src_dir), docs.schema, max_files_per_trigger=1
+    )
+    q = stream_write_memory(
+        dsir_weights_stream(stream), "dsir_snapshots", output_mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        q.processAllAvailable()
+        got = {
+            r.b: (r.raw_b, r.tgt_b, r.w_ppm)
+            for r in spark.sql("SELECT * FROM dsir_snapshots").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
