@@ -255,6 +255,12 @@ HEADLINE = (
     "events_interarrival_quantiles",
     "source_quality_profile",
     "supplier_scorecard",
+    # round-8: curation/selection operators + the quantile sketch
+    "label_centroid_outliers",
+    "hard_negative_mining_grouped",
+    "dsir_importance_weights",
+    "stream_dsir_weights_batch_twin",
+    "events_hdr_value_quantiles",
 )
 
 
