@@ -108,7 +108,15 @@ def _prefiltered_exact_pairs(
         to_double(F.col("embedding")).alias("we"),
         pq_code_array(F.col("embedding")).alias("codes"),
     ).withColumn("nrm", _norm_d(F.col("we")))
-    cs = semdedup_subcells(cn, cell_cap, code_bits=KNN_CODE_BITS)
+    # Pin the coded relation: Catalyst does not dedupe identical
+    # self-join subtrees, so without this both pair-join sides re-run
+    # the 128-fold PQ encode and the cell argmin over the full corpus.
+    # The pinned projection is narrow (ids, labels, cell keys, 8-int
+    # codes, one double) — O(n) small-row storage, same trade the
+    # iterative HITS/PageRank loops make.
+    cs = semdedup_subcells(cn, cell_cap, code_bits=KNN_CODE_BITS).select(
+        "vec_id", "label", "cell", "subcell", "codes", "nrm"
+    ).localCheckpoint(eager=True)
     # Stage 1 — proxy scoring: the pair join carries 8-int code arrays
     # and a scalar norm, never the 64-double widened vector, and scores
     # each pair with M literal-table lookups (recon_dot)
