@@ -6,13 +6,18 @@ vector ops — its nearest analogue is mllib sparse vectors,
 folds (``zip_with`` + ``aggregate``), not exploded group-sums: a fold
 adds left-to-right, so the result is bit-identical across engines and
 partitionings, which makes cosine similarity oracle-checkable without
-tolerance hacks. 16-dim vectors make the fold cheap; for very wide
-vectors swap in a pandas_udf without changing call sites.
+tolerance hacks. EMB_DIM-wide vectors keep the fold cheap; for very
+wide vectors swap in a pandas_udf without changing call sites.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
+
+#: dimensionality of the ``embeddings.embedding`` fixture column —
+#: single source of truth for every ANN/prototype module (the round-7
+#: notes record a real 64-vs-16 confusion from per-module copies).
+EMB_DIM = 64
 
 
 def to_double(vec: Column) -> Column:

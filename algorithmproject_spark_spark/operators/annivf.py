@@ -34,6 +34,7 @@ from algorithmproject_spark_spark.functions.numeric import (
     sql_micros,
 )
 from algorithmproject_spark_spark.functions.vectors import (
+    EMB_DIM,
     cosine,
     sql_cosine,
     to_double,
@@ -43,7 +44,7 @@ from algorithmproject_spark_spark.sources.catalog import load_table
 
 K_CELLS = 8
 NPROBE = 2
-DIM = 64
+DIM = EMB_DIM
 N_QUERIES = 5
 TOP_K = 3
 # production sizing target: with n_cells = ceil(n / TARGET_CELL_SIZE)

@@ -23,12 +23,12 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
-from algorithmproject_spark_spark.functions.vectors import cosine, sql_cosine, to_double
+from algorithmproject_spark_spark.functions.vectors import EMB_DIM, cosine, sql_cosine, to_double
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
 N_PLANES = 6  # 64 buckets
-DIM = 64
+DIM = EMB_DIM
 N_QUERIES = 5
 TOP_K = 3
 NEAR_DUP_E6 = 400_000  # cosine ≥ 0.40

@@ -37,11 +37,11 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
-from algorithmproject_spark_spark.functions.vectors import l2sq, sql_l2sq, to_double
+from algorithmproject_spark_spark.functions.vectors import EMB_DIM, l2sq, sql_l2sq, to_double
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
-DIM = 64
+DIM = EMB_DIM
 M_SUB = 8  # subspaces
 SUB_DIM = DIM // M_SUB
 K_PQ = 16  # codes per subspace → 4-bit codes, 32-bit packed vector

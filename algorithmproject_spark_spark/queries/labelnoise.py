@@ -88,6 +88,49 @@ KNN_CELL_CAP = 128
 KNN_CODE_BITS = 16
 
 
+def _sql_prefilter_prefix(nid: str, nlabel: str, keep: str, pre_c: int) -> str:
+    """DuckDB twin of ``_prefiltered_exact_pairs``: the shared
+    cn/sz/cs/cand/pre CTE prefix (ends without a trailing comma — embed
+    as ``WITH {prefix}, <query-specific CTEs...>``). ``nid``/``nlabel``
+    name the b-side columns, ``keep`` is the pair-admission predicate,
+    ``pre_c`` the proxy-survivor width. One definition keeps the two
+    registered oracles in lockstep with the Python helper — a cap/code
+    change edits exactly one SQL block."""
+    return f"""cn AS MATERIALIZED (
+        SELECT vec_id, label, {sql_cell('embedding')} AS cell,
+               {sql_to_double('embedding')} AS we,
+               {sql_norm('embedding')} AS nrm,
+               {sql_pq_code_array('embedding')} AS codes
+        FROM embeddings
+    ),
+    sz AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS c FROM cn GROUP BY cell
+    ),
+    cs AS MATERIALIZED (
+        SELECT cn.vec_id, cn.label, cn.cell, cn.nrm, cn.codes,
+               {_sql_residual_code('cn.we', KNN_CODE_BITS)}
+                   % ((sz.c + {KNN_CELL_CAP - 1}) // {KNN_CELL_CAP})
+                   AS subcell
+        FROM cn JOIN sz USING (cell)
+    ),
+    cand AS (
+        SELECT a.vec_id, a.label, b.vec_id AS {nid}, b.label AS {nlabel},
+               a.nrm AS a_n, b.nrm AS b_n,
+               {sql_micros(f"({sql_recon_dot('a.codes', 'b.codes')})"
+                           " / (a.nrm * b.nrm)")} AS approx_e6
+        FROM cs a JOIN cs b
+          ON a.cell = b.cell AND a.subcell = b.subcell
+         AND {keep}
+    ),
+    pre AS (
+        SELECT vec_id, label, {nid}, {nlabel}, a_n, b_n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY approx_e6 DESC, {nid}
+            ) AS prk FROM cand
+        ) WHERE prk <= {pre_c}
+    )"""
+
+
 def _prefiltered_exact_pairs(
     emb: DataFrame,
     n_cells: int,
@@ -202,39 +245,8 @@ def _prefiltered_exact_pairs(
 @register(
     "knn_label_noise",
     oracle=f"""
-    WITH cn AS MATERIALIZED (
-        SELECT vec_id, label, {sql_cell('embedding')} AS cell,
-               {sql_to_double('embedding')} AS we,
-               {sql_norm('embedding')} AS nrm,
-               {sql_pq_code_array('embedding')} AS codes
-        FROM embeddings
-    ),
-    sz AS (
-        SELECT cell, CAST(count(*) AS BIGINT) AS c FROM cn GROUP BY cell
-    ),
-    cs AS MATERIALIZED (
-        SELECT cn.vec_id, cn.label, cn.cell, cn.nrm, cn.codes,
-               {_sql_residual_code('cn.we', KNN_CODE_BITS)}
-                   % ((sz.c + {KNN_CELL_CAP - 1}) // {KNN_CELL_CAP})
-                   AS subcell
-        FROM cn JOIN sz USING (cell)
-    ),
-    cand AS (
-        SELECT a.vec_id, a.label, b.vec_id AS n_id, b.label AS nlabel,
-               a.nrm AS a_n, b.nrm AS b_n,
-               {sql_micros(f"({sql_recon_dot('a.codes', 'b.codes')})"
-                           " / (a.nrm * b.nrm)")} AS approx_e6
-        FROM cs a JOIN cs b
-          ON a.cell = b.cell AND a.subcell = b.subcell
-         AND a.vec_id <> b.vec_id
-    ),
-    pre AS (
-        SELECT vec_id, label, n_id, nlabel, a_n, b_n FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY approx_e6 DESC, n_id
-            ) AS prk FROM cand
-        ) WHERE prk <= {PQ_PREFILTER_C}
-    ),
+    WITH {_sql_prefilter_prefix('n_id', 'nlabel',
+                                'a.vec_id <> b.vec_id', PQ_PREFILTER_C)},
     scored AS (
         SELECT p.vec_id, p.label, p.nlabel, p.n_id,
                {sql_micros(f"({sql_dot('ea.we', 'eb.we')}) / (p.a_n * p.b_n)")}
@@ -321,39 +333,8 @@ HN_PRE_C = 4 * HN_K
 @register(
     "hard_negative_mining_grouped",
     oracle=f"""
-    WITH cn AS MATERIALIZED (
-        SELECT vec_id, label, {sql_cell('embedding')} AS cell,
-               {sql_to_double('embedding')} AS we,
-               {sql_norm('embedding')} AS nrm,
-               {sql_pq_code_array('embedding')} AS codes
-        FROM embeddings
-    ),
-    sz AS (
-        SELECT cell, CAST(count(*) AS BIGINT) AS c FROM cn GROUP BY cell
-    ),
-    cs AS MATERIALIZED (
-        SELECT cn.vec_id, cn.label, cn.cell, cn.nrm, cn.codes,
-               {_sql_residual_code('cn.we', KNN_CODE_BITS)}
-                   % ((sz.c + {KNN_CELL_CAP - 1}) // {KNN_CELL_CAP})
-                   AS subcell
-        FROM cn JOIN sz USING (cell)
-    ),
-    cand AS (
-        SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
-               a.nrm AS a_n, b.nrm AS b_n,
-               {sql_micros(f"({sql_recon_dot('a.codes', 'b.codes')})"
-                           " / (a.nrm * b.nrm)")} AS approx_e6
-        FROM cs a JOIN cs b
-          ON a.cell = b.cell AND a.subcell = b.subcell
-         AND a.label <> b.label
-    ),
-    pre AS (
-        SELECT vec_id, label, neg_id, neg_label, a_n, b_n FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY approx_e6 DESC, neg_id
-            ) AS prk FROM cand
-        ) WHERE prk <= {HN_PRE_C}
-    )
+    WITH {_sql_prefilter_prefix('neg_id', 'neg_label',
+                                'a.label <> b.label', HN_PRE_C)}
     SELECT vec_id, label, neg_id, neg_label, cos_e6, CAST(rk AS BIGINT) AS rk
     FROM (
         SELECT p.vec_id, p.label, p.neg_id, p.neg_label,

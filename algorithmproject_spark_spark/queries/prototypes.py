@@ -32,11 +32,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from algorithmproject_spark_spark.functions.numeric import floordiv, micros
-from algorithmproject_spark_spark.functions.vectors import sql_to_double, to_double
+from algorithmproject_spark_spark.functions.vectors import EMB_DIM, sql_to_double, to_double
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
-DIM = 64
+DIM = EMB_DIM
 #: affine shift for the floor mean — must exceed max|coordinate|·1e6
 #: (fixtures peak at ~0.58 → 5.8e5; 2^21 ≈ 2.1e6 leaves 3.6× headroom,
 #: and the shifted numerator S + C·n stays < 9.2e18 for n ≤ 2.9e12)
