@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from algorithmproject_spark_spark.functions.numeric import (
     floordiv,
+    micros,
     scaled_long,
     sql_scaled_long,
 )
@@ -514,4 +515,118 @@ def events_dow_adjusted_outliers(
             .otherwise(0)
             .alias("is_outlier"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart — the engine's first BATCH sequential-recurrence
+# query: an exact per-step-floor recurrence has no window-function
+# closed form (unlike CUSUM's running-sum-minus-min-prefix identity
+# above), so the Spark side is an Arrow-batched applyInPandas over
+# per-type day series and the DuckDB twin is a recursive CTE walking
+# rn → rn+1.  Both engines compute the IDENTICAL integer recurrence,
+# so the result stays hash-exact — the pattern that makes stateful
+# sequential operators (EWMA/Holt smoothing, PAVA, per-entity replay)
+# oracle-checkable at all.
+#
+# Recurrence (all BIGINT, α = 1/8 as an exact rational):
+#   s_1 = x_1                  m_1 = 0
+#   s_d = (7·s_{d-1} + x_d) // 8
+#   m_d = (7·m_{d-1} + |x_d − s_{d-1}|) // 8
+#   flag_d = 1  iff  d ≥ 4  and  m_{d-1} > 0
+#                and |x_d − s_{d-1}| > 3·m_{d-1}
+# x_d is the day's floor-mean value in micros (≤ ~4.9e8 on these
+# fixtures and bounded by max(value)·1e6 at ANY corpus size — a mean,
+# not a total, so 7·s never approaches BIGINT range at 100 TB).
+# ---------------------------------------------------------------------------
+
+_EWMA_SCHEMA = (
+    "event_type string, day long, mean_micros long, "
+    "ewma_micros long, mad_micros long, flag long"
+)
+
+
+def _ewma_walk(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values("day")
+    s = m = None
+    out = []
+    for day, x in zip(pdf["day"], pdf["mean_micros"]):
+        x = int(x)
+        if s is None:
+            s, m, flag = x, 0, 0
+        else:
+            dev = abs(x - s)
+            flag = 1 if len(out) >= 3 and m > 0 and dev > 3 * m else 0
+            s, m = (7 * s + x) // 8, (7 * m + dev) // 8
+        out.append((int(day), x, s, m, flag))
+    return pd.DataFrame(
+        out, columns=["day", "mean_micros", "ewma_micros", "mad_micros", "flag"]
+    ).assign(event_type=pdf["event_type"].iloc[0])
+
+
+@register(
+    "events_ewma_control_chart",
+    oracle="""
+    WITH RECURSIVE base AS MATERIALIZED (
+        SELECT event_type, day, mean_micros,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS rn
+        FROM (
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                       AS day,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) // CAST(count(*) AS BIGINT)
+                       AS mean_micros
+            FROM events GROUP BY 1, 2
+        )
+    ),
+    rec AS (
+        SELECT event_type, day, rn, mean_micros,
+               mean_micros AS ewma_micros,
+               CAST(0 AS BIGINT) AS mad_micros,
+               CAST(0 AS BIGINT) AS flag
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.day, b.rn, b.mean_micros,
+               ((7 * r.ewma_micros) + b.mean_micros) // 8,
+               ((7 * r.mad_micros) + abs(b.mean_micros - r.ewma_micros)) // 8,
+               CAST(CASE WHEN b.rn >= 4 AND r.mad_micros > 0
+                          AND abs(b.mean_micros - r.ewma_micros)
+                              > 3 * r.mad_micros
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM rec r
+        JOIN base b
+          ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, day, mean_micros, ewma_micros, mad_micros, flag
+    FROM rec
+    """,
+    doc=(
+        "EWMA control chart over daily mean event value (α=1/8 exact "
+        "rational, per-step floor): days whose deviation from the "
+        "running EWMA exceeds 3x the EWMA of absolute deviations are "
+        "flagged — the first batch sequential-recurrence query "
+        "(Arrow applyInPandas walk, recursive-CTE oracle twin)"
+    ),
+    plan=("arrow",),
+)
+def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy("event_type", _epoch_day().alias("day")).agg(
+        floordiv(
+            F.sum(micros(F.col("value"))), F.count(F.lit(1))
+        ).alias("mean_micros")
+    )
+    # ~|types| x |days| rows total: the recurrence input is the COMPACTED
+    # daily relation, so the Python stage walks thousands of rows, not
+    # the event corpus — groupBy(type) parallelism is one task per type,
+    # which is exactly the dependency structure of the recurrence
+    return daily.groupBy("event_type").applyInPandas(
+        _ewma_walk, schema=_EWMA_SCHEMA
+    ).select(
+        "event_type", "day", "mean_micros", "ewma_micros", "mad_micros", "flag"
     )

@@ -261,6 +261,9 @@ HEADLINE = (
     "dsir_importance_weights",
     "stream_dsir_weights_batch_twin",
     "events_hdr_value_quantiles",
+    # round-8b: sequential-recurrence and resampling-inference families
+    "events_ewma_control_chart",
+    "events_bootstrap_ci_mean",
 )
 
 
