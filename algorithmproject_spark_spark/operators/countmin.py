@@ -40,9 +40,16 @@ def _sql_bucket(h_expr: str, a: int, b: int) -> str:
     return f"((({h_expr}) * {a} + {b}) % {CMS_P}) % {CMS_W}"
 
 
-def cms_counters(items: DataFrame, col: str) -> DataFrame:
+def cms_counters(
+    items: DataFrame, col: str, weight: str | None = None
+) -> DataFrame:
     """(row, bucket, n) counter table — ≤ d×w rows regardless of input
-    size; the scan is shared across the d rows via one explode."""
+    size; the scan is shared across the d rows via one explode.
+
+    With ``weight`` set, each item adds that column's value instead of
+    1 — the compacted-distribution form: feeding a pre-aggregated
+    (item, count) relation yields the IDENTICAL counter table while the
+    d-way explode runs over |vocab| rows, not the corpus."""
     h = char_fold_hash(F.col(col))
     rows = F.array(
         *[
@@ -52,31 +59,36 @@ def cms_counters(items: DataFrame, col: str) -> DataFrame:
             for i, (a, b) in enumerate(CMS_ROWS)
         ]
     )
+    w = F.col(weight) if weight else F.lit(1)
     return (
-        items.select(F.explode(rows).alias("rb"))
+        items.select(w.alias("w_"), F.explode(rows).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("w_").cast("long").alias("n"))
     )
 
 
 @register(
     "words_countmin_estimates",
     oracle=f"""
-    WITH words AS (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    WITH wc AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS exact_n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word
     ),
     cells AS (
         {" UNION ALL ".join(
             f"SELECT {i} AS row, {_sql_bucket(sql_char_fold_hash('word'), a, b)} AS bucket,"
-            f" word FROM words"
+            f" exact_n FROM wc"
             for i, (a, b) in enumerate(CMS_ROWS)
         )}
     ),
     counters AS (
-        SELECT row, bucket, count(*) AS n FROM cells GROUP BY row, bucket
+        SELECT row, bucket, CAST(sum(exact_n) AS BIGINT) AS n
+        FROM cells GROUP BY row, bucket
     ),
     topw AS (
-        SELECT word, count(*) AS exact_n FROM words GROUP BY word
+        SELECT word, exact_n FROM wc
         ORDER BY exact_n DESC, word LIMIT 20
     ),
     probes AS (
@@ -100,14 +112,22 @@ def cms_counters(items: DataFrame, col: str) -> DataFrame:
 def words_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    counters = cms_counters(words, "word")
-
-    topw = (
+    # ONE corpus scan: compact to the (word, count) distribution first,
+    # then build the counter table weighted by count — identical cells,
+    # but the d-way explode and the top-20 rank both run over |vocab|
+    # rows instead of re-scanning and re-splitting every document
+    # (the un-compacted form was the #2 sf1 hotspot at 29 s)
+    # pin the vocab relation: Catalyst does not dedupe the shared
+    # subtree, and both the counter build and the top-20 rank consume
+    # it — without the pin the corpus scan+split+explode runs twice
+    wc = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("word"))
-        .limit(20)
+        .localCheckpoint(eager=True)
     )
+    counters = cms_counters(wc, "word", weight="exact_n")
+
+    topw = wc.orderBy(F.desc("exact_n"), F.asc("word")).limit(20)
     h = char_fold_hash(F.col("word"))
     probe_rows = F.array(
         *[

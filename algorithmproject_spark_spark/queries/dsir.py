@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
     sql_token_hash_array,
     token_hash_array,
@@ -57,15 +58,20 @@ def token_buckets(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "lang", (F.col("h") % N_BUCKETS).alias("b"))
 
 
-def bucket_weights(long: DataFrame) -> DataFrame:
+def bucket_weights(long: DataFrame, weight: str | None = None) -> DataFrame:
     """(b, raw_b, tgt_b, w_ppm): per-bucket histograms and the
     conditional-ratio weight. ONE aggregation — the target count is a
     conditional count inside the same groupBy, not a second pass, so
     the streaming form is a single stateful aggregation whose snapshot
-    IS this relation."""
+    IS this relation.
+
+    With ``weight`` set, each row adds that column's value instead of
+    1 — the compacted-distribution form (identical histograms from a
+    pre-aggregated (…, b, count) relation)."""
+    w = F.col(weight) if weight else F.lit(1)
     return long.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_b"),
-        F.sum(F.when(F.col("lang") == TARGET_LANG, 1).otherwise(0))
+        F.sum(w).cast("long").alias("raw_b"),
+        F.sum(F.when(F.col("lang") == TARGET_LANG, w).otherwise(0))
         .cast("long")
         .alias("tgt_b"),
     ).select(
@@ -122,14 +128,22 @@ def bucket_weights(long: DataFrame) -> DataFrame:
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    long = token_buckets(docs)
-    w = bucket_weights(long).select("b", "w_ppm")
+    # compact the token stream to per-(doc, bucket) counts and cache
+    # THAT: the histogram build and the score join both consume it, and
+    # Catalyst does not dedupe the shared subtree — uncached, the
+    # tokenize+hash+explode front end ran twice over the corpus
+    db = tracked_cache(
+        token_buckets(docs)
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = bucket_weights(db, weight="c").select("b", "w_ppm")
     score = (
-        long.join(F.broadcast(w), "b")
+        db.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum("w_ppm").alias("s"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w_ppm")).alias("s"),
+            F.sum("c").cast("long").alias("n_tokens"),
         )
     )
     return docs.select("doc_id", "lang").join(score, "doc_id").select(
