@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
     char_fold_hash,
     sql_char_fold_hash,
@@ -295,6 +296,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # pin the tf relation — same shared-subtree rationale as
+    # hashed_tfidf below (df table + scored join both consume it)
+    tf = tracked_cache(tf)
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
     scored = (
@@ -341,6 +345,10 @@ def hashed_tfidf(docs: DataFrame, num_features: int = TFIDF_NUM_FEATURES) -> Dat
         .groupBy("doc_id", "feature")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # pin the tf relation: the df table and the scored join both
+    # consume it, and Catalyst does not dedupe the shared subtree —
+    # uncached, the tokenize+explode+hash front end ran twice
+    tf = tracked_cache(tf)
     df_tbl = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
     scored = (
