@@ -33,7 +33,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from algorithmproject_spark_spark.functions.numeric import floordiv
+from algorithmproject_spark_spark.cacheutil import tracked_cache
+from algorithmproject_spark_spark.functions.numeric import (
+    floordiv,
+    micros,
+    sql_micros,
+)
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -72,11 +77,18 @@ def _sql_pick(i: str, b: str, n: str) -> str:
     oracle=f"""
     WITH idx AS MATERIALIZED (
         SELECT event_type,
-               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS x,
+               {sql_micros('value')} AS x,
                row_number() OVER (
                    PARTITION BY event_type ORDER BY event_id
                ) AS i,
-               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+               CASE WHEN count(*) OVER (PARTITION BY event_type)
+                         > {P_MIX}
+                    THEN CAST(error(
+                        'bootstrap group exceeds the {P_MIX}-row '
+                        'well-mixed bound — subsample first') AS BIGINT)
+                    ELSE CAST(count(*) OVER (PARTITION BY event_type)
+                              AS BIGINT)
+               END AS n
         FROM events
     ),
     draws AS (
@@ -131,13 +143,31 @@ def events_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     wt = W.partitionBy("event_type")
-    idx = ev.select(
-        "event_type",
-        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("x"),
-        F.row_number().over(wt.orderBy("event_id")).alias("i"),
-        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+    # assert_true returns NULL on success — coalesce folds the
+    # (always-0) guard into n, and a group past the well-mixed bound
+    # fails the JOB instead of silently resampling a 1e6-row prefix
+    # (picks can never exceed P_MIX; see module docstring)
+    n_raw = F.count(F.lit(1)).over(wt).cast("long")
+    guard = F.coalesce(
+        F.assert_true(
+            n_raw <= F.lit(P_MIX),
+            F.lit(
+                f"bootstrap group exceeds the {P_MIX}-row well-mixed "
+                "bound — subsample first"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    # pin idx: draws, the resample join, and the point estimate all
+    # consume it — uncached, the events scan and both windows run
+    # three times (Catalyst does not dedupe shared subtrees)
+    idx = tracked_cache(
+        ev.select(
+            "event_type",
+            micros(F.col("value")).alias("x"),
+            F.row_number().over(wt.orderBy("event_id")).alias("i"),
+            (n_raw + guard).alias("n"),
+        )
     )
     draws = idx.select(
         "event_type",

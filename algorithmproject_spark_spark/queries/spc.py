@@ -529,7 +529,9 @@ def events_dow_adjusted_outliers(
 # sequential operators (EWMA/Holt smoothing, PAVA, per-entity replay)
 # oracle-checkable at all.
 #
-# Recurrence (all BIGINT, α = 1/8 as an exact rational):
+# Recurrence (all BIGINT, α = 1/8 as an exact rational; // is
+# DuckDB's truncate-toward-zero BIGINT division, mirrored in Python
+# by _tdiv8 — Python's own // floors and diverges on negatives):
 #   s_1 = x_1                  m_1 = 0
 #   s_d = (7·s_{d-1} + x_d) // 8
 #   m_d = (7·m_{d-1} + |x_d − s_{d-1}|) // 8
@@ -546,6 +548,15 @@ _EWMA_SCHEMA = (
 )
 
 
+def _tdiv8(a: int) -> int:
+    """a / 8 truncated toward zero — DuckDB's BIGINT ``//`` semantics.
+    Python's ``//`` FLOORS, which diverges by 1 on negative numerators
+    (−7 // 8 = −1 vs trunc 0); x ≥ 0 keeps s nonnegative on these
+    fixtures, but a corpus with negative values (refunds, adjustments)
+    must not silently split the engines."""
+    return -((-a) // 8) if a < 0 else a // 8
+
+
 def _ewma_walk(pdf):
     import pandas as pd
 
@@ -559,7 +570,7 @@ def _ewma_walk(pdf):
         else:
             dev = abs(x - s)
             flag = 1 if len(out) >= 3 and m > 0 and dev > 3 * m else 0
-            s, m = (7 * s + x) // 8, (7 * m + dev) // 8
+            s, m = _tdiv8(7 * s + x), _tdiv8(7 * m + dev)
         out.append((int(day), x, s, m, flag))
     return pd.DataFrame(
         out, columns=["day", "mean_micros", "ewma_micros", "mad_micros", "flag"]

@@ -31,6 +31,8 @@ def test_ewma_recurrence_identity(ewma_rows):
     for r in ewma_rows:
         by_type[r.event_type].append(r)
     assert by_type
+    from algorithmproject_spark_spark.queries.spc import _tdiv8
+
     for rows in by_type.values():
         rows.sort(key=lambda r: r.day)
         s = m = None
@@ -41,8 +43,20 @@ def test_ewma_recurrence_identity(ewma_rows):
             else:
                 dev = abs(x - s)
                 flag = 1 if d >= 3 and m > 0 and dev > 3 * m else 0
-                s, m = (7 * s + x) // 8, (7 * m + dev) // 8
+                s, m = _tdiv8(7 * s + x), _tdiv8(7 * m + dev)
             assert (r.ewma_micros, r.mad_micros, r.flag) == (s, m, flag)
+
+
+def test_tdiv8_truncates_like_duckdb():
+    """Negative numerators must truncate toward zero (DuckDB //), not
+    floor (Python //): the cross-engine parity the walk depends on."""
+    from algorithmproject_spark_spark.queries.spc import _tdiv8
+
+    assert _tdiv8(-7) == 0
+    assert _tdiv8(-8) == -1
+    assert _tdiv8(-9) == -1
+    assert _tdiv8(7) == 0
+    assert _tdiv8(15) == 1
 
 
 def test_ewma_warmup_never_flags(ewma_rows):
