@@ -33,11 +33,17 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fit_lda(
     tokens: DataFrame, k: int = 5, max_iter: int = 10, vocab_size: int = 2048
 ):
-    """(model tuple) CountVectorizer + online LDA, both seeded.
+    """(model tuple) CountVectorizer + online LDA, both seeded; all
+    three slots are None for an EMPTY corpus (pyspark.ml LDA aborts on
+    an empty collection — edge-sweep crash class, same guard family as
+    annivf.kmeans_cells).
 
     Online optimizer (NewsLDAModel.scala:50 uses the same) scales as
     mini-batch passes — no full-corpus materialization per iteration.
+    The emptiness probe is limit(1) — O(1), not a corpus count.
     """
+    if tokens.limit(1).count() == 0:
+        return None, None, None
     cv = CountVectorizer(
         inputCol="tokens", outputCol="features", vocabSize=vocab_size, minDF=2.0
     )
@@ -58,6 +64,8 @@ def fit_lda(
 def lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _doc_tokens(spark, sf_dir)
     _cv, lda_model, vectors = fit_lda(tokens)
+    if lda_model is None:  # empty corpus — degrade, don't crash
+        return spark.createDataFrame([], "doc_id bigint, topic int")
     dist = lda_model.transform(vectors)
     # dominant topic = argmax of topicDistribution (a vector column);
     # vector_to_array keeps it in native expressions, no UDF.
@@ -85,6 +93,10 @@ def lda_topics_described(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (bounded by vocab_size — a dimension table, not data)."""
     tokens = _doc_tokens(spark, sf_dir)
     cv_model, lda_model, _vectors = fit_lda(tokens)
+    if lda_model is None:  # empty corpus — degrade, don't crash
+        return spark.createDataFrame(
+            [], "topic int, rk int, term string, weight double"
+        )
     topics = lda_model.describeTopics(10)
     vocab = spark.createDataFrame(
         list(enumerate(cv_model.vocabulary)), "term_idx int, term string"
@@ -115,6 +127,22 @@ def lda_topics_described(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _doc_tokens(spark, sf_dir)
+    # Word2Vec aborts when minCount=2 empties the vocabulary (empty or
+    # near-empty corpus — edge-sweep crash class). The probe doubles as
+    # the anchor computation: most-frequent token with count >= 2.
+    top = (
+        tokens.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .count()
+        .filter(F.col("count") >= 2)
+        .orderBy(F.desc("count"), F.asc("w"))
+        .first()
+    )
+    if top is None:
+        return spark.createDataFrame(
+            [], "anchor string, word string, similarity double"
+        )
+    anchor = top[0]
     w2v = Word2Vec(
         vectorSize=10,
         minCount=2,
@@ -124,13 +152,6 @@ def word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxSentenceLength=100,  # Word2vecProcess.scala:28
     )
     model = w2v.fit(tokens)
-    anchor = (
-        tokens.select(F.explode("tokens").alias("w"))
-        .groupBy("w")
-        .count()
-        .orderBy(F.desc("count"), F.asc("w"))
-        .first()[0]
-    )
     return model.findSynonyms(anchor, 5).select(
         F.lit(anchor).alias("anchor"), "word", "similarity"
     )
