@@ -577,15 +577,8 @@ def _ewma_walk(pdf):
     ).assign(event_type=pdf["event_type"].iloc[0])
 
 
-@register(
-    "events_ewma_control_chart",
-    oracle="""
-    WITH RECURSIVE base AS MATERIALIZED (
-        SELECT event_type, day, mean_micros,
-               row_number() OVER (
-                   PARTITION BY event_type ORDER BY day
-               ) AS rn
-        FROM (
+#: daily floor-mean value in micros — the recurrence input relation
+_SQL_EWMA_DAILY = """
             SELECT event_type,
                    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
                        AS day,
@@ -593,7 +586,20 @@ def _ewma_walk(pdf):
                         AS BIGINT) // CAST(count(*) AS BIGINT)
                        AS mean_micros
             FROM events GROUP BY 1, 2
-        )
+"""
+
+
+def _sql_ewma_recursive(base_inner: str) -> str:
+    """DuckDB twin of the ``_ewma_walk`` recurrence over any
+    (event_type, day, mean_micros) relation — one definition keeps the
+    batch chart and the streaming twin's oracle in lockstep."""
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED (
+        SELECT event_type, day, mean_micros,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS rn
+        FROM ({base_inner})
     ),
     rec AS (
         SELECT event_type, day, rn, mean_micros,
@@ -615,7 +621,12 @@ def _ewma_walk(pdf):
     )
     SELECT event_type, day, mean_micros, ewma_micros, mad_micros, flag
     FROM rec
-    """,
+    """
+
+
+@register(
+    "events_ewma_control_chart",
+    oracle=_sql_ewma_recursive(_SQL_EWMA_DAILY),
     doc=(
         "EWMA control chart over daily mean event value (α=1/8 exact "
         "rational, per-step floor): days whose deviation from the "
@@ -626,18 +637,58 @@ def _ewma_walk(pdf):
     plan=("arrow",),
 )
 def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    daily = ev.groupBy("event_type", _epoch_day().alias("day")).agg(
-        floordiv(
-            F.sum(micros(F.col("value"))), F.count(F.lit(1))
-        ).alias("mean_micros")
-    )
+    daily = ewma_daily(load_table(spark, sf_dir, "events"))
     # ~|types| x |days| rows total: the recurrence input is the COMPACTED
     # daily relation, so the Python stage walks thousands of rows, not
     # the event corpus — groupBy(type) parallelism is one task per type,
     # which is exactly the dependency structure of the recurrence
+    return ewma_walk_chart(daily)
+
+
+def ewma_daily(events: DataFrame) -> DataFrame:
+    """(event_type, day, mean_micros) — the recurrence input."""
+    ev = events.select("event_type", "ts", "value")
+    return ev.groupBy("event_type", _epoch_day().alias("day")).agg(
+        floordiv(
+            F.sum(micros(F.col("value"))), F.count(F.lit(1))
+        ).alias("mean_micros")
+    )
+
+
+def ewma_walk_chart(daily: DataFrame) -> DataFrame:
+    """Arrow walk of the recurrence over a daily-mean relation."""
     return daily.groupBy("event_type").applyInPandas(
         _ewma_walk, schema=_EWMA_SCHEMA
     ).select(
         "event_type", "day", "mean_micros", "ewma_micros", "mad_micros", "flag"
     )
+
+
+@register(
+    "stream_ewma_batch_twin",
+    oracle=_sql_ewma_recursive(f"""
+        SELECT event_type, day, mean_micros FROM (
+            SELECT event_type, day, mean_micros,
+                   max(day) OVER (PARTITION BY event_type) AS mxd
+            FROM ({_SQL_EWMA_DAILY})
+        ) WHERE day < mxd
+    """),
+    doc=(
+        "batch twin of the streaming EWMA control chart "
+        "(streaming/ewmastream.py): the recurrence over every CLOSED "
+        "day — a day is scoreable only once a later day has arrived, "
+        "so each type's maximum (still-open) day is excluded; the "
+        "stateful stream's append output converges to exactly this "
+        "relation"
+    ),
+    plan=("arrow",),
+)
+def stream_ewma_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = ewma_daily(load_table(spark, sf_dir, "events"))
+    mx = daily.groupBy("event_type").agg(F.max("day").alias("mxd"))
+    closed = (
+        daily.join(F.broadcast(mx), "event_type")
+        .filter(F.col("day") < F.col("mxd"))
+        .drop("mxd")
+    )
+    return ewma_walk_chart(closed)

@@ -264,6 +264,7 @@ HEADLINE = (
     # round-8b: sequential-recurrence and resampling-inference families
     "events_ewma_control_chart",
     "events_bootstrap_ci_mean",
+    "stream_ewma_batch_twin",
 )
 
 

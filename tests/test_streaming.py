@@ -905,3 +905,67 @@ def test_dsir_weights_stream_equals_batch(spark, scratch):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_ewma_stream_equals_batch_twin(spark, events_dir):
+    """Streaming per-type EWMA state fold emits exactly the batch
+    twin's closed-day rows: the recurrence is bit-identical by
+    construction, and the still-open (maximum) day per type is never
+    emitted — multi-file micro-batches exercise the pending-day
+    carry across batches."""
+    from algorithmproject_spark_spark.queries.spc import (
+        stream_ewma_batch_twin,
+    )
+    from algorithmproject_spark_spark.streaming.ewmastream import (
+        ewma_stateful,
+    )
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+
+    expected = {
+        (r.event_type, r.day): (
+            r.mean_micros,
+            r.ewma_micros,
+            r.mad_micros,
+            r.flag,
+        )
+        for r in stream_ewma_batch_twin(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    # one file per micro-batch: the pending-day partial sum and the
+    # (s, m) recurrence state must carry across batch boundaries. The
+    # source is written globally ts-ordered (orderBy -> range-
+    # partitioned part files in lexicographic = time order), satisfying
+    # the fold's documented per-key event-time-order contract.
+    src = events_dir.parent / "events_ewma_in"
+    spark.read.parquet(str(events_dir)).orderBy("ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    batch = spark.read.parquet(str(src))
+    stream = stream_read_parquet(
+        spark, str(src), batch.schema, max_files_per_trigger=1
+    )
+    q = stream_write_memory(
+        ewma_stateful(stream.select("event_type", "event_id", "ts", "value")),
+        "ewma_out",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.day): (
+                r.mean_micros,
+                r.ewma_micros,
+                r.mad_micros,
+                r.flag,
+            )
+            for r in spark.sql("SELECT * FROM ewma_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    # sanity: the fold closed a real number of days and flagged sanely
+    assert len(expected) > 50
+    assert all(f in (0, 1) for (_, _, _, f) in expected.values())
