@@ -31,27 +31,77 @@ from pyspark.sql import DataFrame
 # accumulate dead references.
 _TRACKED: list = []
 
+# (JavaRDD handle, SparkContext) pairs for localCheckpoint block sets
+# awaiting release (see tracked_local_checkpoint).
+_TRACKED_CP: list = []
+
 
 def tracked_cache(df: DataFrame) -> DataFrame:
-    """``df.cache()`` + record the relation for :func:`release_caches`."""
+    """``df.cache()`` + record the relation for :func:`release_caches`.
+
+    If an identical (canonicalized) plan is already cached — by an
+    earlier ``tracked_cache`` of the same relation or by a module-level
+    memo — this is a no-op: Spark's CacheManager would log ``Asked to
+    cache already cached data`` and the ledger would hold two entries
+    for one storage slot, so the relation is returned untouched and the
+    existing owner keeps sole release responsibility."""
     sc = df.sparkSession.sparkContext
     _TRACKED[:] = [(d, c) for d, c in _TRACKED if c._jsc is not None]
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+        return df
     df.cache()
     _TRACKED.append((df, sc))
     return df
+
+
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + record the checkpoint blocks for
+    :func:`release_caches`.
+
+    ``localCheckpoint`` persists the materialized partitions as RDD
+    blocks that ``DataFrame.unpersist`` never reaches — a 256-query
+    sweep in one session accumulates them until the context dies
+    (ADVICE r8). The new block-set is diffed out of
+    ``getPersistentRDDs`` and unpersisted on release. UNLIKE a released
+    cache, a released checkpoint cannot recompute (lineage was
+    truncated), so the returned DataFrame is dead after
+    ``release_caches`` — fine for the query-build pattern, where each
+    build constructs a fresh plan; never hand it to a long-lived
+    consumer."""
+    sc = df.sparkSession.sparkContext
+    _TRACKED_CP[:] = [(r, c) for r, c in _TRACKED_CP if c._jsc is not None]
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=eager)
+    live = sc._jsc.getPersistentRDDs()
+    for rdd_id in live.keySet().toArray():
+        if rdd_id not in before:
+            _TRACKED_CP.append((live.get(rdd_id), sc))
+    return out
 
 
 def release_caches() -> None:
     """Unpersist every tracked relation still on a live context.
 
     Idempotent; duplicate ledger entries for the same plan unpersist
-    the same CacheManager entry harmlessly."""
+    the same CacheManager entry harmlessly. Checkpoint blocks tracked
+    by :func:`tracked_local_checkpoint` are freed too — their
+    DataFrames cannot be reused afterward (no lineage to recompute)."""
     for df, sc in _TRACKED:
         if sc._jsc is not None:
             df.unpersist()
     _TRACKED.clear()
+    for jrdd, sc in _TRACKED_CP:
+        if sc._jsc is not None:
+            jrdd.unpersist()
+    _TRACKED_CP.clear()
 
 
 def tracked_count() -> int:
-    """Live tracked entries (for tests)."""
+    """Live tracked cache entries (for tests)."""
     return sum(1 for _, sc in _TRACKED if sc._jsc is not None)
+
+
+def checkpoint_count() -> int:
+    """Live tracked checkpoint block-sets (for tests)."""
+    return sum(1 for _, sc in _TRACKED_CP if sc._jsc is not None)

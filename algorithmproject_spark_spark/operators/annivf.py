@@ -589,15 +589,15 @@ def kmeans_cells(
     fit_input = feat.filter(hash_mod("vec_id", fit_mod) == 0) if fit_mod > 1 else feat
     # Tiny-input guard (edge-sweep finding): pyspark.ml KMeans aborts
     # when the fit input has fewer rows than k (and requires k >= 2).
-    # The count here is on the SAMPLE (bounded ~256*k rows in production
-    # sizing), not the corpus, and the fit itself is already an action —
-    # no extra data-scale pass. Degenerate corpora (<2 rows) skip the
-    # fit entirely: one trivial cell, no model.
-    n_fit = fit_input.count()
-    if n_fit < k and fit_mod > 1:
+    # Probe with limit(k).count(): it returns min(k, n_fit) exactly —
+    # which is all k_eff needs — and CollectLimit stops after k rows
+    # instead of scanning the corpus (a bare .count() on the hash-mod
+    # sample still reads every row; ADVICE r8). Degenerate corpora
+    # (<2 rows) skip the fit entirely: one trivial cell, no model.
+    k_eff = fit_input.limit(k).count()
+    if k_eff < k and fit_mod > 1:
         fit_input = feat
-        n_fit = feat.count()
-    k_eff = min(k, n_fit)
+        k_eff = feat.limit(k).count()
     if k_eff < 2:
         assigned = feat.select(
             "vec_id", "label", "embedding", F.lit(0).cast("int").alias("cell")

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 MAX_LEVEL = 4
 
 
@@ -29,10 +31,10 @@ def bfs_levels(edges: DataFrame, max_level: int = MAX_LEVEL) -> DataFrame:
     sym = (
         edges.select("a", "b")
         .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     src = sym.agg(F.min("a").alias("v"))
-    visited = src.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    visited = src.withColumn("level", F.lit(0)).transform(tracked_local_checkpoint)
     frontier = visited.select("v")
     for lvl in range(1, max_level + 1):
         nxt = (
@@ -40,11 +42,11 @@ def bfs_levels(edges: DataFrame, max_level: int = MAX_LEVEL) -> DataFrame:
             .select(F.col("b").alias("v"))
             .distinct()
             .join(visited.select("v"), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
         visited = visited.unionAll(
             nxt.withColumn("level", F.lit(lvl))
-        ).localCheckpoint(eager=True)
+        ).transform(tracked_local_checkpoint)
         frontier = nxt
     return visited
 

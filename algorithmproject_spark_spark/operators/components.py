@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 CC_ITERS = 5
 
 
@@ -54,7 +56,7 @@ def connected_components_min_label(
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .unionAll(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     labels = (
         edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
@@ -72,7 +74,7 @@ def connected_components_min_label(
                 "v",
                 F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
     return labels
 
@@ -96,11 +98,11 @@ def connected_components(
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .unionAll(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     labels = (
         edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     for _ in range(max_rounds):
         nbr_min = (
@@ -122,7 +124,7 @@ def connected_components(
                 "left",
             )
             .select("v", F.least(F.col("lbl"), F.coalesce("jmp", F.col("lbl"))).alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
         changed = (
             labels.withColumnRenamed("lbl", "old")

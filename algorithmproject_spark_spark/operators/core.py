@@ -14,6 +14,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 
 def anti_join_ids(df: DataFrame, ids: DataFrame, key: str | Sequence[str]) -> DataFrame:
     """J3: remove rows whose key appears in ``ids``.
@@ -109,7 +111,7 @@ def zip_with_global_index(
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     counts = {
         r["__pid"]: r["cnt"]

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 from algorithmproject_spark_spark.functions.hashing import (
     char_fold_hash,
     sql_char_fold_hash,
@@ -123,7 +125,7 @@ def words_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     counters = cms_counters(wc, "word", weight="exact_n")
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 from algorithmproject_spark_spark.operators.triangles import (
     sql_vertex_degrees,
     vertex_degrees as _degrees,
@@ -54,13 +56,13 @@ def kcore_vertices(
     therefore small — edge set). A graph whose peel depth exceeds
     ``rounds`` fails loudly with a ValueError instead of silently
     returning a non-k-core as a dense-cluster certificate."""
-    e = edges.select("a", "b").localCheckpoint(eager=True)
+    e = edges.select("a", "b").transform(tracked_local_checkpoint)
     for _ in range(rounds):
         keep = _degrees(e).filter(F.col("deg") >= k).select("v")
         e = (
             e.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
     deg = _degrees(e)
     # min-degree invariant: every vertex of a true k-core has deg >= k

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 LPA_ITERS = 3
 
 
@@ -39,7 +41,7 @@ def label_propagation(
         .unionAll(
             pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
         )
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     labels = (
         edges.select(F.col("s").alias("v"))
@@ -57,7 +59,7 @@ def label_propagation(
             .withColumn("rn", F.row_number().over(top1))
             .filter(F.col("rn") == 1)
             .select("v", "lbl")
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
     return labels.select("v", F.col("lbl").alias("community"))
 

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import Window as W
 
-from algorithmproject_spark_spark.cacheutil import tracked_cache
+from algorithmproject_spark_spark.cacheutil import (
+    tracked_cache,
+    tracked_local_checkpoint,
+)
 from algorithmproject_spark_spark.functions.text import (
     sql_stopword_list,
     stopword_array,
@@ -250,7 +253,7 @@ def corpus_pagerank(
                     + F.expr("coalesce(c, CAST(0 AS BIGINT)) * 17 DIV 20")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
     return ranks
 

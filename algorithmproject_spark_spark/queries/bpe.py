@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -97,13 +99,13 @@ def bpe_learn_merges(
     tok = docs.select("doc_id", F.split("text", " ").alias("t"))
     out = None
     for r in range(1, rounds + 1):
-        best = _pair_best(tok).localCheckpoint(eager=True)
+        best = _pair_best(tok).transform(tracked_local_checkpoint)
         row = best.select(
             F.lit(r).alias("round"), "a", "b", F.col("c").cast("long").alias("c")
         )
         out = row if out is None else out.unionAll(row)
         if r < rounds:
-            tok = _merge_round(tok, best).localCheckpoint(eager=True)
+            tok = _merge_round(tok, best).transform(tracked_local_checkpoint)
     return out
 
 
@@ -183,8 +185,8 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok0 = docs.select("doc_id", F.split("text", " ").alias("t"))
     tok = tok0
     for _ in range(BPE_ROUNDS):
-        best = _pair_best(tok).localCheckpoint(eager=True)
-        tok = _merge_round(tok, best).localCheckpoint(eager=True)
+        best = _pair_best(tok).transform(tracked_local_checkpoint)
+        tok = _merge_round(tok, best).transform(tracked_local_checkpoint)
     raw = tok0.select("doc_id", F.size("t").cast("long").alias("n_tokens_raw"))
     enc = tok.select("doc_id", F.size("t").cast("long").alias("n_tokens_bpe"))
     return raw.join(enc, "doc_id").select(

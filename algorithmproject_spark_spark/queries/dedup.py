@@ -16,7 +16,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from algorithmproject_spark_spark.cacheutil import tracked_cache
+from algorithmproject_spark_spark.cacheutil import (
+    tracked_cache,
+    tracked_local_checkpoint,
+)
 from algorithmproject_spark_spark.functions.hashing import (
     MINHASH_PARAMS,
     gram_hash_array,
@@ -423,7 +426,7 @@ def ngram_jaccard_index_pairs(
     # because the corpus is small there; the avoided work grows with
     # the posting table). The pinned relation is the df-capped posting
     # subset, tiny relative to the corpus by construction.
-    rare_posts = posts.join(rare, "g").localCheckpoint(eager=True)
+    rare_posts = posts.join(rare, "g").transform(tracked_local_checkpoint)
     cand = (
         rare_posts.alias("a")
         .join(

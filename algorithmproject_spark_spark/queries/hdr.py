@@ -96,10 +96,19 @@ def sql_hdr_rep(idx: str) -> str:
 @register(
     "events_hdr_value_quantiles",
     oracle=f"""
-    WITH hq_v AS MATERIALIZED (
+    WITH hq_raw AS (
         SELECT event_type,
                CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
         FROM events
+    ),
+    hq_v AS MATERIALIZED (
+        SELECT event_type,
+               CASE WHEN v < 0
+                    THEN CAST(error(
+                        'HDR bucket function requires non-negative values'
+                    ) AS BIGINT)
+                    ELSE v END AS v
+        FROM hq_raw
     ),
     hq_h AS (
         SELECT event_type, {sql_hdr_bucket('v')} AS idx,
@@ -158,7 +167,21 @@ def sql_hdr_rep(idx: str) -> str:
 )
 def events_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select("event_type", micros(F.col("value")).alias("v"))
+    # The (octave, sub-bucket) function is only defined for v >= 0, and
+    # the engines' base-2 formatters DIVERGE on negatives (Spark conv
+    # emits 64-char two's-complement, DuckDB printf('%b') 32 chars) —
+    # so a negative value must fail the JOB loudly in BOTH engines, not
+    # silently split them (ADVICE r8). assert_true returns NULL on
+    # success; coalesce folds the always-0 guard into v.
+    raw_v = micros(F.col("value"))
+    guard = F.coalesce(
+        F.assert_true(
+            raw_v >= 0,
+            F.lit("HDR bucket function requires non-negative values"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    v = ev.select("event_type", (raw_v + guard).alias("v"))
     hist = v.select("event_type", hdr_bucket(F.col("v")).alias("idx")).groupBy(
         "event_type", "idx"
     ).agg(F.count(F.lit(1)).alias("c"))

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
 from algorithmproject_spark_spark.functions.vectors import (
     _dot_d,
@@ -159,7 +161,7 @@ def _prefiltered_exact_pairs(
     # iterative HITS/PageRank loops make.
     cs = semdedup_subcells(cn, cell_cap, code_bits=KNN_CODE_BITS).select(
         "vec_id", "label", "cell", "subcell", "codes", "nrm"
-    ).localCheckpoint(eager=True)
+    ).transform(tracked_local_checkpoint)
     # Stage 1 — proxy scoring: the pair join carries 8-int code arrays
     # and a scalar norm, never the 64-double widened vector, and scores
     # each pair with M literal-table lookups (recon_dot)

@@ -48,7 +48,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from algorithmproject_spark_spark.cacheutil import tracked_cache
+from algorithmproject_spark_spark.cacheutil import (
+    tracked_cache,
+    tracked_local_checkpoint,
+)
 from algorithmproject_spark_spark.functions.numeric import floordiv
 from algorithmproject_spark_spark.registry import REGISTRY, register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -266,14 +269,14 @@ def orders_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(h, "c")
             .groupBy("p")
             .agg(F.sum("h").alias("a"))
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
         a = _hits_normalize(a_raw, "p", "a")
         h_raw = (
             edges.join(a, "p")
             .groupBy("c")
             .agg(F.sum("a").alias("h"))
-            .localCheckpoint(eager=True)
+            .transform(tracked_local_checkpoint)
         )
         h = _hits_normalize(h_raw, "c", "h")
     # the loop computes one a-step beyond HITS_ITERS-1 h-steps; the

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+
 from algorithmproject_spark_spark.functions.numeric import floordiv
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -217,7 +219,7 @@ def graph_message_passing_2hop(
     # pin the PAIR relation first: the unionAll references it twice
     # and Catalyst does not dedupe identical join subtrees — unpinned,
     # the 3x3 grid join would execute once per branch
-    pairs = grid_neighbor_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = grid_neighbor_pairs(spark, sf_dir).transform(tracked_local_checkpoint)
     sym = (
         pairs.select(F.col("vec_i").alias("s"), F.col("vec_j").alias("d"))
         .unionAll(
@@ -225,7 +227,7 @@ def graph_message_passing_2hop(
                 F.col("vec_j").alias("s"), F.col("vec_i").alias("d")
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(tracked_local_checkpoint)
     )
     raw_h = F.floor(
         F.element_at("embedding", 4).cast("double")

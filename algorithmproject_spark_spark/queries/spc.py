@@ -548,13 +548,18 @@ _EWMA_SCHEMA = (
 )
 
 
-def _tdiv8(a: int) -> int:
-    """a / 8 truncated toward zero — DuckDB's BIGINT ``//`` semantics.
-    Python's ``//`` FLOORS, which diverges by 1 on negative numerators
-    (−7 // 8 = −1 vs trunc 0); x ≥ 0 keeps s nonnegative on these
-    fixtures, but a corpus with negative values (refunds, adjustments)
+def _tdiv(a: int, d: int) -> int:
+    """a / d truncated toward zero — Spark ``div`` / DuckDB BIGINT
+    ``//`` semantics. Python's ``//`` FLOORS, which diverges by 1 on
+    negative numerators (−7 // 8 = −1 vs trunc 0); nonnegative fixtures
+    mask it, but a corpus with negative values (refunds, adjustments)
     must not silently split the engines."""
-    return -((-a) // 8) if a < 0 else a // 8
+    return -((-a) // d) if a < 0 else a // d
+
+
+def _tdiv8(a: int) -> int:
+    """a / 8 truncated toward zero (see :func:`_tdiv`)."""
+    return _tdiv(a, 8)
 
 
 def _ewma_walk(pdf):

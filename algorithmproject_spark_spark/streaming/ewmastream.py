@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from algorithmproject_spark_spark.queries.spc import _tdiv8
+from algorithmproject_spark_spark.queries.spc import _tdiv, _tdiv8
 
 EWMA_STATE_SCHEMA = StructType(
     [
@@ -94,7 +94,10 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state):
         elif day == pday:
             psum, pcnt = psum + v, pcnt + 1
         else:
-            row, s, m = _close_day(s, m, k, pday, psum // pcnt)
+            # trunc-toward-zero, NOT Python floor — the batch twin and
+            # the DuckDB oracle both truncate, and a negative-sum day
+            # (refunds) would otherwise diverge by 1 (ADVICE r8)
+            row, s, m = _close_day(s, m, k, pday, _tdiv(psum, pcnt))
             rows.append(row)
             k += 1
             pday, psum, pcnt = day, v, 1

@@ -173,7 +173,14 @@ def process_near_dup_batch(
 ) -> None:
     """One micro-batch of the incremental filter (also the batch twin:
     calling this over ordered slices replays the stream exactly)."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     bands = doc_band_state(batch_df).localCheckpoint(eager=True)
+    cp_ids = [
+        i
+        for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        if i not in before
+    ]
     dropped = None
     if os.path.exists(state_dir):
         store = spark.read.parquet(state_dir)
@@ -187,6 +194,14 @@ def process_near_dup_batch(
     bands.join(drop_ids, "doc_id", "left_anti").write.mode("append").parquet(
         state_dir
     )
+    # The checkpoint is fully consumed by the two writes above — free
+    # its blocks NOW, or a long-running stream accumulates one block
+    # set per micro-batch until the context dies (ADVICE r8 class).
+    live = sc._jsc.getPersistentRDDs()
+    for i in cp_ids:
+        h = live.get(i)
+        if h is not None:
+            h.unpersist()
 
 
 def near_dup_filter_stream(

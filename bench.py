@@ -7,6 +7,13 @@ Per-query timing includes full plan execution (count-style action that
 materializes every row) but not session startup. Queries run twice
 warm-up-free is intentional: the driver records cold numbers,
 comparable across rounds.
+
+Since round 9 every query is CACHE-ISOLATED: tracked caches,
+checkpoint blocks, and the itemset memo are released between queries,
+so each number is the query's standalone cost regardless of sweep
+order. Pre-r9 per-query lines are cache-context numbers (an earlier
+query in the sweep could warm a shared cached subtree) — totals are
+comparable across that boundary, individual lines are not.
 """
 
 from __future__ import annotations
@@ -297,6 +304,11 @@ def main() -> None:
         .count()
     )
 
+    from algorithmproject_spark_spark.cacheutil import release_caches
+    from algorithmproject_spark_spark.queries.itemsets import (
+        clear_itemset_cache,
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
@@ -305,6 +317,16 @@ def main() -> None:
         # Materialize every row without driver-side transfer.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Cache-isolate every query (VERDICT r8 #1): without this,
+        # Spark's CacheManager substitutes any matching cached subtree
+        # built by an EARLIER query in the sweep, so per-query numbers
+        # depend on sweep order and are incomparable across rounds
+        # (tfidf_top_terms read 3.1 s or 6.0 s depending on which round's
+        # order warmed the tokenized relation). The release is outside
+        # the timed window — it charges each query its true standalone
+        # cost. Same discipline as tools/shuffle_audit.py.
+        release_caches()
+        clear_itemset_cache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -343,14 +365,8 @@ def main() -> None:
             compact = trial
         line = json.dumps(compact)
     print(line)
-    # Release the session-level tracked caches the query builds
-    # accumulated (storage memory back to zero before stop — the same
-    # hook notebooks/loops use; see cacheutil.py).
-    from algorithmproject_spark_spark.cacheutil import release_caches
-    from algorithmproject_spark_spark.queries.itemsets import (
-        clear_itemset_cache,
-    )
-
+    # Per-query release above already returned storage to zero; one
+    # final sweep for anything the last query left behind.
     release_caches()
     clear_itemset_cache()
     spark.stop()

@@ -145,8 +145,21 @@ def main() -> int:
             for n, v in out.items()
             if "ratio" in v
         }
+        # Carry forward per-query rationale notes (why a high class is
+        # acceptable) across regenerations.
+        notes = {}
+        if os.path.exists(cls_dest):
+            try:
+                notes = json.load(open(cls_dest)).get("notes", {})
+            except Exception:  # noqa: BLE001 - corrupt file, start clean
+                notes = {}
         with open(cls_dest, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "max_ratio": classes}, fh, indent=1, sort_keys=True)
+            json.dump(
+                {"sf_dir": sf_dir, "max_ratio": classes, "notes": notes},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
         print(f"wrote {cls_dest}")
     return 0
 
