@@ -403,7 +403,6 @@ def doc_pii_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from algorithmproject_spark_spark.functions.vectors import (  # noqa: E402
-    _dot_d,
     _norm_d,
     sql_dot,
     sql_norm,
@@ -615,8 +614,51 @@ def semdedup_subcells(
     )
 
 
+_SEMDEDUP_GRAM_BLOCK = 1024
+
+
+def _semdedup_drop_ids(pdf):
+    """Within-group drop set via a blocked exact gram matrix — the
+    Arrow-vectorized twin of the pair-join + per-pair fold form.
+
+    Bit-exactness with the DuckDB oracle's sequential fold: the
+    accumulation is DIM-sequential (one ``acc += outer(X[:, d], X[:, d])``
+    per dimension), so every pair's dot product performs the identical
+    IEEE add/multiply sequence as ``F.aggregate(zip_with(...))`` /
+    ``list_reduce`` — vectorized across PAIRS, ordered across DIMS.
+    The cosine micros conversion mirrors functions/numeric.micros
+    exactly: floor(dot / (na*nb) * 1e6 + 0.5).
+
+    Blocked rows bound peak memory at BLOCK x n even for the one group
+    shape the residual-parity split cannot break (a mass of IDENTICAL
+    vectors shares every content-derived code; exact-dup removal is the
+    operator for that mass and runs first in a real pipeline)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame({"vec_id": np.empty(0, dtype="int64")})
+    ids = pdf["vec_id"].to_numpy().astype("int64")
+    X = np.stack(pdf["we"].to_numpy())
+    nrm = pdf["nrm"].to_numpy()
+    dropped = np.zeros(n, dtype=bool)
+    for lo in range(0, n, _SEMDEDUP_GRAM_BLOCK):
+        hi = min(lo + _SEMDEDUP_GRAM_BLOCK, n)
+        acc = np.zeros((hi - lo, n))
+        for d in range(X.shape[1]):
+            acc += np.multiply.outer(X[lo:hi, d], X[:, d])
+        cos_e6 = np.floor(
+            acc / np.multiply.outer(nrm[lo:hi], nrm) * 1000000.0 + 0.5
+        )
+        hit = (cos_e6 >= SEMDEDUP_COS_E6) & (ids[lo:hi, None] < ids[None, :])
+        dropped |= hit.any(axis=0)
+    return pd.DataFrame({"vec_id": ids[dropped]})
+
+
 @register(
     "embedding_semantic_dedup",
+    plan=("arrow",),
     oracle=f"""
     WITH cn AS MATERIALIZED (
         SELECT vec_id, {sql_cell('embedding')} AS cell,
@@ -676,26 +718,28 @@ def embedding_semantic_dedup(
         )
         .withColumn("nrm", _norm_d(F.col("we")))
     )
-    cn = tracked_cache(cn)  # encode+norm once: both join sides and the output
+    cn = tracked_cache(cn)  # encode+norm once: the group input and the output
     cs = semdedup_subcells(cn, cell_cap)
-    a = cs.select(
-        F.col("vec_id").alias("a_id"), F.col("we").alias("a_we"),
-        F.col("nrm").alias("a_n"), "cell", "subcell",
-    )
-    b = cs.select(
-        F.col("vec_id").alias("b_id"), F.col("we").alias("b_we"),
-        F.col("nrm").alias("b_n"), "cell", "subcell",
-    )
+    # Within-group pairs never exist as Spark rows: ONE shuffle of the
+    # O(n) vector relation to (cell, subcell) groups, then the blocked
+    # exact gram inside an Arrow kernel. The former pair-join form
+    # generated and expression-evaluated cap·n rows with an interpreted
+    # 64-element fold per pair — 38 s solo at sf1 vs ~4 s for this plan
+    # (round-9 measurement), identical drop set (the kernel replays the
+    # fold's IEEE operation sequence; oracle SQL unchanged). A PQ-ADC
+    # prefilter was considered and rejected: dedup is a THRESHOLD query
+    # — the prefilter must keep every pair above the threshold, and
+    # with the seeded random codebooks the sound Cauchy-Schwarz
+    # residual bound admits essentially everything (the ranking trick
+    # that works for knn_label_noise's top-k has no lossless analogue
+    # here).
     dropped = (
-        a.join(b, ["cell", "subcell"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            micros(_dot_d(F.col("a_we"), F.col("b_we")) / (F.col("a_n") * F.col("b_n")))
-            >= SEMDEDUP_COS_E6
-        )
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
+        cs.select("vec_id", "we", "nrm", "cell", "subcell")
+        .groupBy("cell", "subcell")
+        .applyInPandas(_semdedup_drop_ids, schema="vec_id long")
     )
+    # no distinct needed: the kernel emits each id at most once and a
+    # vector lives in exactly one (cell, subcell) group
     return cn.join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left").select(
         "vec_id",
         "cell",
