@@ -297,7 +297,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # pin the tf relation — same shared-subtree rationale as
-    # hashed_tfidf below (df table + scored join both consume it)
+    # hashed_tfidf below (df table + scored join both consume it).
+    # Re-decided on cache-isolated solo numbers (round 9): pinned
+    # 2.76-3.45 s vs unpinned 2.78-2.83 s at sf1 — a wash inside the
+    # VM noise band locally (the OS page cache hides the rescan), and
+    # the executed adaptive plan shows ZERO ReusedExchange nodes for
+    # the duplicated subtree, so unpinned genuinely re-runs the
+    # scan + tokenize + explode + first shuffle. At 100 TB that second
+    # pass is the dominant cost and the post-agg (doc_id, word, tf)
+    # relation is the smallest shared form — the pin stays.
     tf = tracked_cache(tf)
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
