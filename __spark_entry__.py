@@ -33,14 +33,18 @@ def _ordered_names() -> list[str]:
     to the front; already-green queries rotate to the back for re-checks.
     """
     green: set[str] = set()
+    last_checked: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))), start=1
+    ):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            last_checked[name] = rnd
             if (
                 row.get("rows_match")
                 and row.get("schema_match")
@@ -49,7 +53,15 @@ def _ordered_names() -> list[str]:
             ):
                 green.add(name)
     names = list(REGISTRY)
-    return [n for n in names if n not in green] + [n for n in names if n in green]
+    fresh = [n for n in names if n not in green]
+    # Green names re-check least-recently-checked first, so a capped
+    # correctness pass rotates through the whole registry over rounds
+    # instead of re-reading the same early names.
+    stale = sorted(
+        (n for n in names if n in green),
+        key=lambda n: (last_checked.get(n, 0), n),
+    )
+    return fresh + stale
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -272,6 +272,9 @@ HEADLINE = (
     "events_ewma_control_chart",
     "events_bootstrap_ci_mean",
     "stream_ewma_batch_twin",
+    # round-9: model-based quality filter (frozen fastText-style head)
+    "doc_quality_model_score",
+    "quality_model_lang_report",
 )
 
 

@@ -1,0 +1,101 @@
+"""Model-based quality scoring (queries/qualitymodel.py) — the frozen
+fastText/CCNet-style linear head over hashed unigram+bigram features."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from algorithmproject_spark_spark.functions.hashing import GRAM_MULT, MOD, MULT
+from algorithmproject_spark_spark.queries import REGISTRY
+from algorithmproject_spark_spark.queries.qualitymodel import (
+    QM_BIAS_PPM,
+    QM_DIM,
+    QM_KEEP_PPM,
+    QM_W_PPM,
+    quality_logit_cols,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_score(text: str) -> tuple[int, int, int, int]:
+    """Reference implementation of the scored columns in plain Python —
+    the same fold/mod/trunc-div arithmetic, independently coded."""
+    toks = text.split(" ")
+    th = []
+    for t in toks:
+        h = 0
+        for ch in t:
+            h = (h * MULT + ord(ch)) % MOD
+        th.append(h)
+    feats = [h % QM_DIM for h in th]
+    for a, b in zip(th, th[1:]):
+        feats.append(((a * GRAM_MULT + b) % MOD) % QM_DIM)
+    n_feats = len(toks) + max(len(toks) - 1, 0)
+    sum_w = sum(QM_W_PPM[f] for f in feats)
+    q = abs(sum_w) // n_feats
+    score = (q if sum_w >= 0 else -q) + QM_BIAS_PPM  # trunc toward zero
+    return n_feats, sum_w, score, 1 if score >= QM_KEEP_PPM else 0
+
+
+def test_scored_columns_match_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "spam spam spam buy now click here",
+        "x",
+        "data quality filters decide what a model ever sees",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *quality_logit_cols(F.col("text"))
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        n_feats, sum_w, score, keep = _py_score(t)
+        r = rows[i]
+        assert (r["n_feats"], r["sum_w_ppm"], r["score_ppm"], r["keep"]) == (
+            n_feats,
+            sum_w,
+            score,
+            keep,
+        ), f"doc {i!r}"
+
+
+def test_registered_query_shape_and_flag_consistency(spark):
+    out = REGISTRY["doc_quality_model_score"].fn(spark, SF)
+    assert out.columns == ["doc_id", "n_feats", "sum_w_ppm", "score_ppm", "keep"]
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["keep"] == (1 if r["score_ppm"] >= QM_KEEP_PPM else 0)
+        assert r["n_feats"] >= 1  # split() never yields an empty array
+
+
+def test_lang_report_consistent_with_per_doc_scores(spark):
+    report = {
+        r["lang"]: r
+        for r in REGISTRY["quality_model_lang_report"].fn(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    scored = REGISTRY["doc_quality_model_score"].fn(spark, SF).join(docs, "doc_id")
+    agg = {
+        r["lang"]: r
+        for r in scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_keep"),
+            F.min("score_ppm").alias("mn"),
+            F.max("score_ppm").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(report) == set(agg)
+    for lang, r in report.items():
+        a = agg[lang]
+        assert (r["n_docs"], r["n_keep"]) == (a["n_docs"], a["n_keep"])
+        assert (r["min_score_ppm"], r["max_score_ppm"]) == (a["mn"], a["mx"])
+        assert r["keep_ppm"] == a["n_keep"] * 1_000_000 // a["n_docs"]
