@@ -357,6 +357,87 @@ def _install_cluster_oracle() -> None:
 _install_cluster_oracle()
 
 
+# Soft dedup: instead of DROPPING near-duplicates, downweight every
+# member of a near-dup cluster by 1/|cluster| (ppm) so the cluster
+# contributes ONE document's worth of training mass in expectation —
+# the standard softer alternative to hard dedup (sampling weights in
+# data-mixture builds; SemDeDup ablations report it as the
+# quality-preserving variant). Singletons keep weight 1e6. Scale
+# shape: the component labels cover only docs that appear in a
+# verified pair (tiny vs the corpus), sizes are cluster-count-sized
+# (broadcast); the corpus-side cost is ONE left equi-join on doc_id.
+@register(
+    "dedup_soft_weights",
+    oracle=None,  # set below — shares the dup_pairs + components CTEs
+    doc=(
+        "soft near-dup weights: every member of a verified near-dup "
+        "cluster gets weight 1e6/|cluster| ppm (cluster contributes "
+        "one doc of training mass in expectation), singletons keep "
+        "1e6 — connected components over verified pairs + one "
+        "corpus-side left join, no drops"
+    ),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.operators.components import (
+        connected_components_min_label,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components_min_label(
+        jaccard_verified_pairs(spark, sf_dir)
+    )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    clustered = labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("cluster_rep"),
+        "cluster_size",
+    )
+    j = docs.join(clustered, "doc_id", "left")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
+    return j.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_rep"),
+        size.alias("cluster_size"),
+        F.call_function("div", F.lit(1_000_000), size).alias("w_ppm"),
+    )
+
+
+def _install_soft_weights_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.operators.components import (
+        CC_ITERS,
+        sql_connected_components,
+    )
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    oracle = f"""
+    WITH {sql_dup_pairs_cte()},
+    {sql_connected_components('dup_pairs')},
+    sw_sizes AS (
+        SELECT lbl, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cc{CC_ITERS} GROUP BY lbl
+    ),
+    sw_clustered AS (
+        SELECT c.v AS doc_id, c.lbl AS cluster_rep, s.cluster_size
+        FROM cc{CC_ITERS} c JOIN sw_sizes s USING (lbl)
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+           coalesce(c.cluster_size, 1) AS cluster_size,
+           1000000 // coalesce(c.cluster_size, 1) AS w_ppm
+    FROM documents d LEFT JOIN sw_clustered c ON d.doc_id = c.doc_id
+    """
+    REGISTRY["dedup_soft_weights"] = replace(
+        REGISTRY["dedup_soft_weights"], oracle=oracle
+    )
+
+
+_install_soft_weights_oracle()
+
+
 # Inverted-index n-gram Jaccard — the EXACT candidate generator, the
 # deterministic alternative to MinHash banding. Build the shingle
 # posting list, keep only rare shingles (2 <= df <= MAX_POSTING_DF),

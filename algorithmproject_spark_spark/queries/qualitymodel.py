@@ -217,3 +217,140 @@ def quality_model_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score_ppm").cast("long").alias("max_score_ppm"),
         F.call_function("div", F.sum("score_ppm"), n).alias("mean_score_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Score-band histogram + streaming twin: monitoring the live score
+# distribution of an ingest stream. Bands are score_ppm div 10000
+# clamped to [-5, 5] — 11 fixed buckets, so the streaming aggregation
+# state is bounded at |langs| x 11 rows no matter the volume.
+# --------------------------------------------------------------------------
+QM_BAND_PPM = 10_000
+QM_BAND_CLAMP = 5
+
+
+def quality_bands(docs: DataFrame) -> DataFrame:
+    """(lang, band, n_docs, n_keep) — ONE definition feeding the batch
+    twin query, its oracle, and streaming/qualitystream.py."""
+    scored = docs.select("lang", *quality_logit_cols(F.col("text")))
+    band = F.least(
+        F.greatest(
+            F.call_function("div", F.col("score_ppm"), F.lit(QM_BAND_PPM)),
+            F.lit(-QM_BAND_CLAMP).cast("long"),
+        ),
+        F.lit(QM_BAND_CLAMP).cast("long"),
+    )
+    return scored.groupBy("lang", band.alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+    )
+
+
+@register(
+    "stream_quality_bands_batch_twin",
+    oracle=f"""
+    WITH {_sql_quality_prefix()}
+    SELECT lang,
+           least(greatest(score_ppm // {QM_BAND_PPM}, -{QM_BAND_CLAMP}),
+                 {QM_BAND_CLAMP}) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_keep
+    FROM qscore GROUP BY 1, 2
+    """,
+    doc=(
+        "batch twin of the streaming quality-score band histogram "
+        "(streaming/qualitystream.py): per-(lang, band) doc/keep "
+        "counts from the frozen quality head, bands clamped to 11 "
+        "fixed buckets so the streaming state is bounded — the "
+        "complete-mode snapshot converges to exactly this relation"
+    ),
+)
+def stream_quality_bands_batch_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from algorithmproject_spark_spark.streaming.qualitystream import (
+        quality_bands_batch,
+    )
+
+    return quality_bands_batch(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Curation funnel report: the stage-by-stage survivor counts of a
+# filter cascade (the FineWeb/CCNet observability table). Each stage
+# is cumulative (a doc must pass every earlier stage), so the columns
+# read as a funnel; per-source grouping is how a crawl batch gets
+# blamed. Single map-only pass + one map-side-combined groupBy.
+# --------------------------------------------------------------------------
+FUNNEL_MIN_CHARS = 100
+FUNNEL_TOK_MIN = 20
+FUNNEL_TOK_MAX = 1_000
+FUNNEL_LANG = "en"
+
+
+@register(
+    "curation_funnel_report",
+    oracle=f"""
+    WITH {_sql_quality_prefix()},
+    fl AS (
+        SELECT d.source,
+               CASE WHEN d.n_chars >= {FUNNEL_MIN_CHARS} THEN 1 ELSE 0 END
+                   AS len_ok,
+               CASE WHEN d.n_chars >= {FUNNEL_MIN_CHARS}
+                     AND len(string_split(d.text, ' '))
+                         BETWEEN {FUNNEL_TOK_MIN} AND {FUNNEL_TOK_MAX}
+                    THEN 1 ELSE 0 END AS tok_ok,
+               CASE WHEN d.n_chars >= {FUNNEL_MIN_CHARS}
+                     AND len(string_split(d.text, ' '))
+                         BETWEEN {FUNNEL_TOK_MIN} AND {FUNNEL_TOK_MAX}
+                     AND d.lang = '{FUNNEL_LANG}'
+                    THEN 1 ELSE 0 END AS lang_ok,
+               CASE WHEN d.n_chars >= {FUNNEL_MIN_CHARS}
+                     AND len(string_split(d.text, ' '))
+                         BETWEEN {FUNNEL_TOK_MIN} AND {FUNNEL_TOK_MAX}
+                     AND d.lang = '{FUNNEL_LANG}'
+                     AND q.keep = 1
+                    THEN 1 ELSE 0 END AS keep_ok
+        FROM documents d JOIN qscore q ON d.doc_id = q.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
+           CAST(sum(tok_ok) AS BIGINT) AS n_tok_ok,
+           CAST(sum(lang_ok) AS BIGINT) AS n_lang_ok,
+           CAST(sum(keep_ok) AS BIGINT) AS n_keep,
+           CAST(sum(keep_ok) * 1000000 // count(*) AS BIGINT)
+               AS survival_ppm
+    FROM fl GROUP BY source
+    """,
+    doc=(
+        "curation funnel report (FineWeb/CCNet observability): "
+        "cumulative survivor counts per source through the cascade "
+        "length -> token-count -> language -> model-quality, plus the "
+        "end-to-end survival rate in ppm — one map-only scored pass "
+        "and one map-side-combined groupBy, no joins of data-scale "
+        "relations (the quality columns ride the same row)"
+    ),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "lang", "n_chars", "text", *quality_logit_cols(F.col("text"))
+    )
+    n_toks = F.size(tokenize(F.col("text")))
+    len_ok = F.col("n_chars") >= FUNNEL_MIN_CHARS
+    tok_ok = len_ok & n_toks.between(FUNNEL_TOK_MIN, FUNNEL_TOK_MAX)
+    lang_ok = tok_ok & (F.col("lang") == FUNNEL_LANG)
+    keep_ok = lang_ok & (F.col("keep") == 1)
+    as_i = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    n = F.count(F.lit(1)).cast("long")
+    return scored.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum(as_i(len_ok)).cast("long").alias("n_len_ok"),
+        F.sum(as_i(tok_ok)).cast("long").alias("n_tok_ok"),
+        F.sum(as_i(lang_ok)).cast("long").alias("n_lang_ok"),
+        F.sum(as_i(keep_ok)).cast("long").alias("n_keep"),
+        F.call_function(
+            "div", F.sum(as_i(keep_ok)) * F.lit(1_000_000), n
+        ).alias("survival_ppm"),
+    )

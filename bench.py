@@ -272,9 +272,14 @@ HEADLINE = (
     "events_ewma_control_chart",
     "events_bootstrap_ci_mean",
     "stream_ewma_batch_twin",
-    # round-9: model-based quality filter (frozen fastText-style head)
+    # round-9: model-based quality filter (frozen fastText-style head),
+    # its streaming band-histogram twin, the curation funnel report,
+    # and soft near-dup weights
     "doc_quality_model_score",
     "quality_model_lang_report",
+    "stream_quality_bands_batch_twin",
+    "curation_funnel_report",
+    "dedup_soft_weights",
 )
 
 

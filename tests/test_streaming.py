@@ -969,3 +969,55 @@ def test_ewma_stream_equals_batch_twin(spark, events_dir):
     # sanity: the fold closed a real number of days and flagged sanely
     assert len(expected) > 50
     assert all(f in (0, 1) for (_, _, _, f) in expected.values())
+
+
+def test_quality_bands_stream_equals_batch(spark, scratch):
+    """Streaming quality-band histogram (12th twin): the complete-mode
+    snapshot after a 2-file stream (forced micro-batch seam) equals the
+    batch twin — band counts are order-insensitive and the scored
+    columns are a pure per-row function."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.sources.catalog import load_table
+    from algorithmproject_spark_spark.streaming.qualitystream import (
+        quality_bands_batch,
+        quality_bands_stream,
+    )
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    expected = {
+        (r.lang, r.band): (r.n_docs, r.n_keep)
+        for r in quality_bands_batch(docs).collect()
+    }
+    assert expected
+
+    src_dir = scratch / "quality_in"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir))
+    stream = stream_read_parquet(
+        spark, str(src_dir), docs.schema, max_files_per_trigger=1
+    )
+    q = stream_write_memory(
+        quality_bands_stream(stream), "quality_snapshots",
+        output_mode="complete",
+    )
+    try:
+        q.processAllAvailable()
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        q.processAllAvailable()
+        got = {
+            (r.lang, r.band): (r.n_docs, r.n_keep)
+            for r in spark.sql("SELECT * FROM quality_snapshots").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
