@@ -24,7 +24,17 @@ hook (``release_caches`` does not touch it).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# Serializes the getPersistentRDDs before/after diff windows so two
+# Python threads checkpointing concurrently (e.g. two foreachBatch
+# callbacks in one session) cannot attribute each other's blocks and
+# later free a live stream's checkpoint out from under it (round-9
+# review finding). JVM-side persists from OUTSIDE these helpers during
+# a window are not covered — route checkpoints through cacheutil.
+_CP_LOCK = threading.RLock()
 
 # (DataFrame, SparkContext) pairs awaiting release. Entries bound to
 # stopped contexts are pruned on every append, so session cycles don't
@@ -55,9 +65,12 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return df
 
 
-def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
-    """``df.localCheckpoint(eager)`` + record the checkpoint blocks for
-    :func:`release_caches`.
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` + record the checkpoint blocks
+    for :func:`release_caches`. Always eager: a LAZY checkpoint would
+    persist its blocks only at the first later action — after the
+    before/after diff window below has closed — so the blocks would
+    silently leak, the exact defect this function exists to plug.
 
     ``localCheckpoint`` persists the materialized partitions as RDD
     blocks that ``DataFrame.unpersist`` never reaches — a 256-query
@@ -69,15 +82,44 @@ def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     ``release_caches`` — fine for the query-build pattern, where each
     build constructs a fresh plan; never hand it to a long-lived
     consumer."""
+    out, handles = _checkpoint_with_handles(df)
     sc = df.sparkSession.sparkContext
     _TRACKED_CP[:] = [(r, c) for r, c in _TRACKED_CP if c._jsc is not None]
-    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=eager)
-    live = sc._jsc.getPersistentRDDs()
-    for rdd_id in live.keySet().toArray():
-        if rdd_id not in before:
-            _TRACKED_CP.append((live.get(rdd_id), sc))
+    _TRACKED_CP.extend((h, sc) for h in handles)
     return out
+
+
+def _checkpoint_with_handles(df: DataFrame):
+    """Eager localCheckpoint + the JavaRDD handles of the blocks it
+    persisted (the shared diff idiom — one implementation for the
+    session ledger and for scoped callers)."""
+    sc = df.sparkSession.sparkContext
+    with _CP_LOCK:
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint(eager=True)
+        live = sc._jsc.getPersistentRDDs()
+        handles = [
+            live.get(rdd_id)
+            for rdd_id in live.keySet().toArray()
+            if rdd_id not in before
+        ]
+    return out, handles
+
+
+def scoped_local_checkpoint(df: DataFrame):
+    """Eager localCheckpoint whose blocks the CALLER frees: returns
+    ``(checkpointed_df, release)`` — call ``release()`` once every
+    consumer of the checkpoint has materialized. Not entered in the
+    session ledger, so ``release_caches()`` never touches it: the shape
+    for per-micro-batch pins inside a long-running stream, where the
+    session-level release hook does not fire between batches."""
+    out, handles = _checkpoint_with_handles(df)
+
+    def release() -> None:
+        for h in handles:
+            h.unpersist()
+
+    return out, release
 
 
 def release_caches() -> None:

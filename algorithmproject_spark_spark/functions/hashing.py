@@ -35,10 +35,19 @@ def char_fold_hash(col: Column, mult: int = MULT, mod: int = MOD) -> Column:
 
 
 def sql_char_fold_hash(expr: str, mult: int = MULT, mod: int = MOD) -> str:
-    """DuckDB twin of :func:`char_fold_hash`."""
+    """DuckDB twin of :func:`char_fold_hash`.
+
+    Empty-string edge (round-9 review finding): both engines split ''
+    into [''], but Spark ``ascii('')`` is 0 while DuckDB ``unicode('')``
+    is -1 — so an EMPTY TOKEN (double space, leading/trailing space,
+    empty text) hashed -1 here vs 0 in Spark, a latent cross-engine
+    split for every consumer (the fixtures are single-space-joined,
+    which is why sweeps stayed green). The CASE pins '' to 0, matching
+    Spark; non-empty characters are unaffected."""
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({expr}, ''), c_ -> CAST(unicode(c_) AS BIGINT))), "
+        f"list_transform(string_split({expr}, ''), "
+        f"c_ -> CAST(CASE WHEN c_ = '' THEN 0 ELSE unicode(c_) END AS BIGINT))), "
         f"(acc_, c_) -> (acc_ * {mult} + c_) % {mod})"
     )
 

@@ -102,12 +102,15 @@ def sql_hdr_rep(idx: str) -> str:
         FROM events
     ),
     hq_v AS MATERIALIZED (
+        -- WHEN v >= 0 so a NULL value falls into the error branch,
+        -- matching Spark where assert_true THROWS on a NULL condition
+        -- (a CASE WHEN v < 0 guard would pass NULL through silently —
+        -- round-9 review finding)
         SELECT event_type,
-               CASE WHEN v < 0
-                    THEN CAST(error(
+               CASE WHEN v >= 0 THEN v
+                    ELSE CAST(error(
                         'HDR bucket function requires non-negative values'
-                    ) AS BIGINT)
-                    ELSE v END AS v
+                    ) AS BIGINT) END AS v
         FROM hq_raw
     ),
     hq_h AS (

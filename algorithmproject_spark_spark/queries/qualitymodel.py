@@ -297,16 +297,16 @@ FUNNEL_LANG = "en"
                CASE WHEN d.n_chars >= {FUNNEL_MIN_CHARS} THEN 1 ELSE 0 END
                    AS len_ok,
                CASE WHEN d.n_chars >= {FUNNEL_MIN_CHARS}
-                     AND len(string_split(d.text, ' '))
+                     AND (q.n_feats + 1) // 2
                          BETWEEN {FUNNEL_TOK_MIN} AND {FUNNEL_TOK_MAX}
                     THEN 1 ELSE 0 END AS tok_ok,
                CASE WHEN d.n_chars >= {FUNNEL_MIN_CHARS}
-                     AND len(string_split(d.text, ' '))
+                     AND (q.n_feats + 1) // 2
                          BETWEEN {FUNNEL_TOK_MIN} AND {FUNNEL_TOK_MAX}
                      AND d.lang = '{FUNNEL_LANG}'
                     THEN 1 ELSE 0 END AS lang_ok,
                CASE WHEN d.n_chars >= {FUNNEL_MIN_CHARS}
-                     AND len(string_split(d.text, ' '))
+                     AND (q.n_feats + 1) // 2
                          BETWEEN {FUNNEL_TOK_MIN} AND {FUNNEL_TOK_MAX}
                      AND d.lang = '{FUNNEL_LANG}'
                      AND q.keep = 1
@@ -335,9 +335,13 @@ FUNNEL_LANG = "en"
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
-        "source", "lang", "n_chars", "text", *quality_logit_cols(F.col("text"))
+        "source", "lang", "n_chars", *quality_logit_cols(F.col("text"))
     )
-    n_toks = F.size(tokenize(F.col("text")))
+    # token count is exactly derivable from the scored pass: n_feats =
+    # 2n-1 for n tokens, so (n_feats + 1) div 2 = n — no re-tokenize
+    # (an un-bound split expression would be re-evaluated in every
+    # cumulative flag after CollapseProject inlining; round-9 review)
+    n_toks = F.call_function("div", F.col("n_feats") + F.lit(1), F.lit(2))
     len_ok = F.col("n_chars") >= FUNNEL_MIN_CHARS
     tok_ok = len_ok & n_toks.between(FUNNEL_TOK_MIN, FUNNEL_TOK_MAX)
     lang_ok = tok_ok & (F.col("lang") == FUNNEL_LANG)

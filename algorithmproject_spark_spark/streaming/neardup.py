@@ -173,14 +173,9 @@ def process_near_dup_batch(
 ) -> None:
     """One micro-batch of the incremental filter (also the batch twin:
     calling this over ordered slices replays the stream exactly)."""
-    sc = spark.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    bands = doc_band_state(batch_df).localCheckpoint(eager=True)
-    cp_ids = [
-        i
-        for i in sc._jsc.getPersistentRDDs().keySet().toArray()
-        if i not in before
-    ]
+    from algorithmproject_spark_spark.cacheutil import scoped_local_checkpoint
+
+    bands, release_bands = scoped_local_checkpoint(doc_band_state(batch_df))
     dropped = None
     if os.path.exists(state_dir):
         store = spark.read.parquet(state_dir)
@@ -197,11 +192,7 @@ def process_near_dup_batch(
     # The checkpoint is fully consumed by the two writes above — free
     # its blocks NOW, or a long-running stream accumulates one block
     # set per micro-batch until the context dies (ADVICE r8 class).
-    live = sc._jsc.getPersistentRDDs()
-    for i in cp_ids:
-        h = live.get(i)
-        if h is not None:
-            h.unpersist()
+    release_bands()
 
 
 def near_dup_filter_stream(

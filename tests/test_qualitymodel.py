@@ -99,3 +99,51 @@ def test_lang_report_consistent_with_per_doc_scores(spark):
         assert (r["n_docs"], r["n_keep"]) == (a["n_docs"], a["n_keep"])
         assert (r["min_score_ppm"], r["max_score_ppm"]) == (a["mn"], a["mx"])
         assert r["keep_ppm"] == a["n_keep"] * 1_000_000 // a["n_docs"]
+
+
+def test_oracle_matches_python_on_irregular_whitespace():
+    """Round-9 review regression: DuckDB unicode('') is -1 while Spark
+    ascii('') is 0, so EMPTY TOKENS (double space, leading/trailing
+    space, empty text) silently split the engines before the
+    sql_char_fold_hash CASE fix. The oracle prefix must reproduce
+    _py_score on texts full of empty tokens."""
+    import duckdb
+
+    from algorithmproject_spark_spark.queries.qualitymodel import (
+        _sql_quality_prefix,
+    )
+
+    texts = ["a  b", " leading", "trailing ", "", "  ", "x"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, 'en', ?)", [i, t])
+    rows = con.execute(
+        f"WITH {_sql_quality_prefix()} "
+        "SELECT doc_id, n_feats, sum_w_ppm, score_ppm, keep "
+        "FROM qscore ORDER BY doc_id"
+    ).fetchall()
+    for (doc_id, n_feats, sum_w, score, keep), t in zip(rows, texts):
+        exp = _py_score(t)
+        assert (n_feats, sum_w, score, keep) == exp, f"text {t!r}"
+
+
+def test_spark_matches_python_on_irregular_whitespace(spark):
+    from pyspark.sql import Row
+
+    texts = ["a  b", " leading", "trailing ", "", "  ", "x"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *quality_logit_cols(F.col("text"))
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = _py_score(t)
+        r = rows[i]
+        assert (r["n_feats"], r["sum_w_ppm"], r["score_ppm"], r["keep"]) == exp, (
+            f"text {t!r}"
+        )
