@@ -307,6 +307,161 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dup pairs — the banded-pigeonhole Hamming join that turns
+# fingerprints into a dedup operator (Manku/Jain/Sarma, WWW'07 "Detecting
+# Near-Duplicates for Web Crawling"). Reference context: the Scala repo
+# outsources near-dup entirely (ArticleInfoProcess.scala:184-191); this is
+# the second native flavor next to MinHash-LSH, catching the
+# "few-bits-differ" regime MinHash's set semantics miss (e.g. one token
+# swapped in a long doc barely moves Jaccard bands but flips ≤2-3 vote
+# bits).
+#
+# Scale design: a 31-bit fingerprint gives only 2^8 buckets per 8-bit
+# band — at 10^10 docs every bucket holds ~40M rows and the self-join is
+# quadratic. So the pair query widens to a 62-bit fingerprint (two
+# INDEPENDENT 31-bit bit-votes from different polynomial multipliers,
+# packed side by side) and splits it into 4 bands of 16/16/16/14 bits:
+# 65k buckets per band, bucket occupancy ~n/65k, and the pigeonhole
+# guarantee still holds — any pair with Hamming(fp62) ≤ 3 differs in at
+# most 3 bands, so at least one of the 4 bands matches exactly. More
+# corpus → wider fp / more+narrower bands is the standard dial.
+# --------------------------------------------------------------------------
+SIMHASH_K = 3  # max Hamming distance admitted as a near-dup
+_SH2_MULT = 131  # second, independent polynomial hash multiplier
+
+
+def _vote31(bound_arr: str) -> str:
+    """SQL expr: 31-bit SimHash vote over a BOUND token-hash array.
+
+    ``bound_arr`` must be a plain projected-column NAME; the
+    transform(array(..)) wrapper binds it to a lambda variable so the
+    31 bit-folds reference an O(1) variable, not a re-evaluated subtree
+    (see simhash_fingerprints' docstring for the measured 6× penalty).
+    """
+    return (
+        f"element_at(transform(array({bound_arr}), th -> "
+        "aggregate(sequence(0, 30), cast(0 as bigint), (acc, bit) -> acc + "
+        "if(aggregate(th, cast(0 as bigint), "
+        "(a, h) -> a + if((shiftright(h, bit) & 1) = 1, 1, -1)) > 0, "
+        "shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))), 1)"
+    )
+
+
+def simhash62_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp62): two independent 31-bit votes packed into 62 bits.
+
+    Map-only; cached because the band relation is self-joined (Spark
+    does NOT ReuseExchange a shared aggregation/projection subtree — the
+    uncached plan would run the double char-fold + 62 bit-folds twice).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    votes = (
+        docs.select(
+            "doc_id",
+            token_hash_array(toks).alias("th0"),
+            token_hash_array(toks, mult=_SH2_MULT).alias("th1"),
+        )
+        .select(
+            "doc_id",
+            F.expr(_vote31("th0")).alias("v0"),
+            F.expr(_vote31("th1")).alias("v1"),
+        )
+        .select("doc_id", F.expr("v0 | shiftleft(v1, 31)").alias("fp62"))
+    )
+    return tracked_cache(votes)
+
+
+def _sql_fp62() -> str:
+    """DuckDB CTE prefix computing (doc_id, fp62) — exact twin of
+    :func:`simhash62_fingerprints`. Two unnests in one SELECT zip
+    positionally in DuckDB; th0/th1 always have equal length (same
+    token list), so h0/h1 stay aligned."""
+    th0 = sql_token_hash_array("string_split(text, chr(32))")
+    th1 = sql_token_hash_array("string_split(text, chr(32))", mult=_SH2_MULT)
+    return f"""
+    tok AS (
+        SELECT doc_id, {th0} AS th0, {th1} AS th1 FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, b.bit AS bit,
+               sum(CASE WHEN (t.h0 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w0,
+               sum(CASE WHEN (t.h1 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w1
+        FROM (SELECT doc_id, unnest(th0) AS h0, unnest(th1) AS h1 FROM tok) t
+        CROSS JOIN (SELECT unnest(range(0, 31)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN w0 > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                  + sum(CASE WHEN w1 > 0 THEN (CAST(1 AS BIGINT) << (bit + 31)) ELSE 0 END)
+                    AS BIGINT) AS fp62
+        FROM bits GROUP BY doc_id
+    )
+    """
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_sql_fp62()},
+    bands AS (
+        SELECT doc_id, fp62, i.band_idx AS band_idx,
+               CASE WHEN i.band_idx = 3 THEN fp62 >> 48
+                    ELSE (fp62 >> (i.band_idx * 16)) & 65535 END AS band_key
+        FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) i
+    )
+    SELECT DISTINCT doc_a, doc_b, hamming FROM (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.fp62, y.fp62)) AS BIGINT) AS hamming
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ) v WHERE hamming <= {SIMHASH_K}
+    """,
+    doc="SimHash near-dup pairs: 62-bit fingerprint, 4-band pigeonhole "
+    "bucket-join, exact Hamming ≤ 3 verify (Manku et al. WWW'07)",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation is an equi-join on (band_idx, band_key) —
+    linear in docs × 4 bands, never O(n²); any pair within Hamming
+    ``SIMHASH_K`` of each other on the 62-bit fingerprint shares at
+    least one exact band (pigeonhole: 3 differing bits can spoil at
+    most 3 of 4 bands). Verification is one integer ``bit_count(xor)``
+    per candidate — no second join back to the corpus because the band
+    rows carry the (cached, 8-byte) fingerprint with them.
+    """
+    fps = simhash62_fingerprints(spark, sf_dir)
+    band_arr = F.expr(
+        "transform(sequence(0, 3), i -> "
+        "if(i = 3, shiftright(fp62, 48), shiftright(fp62, i * 16) & 65535))"
+    )
+    bands = fps.select(
+        "doc_id", "fp62", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp62").alias("fp_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp62").alias("fp_b"),
+        "band_idx",
+        "band_key",
+    )
+    ham = F.expr("bit_count(fp_a ^ fp_b)").cast("long")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(ham <= F.lit(SIMHASH_K))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
 # Cluster resolution: pairwise verdicts → connected components → one
 # canonical survivor per cluster. A pairwise drop-doc_b anti-join
 # handles A~B but not transitive A~B~C chains; min-label propagation

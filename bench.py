@@ -280,6 +280,7 @@ HEADLINE = (
     "stream_quality_bands_batch_twin",
     "curation_funnel_report",
     "dedup_soft_weights",
+    "simhash_hamming_pairs",
 )
 
 
