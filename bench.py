@@ -281,6 +281,14 @@ HEADLINE = (
     "curation_funnel_report",
     "dedup_soft_weights",
     "simhash_hamming_pairs",
+    # round-9b: model-evaluation & calibration suite over the learned
+    # quality head (rank-sum AUC, PR points, conformal thresholds,
+    # Gini feature ranking, minimax-PAVA isotonic fit)
+    "quality_model_auc",
+    "quality_model_pr_points",
+    "quality_conformal_thresholds",
+    "token_label_gini_topk",
+    "quality_isotonic_calibration",
 )
 
 
