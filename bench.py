@@ -289,6 +289,9 @@ HEADLINE = (
     "quality_conformal_thresholds",
     "token_label_gini_topk",
     "quality_isotonic_calibration",
+    # round-9b: survival family (2nd sequential-recurrence member)
+    "events_kaplan_meier",
+    "events_logrank_test",
 )
 
 
