@@ -299,3 +299,69 @@ def stream_kmv_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id"
     )
     return kmv_sketch_batch(ev)
+
+
+def _sql_hdr_twin() -> str:
+    from algorithmproject_spark_spark.queries.hdr import (
+        PCTS,
+        sql_hdr_bucket,
+        sql_hdr_rep,
+    )
+
+    ests = ", ".join(
+        f"CAST(min(CASE WHEN cum * 100 >= n * {p} "
+        f"THEN {sql_hdr_rep('idx')} END) AS BIGINT) AS est_p{p}_e6"
+        for p in PCTS
+    )
+    return f"""
+    WITH hs_raw AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    hs_v AS MATERIALIZED (
+        -- WHEN v >= 0 so a NULL falls into the error branch (the
+        -- Python kernel raises ValueError on negatives likewise)
+        SELECT event_type,
+               CASE WHEN v >= 0 THEN v
+                    ELSE CAST(error(
+                        'HDR bucket function requires non-negative values'
+                    ) AS BIGINT) END AS v
+        FROM hs_raw
+    ),
+    hs_h AS (
+        SELECT event_type, {sql_hdr_bucket('v')} AS idx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM hs_v GROUP BY event_type, {sql_hdr_bucket('v')}
+    ),
+    hs_cum AS (
+        SELECT event_type, idx, c,
+               CAST(sum(c) OVER (
+                   PARTITION BY event_type ORDER BY idx
+               ) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM hs_h
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_events, {ests}
+    FROM hs_cum GROUP BY event_type
+    """
+
+
+@register(
+    "stream_hdr_batch_twin",
+    plan=("arrow",),
+    oracle=_sql_hdr_twin(),
+    doc="batch twin of the applyInPandasWithState HDR quantile sketch "
+    "(streaming/hdrstream.py, 13th stateful twin): state IS the "
+    "~430-bucket (octave, sub-bucket) histogram — counts only add, so "
+    "the stream's final snapshot equals this one-pass fold of each "
+    "type's full history through the SAME Python kernel; p50/p90/p99 "
+    "estimates match the native batch HDR query's sketch columns",
+)
+def stream_hdr_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.streaming.hdrstream import (
+        hdr_sketch_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return hdr_sketch_batch(ev)

@@ -292,6 +292,7 @@ HEADLINE = (
     # round-9b: survival family (2nd sequential-recurrence member)
     "events_kaplan_meier",
     "events_logrank_test",
+    "stream_hdr_batch_twin",
 )
 
 
