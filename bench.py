@@ -293,6 +293,7 @@ HEADLINE = (
     "events_kaplan_meier",
     "events_logrank_test",
     "stream_hdr_batch_twin",
+    "record_linkage_fs_scores",
 )
 
 
