@@ -245,12 +245,9 @@ def quality_model_pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: split-conformal miscoverage level (alpha = 0.1 -> 90% coverage)
 CONF_ALPHA_NUM, CONF_ALPHA_DEN = 1, 10
 
-
-@register(
-    "quality_conformal_thresholds",
-    oracle=f"""
-    WITH {_sql_sl_prefix()},
-    cal AS (
+#: shared CTE chain ending in the selected per-lang order statistic —
+#: used by the thresholds query and the coverage companion
+_SQL_CONF_THR = f"""cal AS (
         SELECT lang, doc_id, -score_ppm AS ncf FROM sl WHERE label = 1
     ),
     rk AS (
@@ -259,14 +256,24 @@ CONF_ALPHA_NUM, CONF_ALPHA_DEN = 1, 10
                                   ORDER BY ncf, doc_id) AS rn,
                COUNT(*) OVER (PARTITION BY lang) AS n_cal
         FROM cal
-    )
-    SELECT lang,
-           CAST(n_cal AS BIGINT) AS n_cal,
-           CAST(rn AS BIGINT) AS k_order,
-           CAST(ncf AS BIGINT) AS qhat_ncf_ppm,
-           CAST(-ncf AS BIGINT) AS thr_score_ppm
-    FROM rk
-    WHERE rn = least((9 * (n_cal + 1) + 9) // 10, n_cal)
+    ),
+    thr AS (
+        SELECT lang,
+               CAST(n_cal AS BIGINT) AS n_cal,
+               CAST(rn AS BIGINT) AS k_order,
+               CAST(ncf AS BIGINT) AS qhat_ncf_ppm,
+               CAST(-ncf AS BIGINT) AS thr_score_ppm
+        FROM rk
+        WHERE rn = least((9 * (n_cal + 1) + 9) // 10, n_cal)
+    )"""
+
+
+@register(
+    "quality_conformal_thresholds",
+    oracle=f"""
+    WITH {_sql_sl_prefix()},
+    {_SQL_CONF_THR}
+    SELECT lang, n_cal, k_order, qhat_ncf_ppm, thr_score_ppm FROM thr
     """,
     doc=(
         "per-language split-conformal acceptance thresholds at 90% "
@@ -281,6 +288,13 @@ def quality_conformal_thresholds(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    return _conformal_thresholds(sl)
+
+
+def _conformal_thresholds(sl: DataFrame) -> DataFrame:
+    """Per-lang conformal threshold frame — shared by the thresholds
+    query and the coverage companion (ONE definition, like the SQL's
+    _SQL_CONF_THR)."""
     cal = sl.filter(F.col("label") == 1).select(
         "lang", "doc_id", (-F.col("score_ppm")).alias("ncf")
     )
@@ -305,6 +319,59 @@ def quality_conformal_thresholds(
         F.col("rn").cast("long").alias("k_order"),
         F.col("ncf").cast("long").alias("qhat_ncf_ppm"),
         (-F.col("ncf")).cast("long").alias("thr_score_ppm"),
+    )
+
+
+@register(
+    "quality_conformal_coverage",
+    oracle=f"""
+    WITH {_sql_sl_prefix()},
+    {_SQL_CONF_THR}
+    SELECT s.lang,
+           t.thr_score_ppm,
+           CAST(SUM(s.label) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.label = 1
+                          AND s.score_ppm >= t.thr_score_ppm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_accepted,
+           CAST(SUM(CASE WHEN s.label = 1
+                          AND s.score_ppm >= t.thr_score_ppm
+                         THEN 1 ELSE 0 END) * 1000000
+                // SUM(s.label) AS BIGINT) AS coverage_ppm,
+           CAST(COUNT(*) - SUM(s.label) AS BIGINT) AS n_other,
+           CAST(SUM(CASE WHEN s.label = 0
+                          AND s.score_ppm >= t.thr_score_ppm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_other_accepted
+    FROM sl s JOIN thr t USING (lang)
+    GROUP BY s.lang, t.thr_score_ppm
+    """,
+    doc=(
+        "empirical coverage audit of the conformal thresholds: per "
+        "language, how many heuristic-kept docs the score threshold "
+        "accepts (in-sample coverage_ppm >= ~900000 by the order-"
+        "statistic construction — property-tested) and how many non-"
+        "kept docs slip above it (the false-accept load); thresholds "
+        "are a <=|langs|-row broadcast against the one-scan scored "
+        "relation, so the audit is map-only + one groupBy"
+    ),
+)
+def quality_conformal_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    thr = _conformal_thresholds(sl).select("lang", "thr_score_ppm")
+    j = sl.join(F.broadcast(thr), "lang")
+    acc = F.col("score_ppm") >= F.col("thr_score_ppm")
+    kept_acc = F.sum(
+        F.when((F.col("label") == 1) & acc, 1).otherwise(0)
+    ).cast("long")
+    return j.groupBy("lang", "thr_score_ppm").agg(
+        F.sum("label").cast("long").alias("n_kept"),
+        kept_acc.alias("n_kept_accepted"),
+        floordiv(kept_acc * E6, F.sum("label")).alias("coverage_ppm"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n_other"),
+        F.sum(F.when((F.col("label") == 0) & acc, 1).otherwise(0))
+        .cast("long")
+        .alias("n_other_accepted"),
     )
 
 

@@ -294,6 +294,8 @@ HEADLINE = (
     "events_logrank_test",
     "stream_hdr_batch_twin",
     "record_linkage_fs_scores",
+    "quality_conformal_coverage",
+    "dedup_community_modularity",
 )
 
 
