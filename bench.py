@@ -296,6 +296,7 @@ HEADLINE = (
     "record_linkage_fs_scores",
     "quality_conformal_coverage",
     "dedup_community_modularity",
+    "contrastive_pair_mining",
 )
 
 
