@@ -1209,3 +1209,107 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ppm(F.col("n_dup_members"), F.col("n_docs")).alias("dup_rate_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup flavor agreement: the engine ships TWO native near-dup
+# detectors (banded MinHash-Jaccard, banded SimHash-Hamming) with
+# different geometry (set overlap vs bit-vote cosine). Before choosing
+# one at 100 TB you measure how much they agree ON THIS CORPUS — the
+# confusion report between the two pair sets.
+# --------------------------------------------------------------------------
+@register(
+    "neardup_flavor_agreement",
+    oracle=None,  # installed below (composes both pair CTE chains)
+    doc=(
+        "agreement report between the two native near-dup flavors: "
+        "pairs found by banded MinHash-Jaccard vs banded SimHash-"
+        "Hamming — counts of both/minhash-only/simhash-only and the "
+        "pair-set Jaccard in ppm; one full-outer join of two bounded "
+        "candidate-verified pair relations"
+    ),
+)
+def neardup_flavor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = jaccard_pairs_above(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh")
+    )
+    sh_p = simhash_hamming_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    )
+    j = mh.join(sh_p, ["doc_a", "doc_b"], "full_outer")
+    both = F.sum(
+        (F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull()).cast("long")
+    )
+    only_mh = F.sum(
+        (F.col("in_mh").isNotNull() & F.col("in_sh").isNull()).cast("long")
+    )
+    only_sh = F.sum(
+        (F.col("in_mh").isNull() & F.col("in_sh").isNotNull()).cast("long")
+    )
+    n_union = F.count(F.lit(1))
+    from algorithmproject_spark_spark.functions.numeric import ppm as _ppm
+
+    return j.agg(
+        both.alias("n_both"),
+        only_mh.alias("n_minhash_only"),
+        only_sh.alias("n_simhash_only"),
+        n_union.cast("long").alias("n_union"),
+        F.when(n_union > 0, _ppm(both, n_union))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("agreement_ppm"),
+    )
+
+
+def _install_flavor_agreement_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.functions.numeric import sql_ppm
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    # NOTE: sql_dup_pairs_cte already claims the names sh/sig/bands/
+    # cand/dup_pairs, so the SimHash chain here uses fa_-prefixed names
+    oracle = f"""
+    WITH {sql_dup_pairs_cte()},
+    {_sql_fp62()},
+    fa_bands AS (
+        SELECT doc_id, fp62, i.band_idx AS band_idx,
+               CASE WHEN i.band_idx = 3 THEN fp62 >> 48
+                    ELSE (fp62 >> (i.band_idx * 16)) & 65535 END AS band_key
+        FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) i
+    ),
+    fa_sh AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   bit_count(xor(x.fp62, y.fp62)) AS hamming
+            FROM fa_bands x JOIN fa_bands y
+              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id
+        ) v WHERE hamming <= {SIMHASH_K}
+    ),
+    fa_mh AS (SELECT doc_a, doc_b FROM dup_pairs),
+    fa_j AS (
+        SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+               m.doc_a IS NOT NULL AS in_mh,
+               s.doc_a IS NOT NULL AS in_sh
+        FROM fa_mh m FULL OUTER JOIN fa_sh s
+          ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(SUM(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_minhash_only,
+           CAST(SUM(CASE WHEN NOT in_mh AND in_sh THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_simhash_only,
+           CAST(COUNT(*) AS BIGINT) AS n_union,
+           CASE WHEN COUNT(*) > 0 THEN
+               {sql_ppm('SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)',
+                        'COUNT(*)')}
+           ELSE NULL END AS agreement_ppm
+    FROM fa_j
+    """
+    REGISTRY["neardup_flavor_agreement"] = replace(
+        REGISTRY["neardup_flavor_agreement"], oracle=oracle
+    )
+
+
+_install_flavor_agreement_oracle()

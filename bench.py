@@ -297,6 +297,8 @@ HEADLINE = (
     "quality_conformal_coverage",
     "dedup_community_modularity",
     "contrastive_pair_mining",
+    "corpus_curriculum_assignment",
+    "neardup_flavor_agreement",
 )
 
 
