@@ -299,6 +299,7 @@ HEADLINE = (
     "contrastive_pair_mining",
     "corpus_curriculum_assignment",
     "neardup_flavor_agreement",
+    "source_score_quantile_norm",
 )
 
 
