@@ -300,6 +300,7 @@ HEADLINE = (
     "corpus_curriculum_assignment",
     "neardup_flavor_agreement",
     "source_score_quantile_norm",
+    "events_bandit_replay_eval",
 )
 
 
