@@ -301,6 +301,7 @@ HEADLINE = (
     "neardup_flavor_agreement",
     "source_score_quantile_norm",
     "events_bandit_replay_eval",
+    "events_holt_forecast",
 )
 
 
