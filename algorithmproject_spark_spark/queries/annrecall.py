@@ -261,3 +261,117 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("frk") <= 3)
         .select("q_id", "neighbor_id", "rrf_e6", "n_lists")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) recall — MRL-style embeddings claim
+# the FIRST d' dims alone rank well; before shipping a cheaper
+# truncated index you measure that claim the same way the LSH/IVF
+# paths are measured: recall@k vs the full-dimension exact top-k.
+# --------------------------------------------------------------------------
+MATRYOSHKA_DIMS = 8
+
+
+def _sql_trunc_topk() -> str:
+    from algorithmproject_spark_spark.functions.numeric import sql_micros
+    from algorithmproject_spark_spark.functions.vectors import sql_cosine
+    from algorithmproject_spark_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    d = MATRYOSHKA_DIMS
+    return f"""
+    SELECT q_id, neighbor_id, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine_e6 DESC, neighbor_id
+        ) AS rk FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   {sql_micros(sql_cosine(
+                       f'list_slice(q.q_emb, 1, {d})',
+                       f'list_slice(e.embedding, 1, {d})'))} AS cosine_e6
+            FROM (SELECT vec_id AS q_id, embedding AS q_emb
+                  FROM embeddings WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.q_id
+        )
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+def _install_matryoshka() -> None:
+    from algorithmproject_spark_spark.functions.numeric import micros
+    from algorithmproject_spark_spark.functions.vectors import cosine
+    from algorithmproject_spark_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    bf_sql = REGISTRY["knn_bruteforce_cosine"].oracle
+
+    @register(
+        "ann_matryoshka_recall",
+        plan=("scalar_cross",),
+        oracle=f"""
+        WITH tr AS ({_sql_trunc_topk()}),
+        bf AS ({bf_sql})
+        SELECT bf.q_id, count(tr.neighbor_id) AS n_hits, count(*) AS k
+        FROM bf LEFT JOIN tr
+          ON bf.q_id = tr.q_id AND bf.neighbor_id = tr.neighbor_id
+        GROUP BY bf.q_id
+        """,
+        doc=(
+            "Matryoshka recall: exact top-k using only the FIRST "
+            f"{MATRYOSHKA_DIMS} embedding dims vs the full-dimension "
+            "exact top-k, per query — measures whether a truncated "
+            "(4x cheaper) index preserves the ranking before shipping "
+            "it; same broadcast-query brute-force shape as the "
+            "baseline, arrays sliced in-plan"
+        ),
+    )
+    def ann_matryoshka_recall(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = MATRYOSHKA_DIMS
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.slice(F.col("embedding"), 1, d).alias("q_emb"),
+        )
+        scored = (
+            emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                micros(
+                    cosine(
+                        F.col("q_emb"), F.slice(F.col("embedding"), 1, d)
+                    )
+                ).alias("cosine_e6"),
+            )
+        )
+        w = W.partitionBy("q_id").orderBy(
+            F.desc("cosine_e6"), F.asc("neighbor_id")
+        )
+        tr = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("q_id", F.col("neighbor_id").alias("tr_neighbor"))
+        )
+        bf = REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).select(
+            "q_id", "neighbor_id"
+        )
+        hit = bf.join(
+            tr,
+            (bf.q_id == tr.q_id) & (bf.neighbor_id == tr.tr_neighbor),
+            "left",
+        ).select(bf.q_id, tr.tr_neighbor)
+        return hit.groupBy("q_id").agg(
+            F.count("tr_neighbor").alias("n_hits"),
+            F.count(F.lit(1)).alias("k"),
+        )
+
+
+_install_matryoshka()

@@ -302,6 +302,7 @@ HEADLINE = (
     "source_score_quantile_norm",
     "events_bandit_replay_eval",
     "events_holt_forecast",
+    "ann_matryoshka_recall",
 )
 
 

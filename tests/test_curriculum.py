@@ -83,3 +83,52 @@ def test_flavor_agreement_consistent_with_pair_queries(spark):
         assert (
             r["agreement_ppm"] == len(mh & sh) * 1_000_000 // len(mh | sh)
         )
+
+
+def test_matryoshka_recall_matches_python(spark):
+    """Truncated-dim recall@k recomputed in plain Python from the raw
+    embeddings (both top-k sides independently re-derived)."""
+    import math
+
+    from algorithmproject_spark_spark.queries.annrecall import (
+        MATRYOSHKA_DIMS,
+    )
+    from algorithmproject_spark_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    embs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def topk(d):
+        out = {}
+        for q in [v for v in embs if v < N_QUERIES]:
+            qe = embs[q][:d] if d else embs[q]
+            scored = []
+            for v, e in embs.items():
+                if v == q:
+                    continue
+                ee = e[:d] if d else e
+                dot = sum(a * b for a, b in zip(qe, ee))
+                na = math.sqrt(sum(a * a for a in qe))
+                nb = math.sqrt(sum(b * b for b in ee))
+                c = math.floor(dot / (na * nb) * 1_000_000.0 + 0.5)
+                scored.append((-c, v))
+            scored.sort()
+            out[q] = {v for _, v in scored[:TOP_K]}
+        return out
+
+    full, trunc = topk(None), topk(MATRYOSHKA_DIMS)
+    got = {
+        r["q_id"]: (r["n_hits"], r["k"])
+        for r in REGISTRY["ann_matryoshka_recall"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(full)
+    for q in full:
+        assert got[q] == (len(full[q] & trunc[q]), TOP_K)
