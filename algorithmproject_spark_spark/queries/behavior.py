@@ -668,3 +668,101 @@ def user_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("current_streak"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session metrics: gap-based sessionization (30-min inactivity) rolled
+# up per user — the batch form of the streaming session window, with
+# bounce rate and depth/duration stats. Everything rides user-
+# partitioned windows (fully parallel) and one groupBy chain.
+# --------------------------------------------------------------------------
+SESSION_GAP_US_B = 30 * 60 * 1_000_000
+
+
+@register(
+    "events_session_metrics",
+    oracle=f"""
+    WITH sm_g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > {SESSION_GAP_US_B}
+                     OR lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sm_s AS (
+        SELECT user_id, us,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+               ) AS sess_id
+        FROM sm_g
+    ),
+    sm_per AS (
+        SELECT user_id, sess_id,
+               CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(max(us) - min(us) AS BIGINT) AS dur_us
+        FROM sm_s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           CAST(max(n_ev) AS BIGINT) AS max_session_events,
+           CAST(max(dur_us) AS BIGINT) AS max_session_dur_us,
+           CAST(sum(n_ev) * 1000000 // count(*) AS BIGINT)
+               AS events_per_session_e6
+    FROM sm_per GROUP BY user_id
+    """,
+    doc=(
+        "per-user session metrics from 30-min-gap sessionization "
+        "(batch form of the streaming session window): session count, "
+        "bounce (1-event) sessions, depth and duration maxima, mean "
+        "events/session in ppm — two user-partitioned windows + one "
+        "groupBy chain, fully parallel"
+    ),
+)
+def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "ts"
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag("us").over(wo)
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(
+            lag_us.isNull() | (F.col("us") - lag_us > SESSION_GAP_US_B), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = g.select("user_id", "us", F.sum("new_sess").over(ws).alias("sess_id"))
+    per = s.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        (F.max("us") - F.min("us")).cast("long").alias("dur_us"),
+    )
+    n_sessions = F.count(F.lit(1)).cast("long")
+    from algorithmproject_spark_spark.functions.numeric import floordiv as _fd
+
+    return per.groupBy("user_id").agg(
+        n_sessions.alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounce"),
+        F.max("n_ev").cast("long").alias("max_session_events"),
+        F.max("dur_us").cast("long").alias("max_session_dur_us"),
+        _fd(F.sum("n_ev") * F.lit(1_000_000), n_sessions).alias(
+            "events_per_session_e6"
+        ),
+    )

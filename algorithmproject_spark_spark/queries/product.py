@@ -187,3 +187,132 @@ def events_ab_split_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_converters",
         ppm(F.col("n_converters"), F.col("n_users")).alias("conv_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test between the A/B arms — the significance layer
+# the split-rates table feeds. "Converted" is FAST ACTIVATION (first
+# subsequent purchase within 24h of first signup): on these fixtures
+# every user eventually purchases, so the any-purchase rate is
+# degenerate (pooled rate 1.0 → z undefined) while the activation-
+# window rate genuinely varies between arms. Counts are exact BIGINTs;
+# the single z normalization is ONE fixed double expression tree
+# evaluated identically in both engines (the micros contract, as in
+# the log-rank test), so the statistic hash-matches.
+# --------------------------------------------------------------------------
+ACTIVATION_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "events_ab_ztest",
+    oracle=f"""
+    WITH zt_su AS (
+        SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS s_us
+        FROM events WHERE event_type = '{SIGNUP}' GROUP BY user_id
+    ),
+    zt_pu AS (
+        SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS p_us
+        FROM events e JOIN zt_su s ON e.user_id = s.user_id
+        WHERE e.event_type = '{PURCHASE}' AND epoch_us(e.ts) >= s.s_us
+        GROUP BY e.user_id
+    ),
+    u AS (
+        SELECT {sql_hash_mod('s.user_id', 2)} AS arm,
+               CASE WHEN p.p_us IS NOT NULL
+                     AND p.p_us - s.s_us <= {ACTIVATION_US}
+                    THEN 1 ELSE 0 END AS converted
+        FROM zt_su s LEFT JOIN zt_pu p USING (user_id)
+    ),
+    pv AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                   AS BIGINT) AS x0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                   AS BIGINT) AS x1
+        FROM u
+    )
+    SELECT n0, x0, n1, x1,
+           {sql_ppm('x0', 'n0')} AS p0_ppm,
+           {sql_ppm('x1', 'n1')} AS p1_ppm,
+           CASE WHEN n0 > 0 AND n1 > 0 AND x0 + x1 > 0
+                 AND x0 + x1 < n0 + n1 THEN
+               CAST(floor(
+                   ((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+                    / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                           * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                           * (1.0 / n0 + 1.0 / n1)))
+                   * 1000000.0 + 0.5) AS BIGINT)
+           ELSE NULL END AS z_micros
+    FROM pv
+    """,
+    doc=(
+        "two-proportion z-test between the deterministic A/B arms on "
+        "the 24h fast-activation rate (first purchase within a day of "
+        "first signup): per-arm signup/activation counts (exact), "
+        "activation ppm, and the pooled-variance z statistic in micros "
+        "via ONE fixed double expression over exact integers — the "
+        "significance readout the split-rates table feeds"
+    ),
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    su = (
+        ev.filter(F.col("event_type") == SIGNUP)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == PURCHASE)
+        .join(su, "user_id")
+        .filter(F.col("us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    u = su.join(pu, "user_id", "left").select(
+        "user_id",
+        F.when(
+            F.col("p_us").isNotNull()
+            & (F.col("p_us") - F.col("s_us") <= ACTIVATION_US),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("converted"),
+    )
+    arms = u.select(hash_mod("user_id", 2).alias("arm"), "converted")
+    n0 = F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+    x0 = F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).cast(
+        "long"
+    )
+    n1 = F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+    x1 = F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).cast(
+        "long"
+    )
+    pool = (x0 + x1).cast("double") / (n0 + n1)
+    z = (
+        (x0.cast("double") / n0 - x1.cast("double") / n1)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+        )
+    )
+    from algorithmproject_spark_spark.functions.numeric import micros as _mi
+
+    return arms.agg(
+        n0.alias("n0"),
+        x0.alias("x0"),
+        n1.alias("n1"),
+        x1.alias("x1"),
+        ppm(x0, n0).alias("p0_ppm"),
+        ppm(x1, n1).alias("p1_ppm"),
+        F.when(
+            (n0 > 0) & (n1 > 0) & (x0 + x1 > 0) & (x0 + x1 < n0 + n1),
+            _mi(z),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("z_micros"),
+    )

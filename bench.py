@@ -303,6 +303,9 @@ HEADLINE = (
     "events_bandit_replay_eval",
     "events_holt_forecast",
     "ann_matryoshka_recall",
+    "events_ab_ztest",
+    "privacy_k_anonymity_report",
+    "events_session_metrics",
 )
 
 
