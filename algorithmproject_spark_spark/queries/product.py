@@ -233,8 +233,13 @@ ACTIVATION_US = 24 * 3600 * 1_000_000
         FROM u
     )
     SELECT n0, x0, n1, x1,
-           {sql_ppm('x0', 'n0')} AS p0_ppm,
-           {sql_ppm('x1', 'n1')} AS p1_ppm,
+           -- empty-arm guard: ANSI Spark THROWS on integer div-by-zero
+           -- while DuckDB // returns NULL — make both engines say NULL
+           -- explicitly (edge-fixture finding, round 9b)
+           CASE WHEN n0 > 0 THEN {sql_ppm('x0', 'n0')}
+                ELSE NULL END AS p0_ppm,
+           CASE WHEN n1 > 0 THEN {sql_ppm('x1', 'n1')}
+                ELSE NULL END AS p1_ppm,
            CASE WHEN n0 > 0 AND n1 > 0 AND x0 + x1 > 0
                  AND x0 + x1 < n0 + n1 THEN
                CAST(floor(
@@ -307,8 +312,14 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         x0.alias("x0"),
         n1.alias("n1"),
         x1.alias("x1"),
-        ppm(x0, n0).alias("p0_ppm"),
-        ppm(x1, n1).alias("p1_ppm"),
+        # when() guards: ANSI div-by-zero throws on an empty arm (the
+        # mini edge fixture has single-user cohorts) — NULL like DuckDB
+        F.when(n0 > 0, ppm(x0, n0))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("p0_ppm"),
+        F.when(n1 > 0, ppm(x1, n1))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("p1_ppm"),
         F.when(
             (n0 > 0) & (n1 > 0) & (x0 + x1 > 0) & (x0 + x1 < n0 + n1),
             _mi(z),
