@@ -357,7 +357,15 @@ def _conformal_thresholds(sl: DataFrame) -> DataFrame:
 def quality_conformal_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    from algorithmproject_spark_spark.cacheutil import tracked_cache
+
+    # pin: the scored relation feeds BOTH the threshold derivation and
+    # the coverage join — uncached, the expensive quality-logit +
+    # heuristic-ratio map pass runs twice (measured 14.0 -> ~8 s solo
+    # at sf1; the cached relation is 4 narrow columns)
+    sl = tracked_cache(
+        scored_labeled(load_table(spark, sf_dir, "documents"))
+    )
     thr = _conformal_thresholds(sl).select("lang", "thr_score_ppm")
     j = sl.join(F.broadcast(thr), "lang")
     acc = F.col("score_ppm") >= F.col("thr_score_ppm")

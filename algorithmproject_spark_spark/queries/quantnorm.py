@@ -115,9 +115,14 @@ BAND_PPM = 1_000_000 // N_PCT
 def source_score_quantile_norm(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from algorithmproject_spark_spark.cacheutil import tracked_cache
+
     docs = load_table(spark, sf_dir, "documents")
     score_ppm = quality_logit_cols(F.col("text"))[2]
-    sc = docs.select("source", score_ppm)
+    # pin: the scored projection feeds BOTH the per-source and the
+    # pooled compactions — uncached, the quality-logit map pass runs
+    # twice (2 narrow columns cached)
+    sc = tracked_cache(docs.select("source", score_ppm))
     src = sc.groupBy("source", "score_ppm").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
