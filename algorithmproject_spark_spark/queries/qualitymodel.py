@@ -128,28 +128,43 @@ def quality_logit_cols(text: Column) -> list[Column]:
 
 
 def _sql_quality_prefix() -> str:
-    """Shared CTE prefix (qh/qs/qscore) for the batch oracle and the
-    per-language report oracle — one definition keeps both registered
-    oracles in lockstep with quality_logit_cols."""
-    return f"""qh AS (
+    """Shared CTE prefix (qh/qs/qscore) for the batch oracle and every
+    downstream composer (lang report, bands twin, funnel, the modeleval
+    sl-prefix, quantnorm) — one definition keeps them all in lockstep
+    with quality_logit_cols.
+
+    Formulated as explode-features → JOIN the (bucket, weight)
+    dictionary → re-aggregate, NOT as a per-token list-literal lookup:
+    DuckDB evaluates ``(lit_list)[i]`` by materializing the {QM_DIM}-
+    element literal PER LOOKUP, which made the oracle O(D·tokens) —
+    439 s for one sf1 query (round-9b sweep finding) vs a few seconds
+    for this relational form. The sum is identical: each feature row
+    matches exactly one dictionary row."""
+    return f"""qm_w AS (
+        SELECT unnest(range(0, {QM_DIM})) AS b,
+               unnest({_sql_w_lit()}) AS wt
+    ),
+    qh AS (
         SELECT doc_id, lang,
                list_transform(string_split(text, ' '),
                               t_ -> {sql_char_fold_hash('t_', MULT, MOD)}) AS th
         FROM documents
     ),
-    qs AS (
+    qf AS (
         SELECT doc_id, lang,
                CAST(len(th) + greatest(len(th) - 1, 0) AS BIGINT) AS n_feats,
-               CAST(
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     list_transform(th, h_ -> CAST(({_sql_w_lit()})[h_ % {QM_DIM} + 1] AS BIGINT))),
-                     (a_, b_) -> a_ + b_)
-                 + list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     list_transform({sql_gram_hash_array('th', 2, GRAM_MULT, MOD)},
-                                    h_ -> CAST(({_sql_w_lit()})[h_ % {QM_DIM} + 1] AS BIGINT))),
-                     (a_, b_) -> a_ + b_)
-               AS BIGINT) AS sum_w_ppm
+               unnest(list_concat(
+                   list_transform(th, h_ -> h_ % {QM_DIM}),
+                   list_transform({sql_gram_hash_array('th', 2, GRAM_MULT, MOD)},
+                                  h_ -> h_ % {QM_DIM}))) AS b
         FROM qh
+    ),
+    qs AS (
+        SELECT qf.doc_id, qf.lang,
+               CAST(max(qf.n_feats) AS BIGINT) AS n_feats,
+               CAST(sum(w.wt) AS BIGINT) AS sum_w_ppm
+        FROM qf JOIN qm_w w USING (b)
+        GROUP BY qf.doc_id, qf.lang
     ),
     qscore AS (
         SELECT doc_id, lang, n_feats, sum_w_ppm,
