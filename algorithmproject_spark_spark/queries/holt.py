@@ -73,16 +73,17 @@ def _holt_walk(pdf):
     ).assign(event_type=pdf["event_type"].iloc[0])
 
 
-@register(
-    "events_holt_forecast",
-    plan=("arrow",),
-    oracle=f"""
+def _sql_holt_recursive(base_inner: str) -> str:
+    """DuckDB twin of the Holt recurrence over any (event_type, day,
+    mean_micros) relation — one definition keeps the batch forecast
+    and the streaming twin's oracle in lockstep (the EWMA pattern)."""
+    return f"""
     WITH RECURSIVE base AS MATERIALIZED (
         SELECT event_type, day, mean_micros,
                row_number() OVER (
                    PARTITION BY event_type ORDER BY day
                ) AS rn
-        FROM ({_SQL_EWMA_DAILY})
+        FROM ({base_inner})
     ),
     rec AS (
         SELECT event_type, day, rn, mean_micros,
@@ -107,7 +108,13 @@ def _holt_walk(pdf):
     SELECT event_type, day, mean_micros, forecast_micros,
            abs_err_micros, level_micros, trend_micros
     FROM rec
-    """,
+    """
+
+
+@register(
+    "events_holt_forecast",
+    plan=("arrow",),
+    oracle=_sql_holt_recursive(_SQL_EWMA_DAILY),
     doc=(
         "Holt linear-trend smoothing over the per-type daily mean "
         "(alpha=1/4, beta=1/8 exact rationals, every step a truncating "
@@ -130,3 +137,51 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level_micros",
         "trend_micros",
     )
+
+
+def holt_walk_chart(daily: DataFrame) -> DataFrame:
+    """Arrow walk of the Holt recurrence over a daily-mean relation —
+    shared by the batch forecast and the streaming twin's batch form."""
+    return daily.groupBy("event_type").applyInPandas(
+        _holt_walk, schema=_HOLT_SCHEMA
+    ).select(
+        "event_type",
+        "day",
+        "mean_micros",
+        "forecast_micros",
+        "abs_err_micros",
+        "level_micros",
+        "trend_micros",
+    )
+
+
+@register(
+    "stream_holt_batch_twin",
+    plan=("arrow",),
+    oracle=_sql_holt_recursive(f"""
+        SELECT event_type, day, mean_micros FROM (
+            SELECT event_type, day, mean_micros,
+                   max(day) OVER (PARTITION BY event_type) AS mxd
+            FROM ({_SQL_EWMA_DAILY})
+        ) WHERE day < mxd
+    """),
+    doc=(
+        "batch twin of the streaming Holt forecaster "
+        "(streaming/holtstream.py, 14th stateful twin): the coupled "
+        "level+trend recurrence over every CLOSED day — a day is "
+        "scoreable only once a later day has arrived, so each type's "
+        "maximum (still-open) day is excluded; the stateful stream's "
+        "append output converges to exactly this relation"
+    ),
+)
+def stream_holt_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    daily = ewma_daily(load_table(spark, sf_dir, "events"))
+    mx = daily.groupBy("event_type").agg(F.max("day").alias("mxd"))
+    closed = (
+        daily.join(F.broadcast(mx), "event_type")
+        .filter(F.col("day") < F.col("mxd"))
+        .drop("mxd")
+    )
+    return holt_walk_chart(closed)

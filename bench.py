@@ -306,6 +306,7 @@ HEADLINE = (
     "events_ab_ztest",
     "privacy_k_anonymity_report",
     "events_session_metrics",
+    "stream_holt_batch_twin",
 )
 
 

@@ -1021,3 +1021,67 @@ def test_quality_bands_stream_equals_batch(spark, scratch):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_holt_stream_equals_batch_twin(spark, events_dir):
+    """Streaming per-type Holt fold emits exactly the batch twin's
+    closed-day rows: the coupled level+trend recurrence is bit-
+    identical by construction, and the still-open (maximum) day per
+    type is never emitted — multi-file micro-batches exercise the
+    pending-day carry and the (lvl, tr) state across batch seams."""
+    from algorithmproject_spark_spark.queries.holt import (
+        stream_holt_batch_twin,
+    )
+    from algorithmproject_spark_spark.streaming.facade import (
+        stream_read_parquet,
+        stream_write_memory,
+    )
+    from algorithmproject_spark_spark.streaming.holtstream import (
+        holt_stateful,
+    )
+
+    expected = {
+        (r.event_type, r.day): (
+            r.mean_micros,
+            r.forecast_micros,
+            r.abs_err_micros,
+            r.level_micros,
+            r.trend_micros,
+        )
+        for r in stream_holt_batch_twin(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+
+    src = events_dir.parent / "events_holt_in"
+    spark.read.parquet(str(events_dir)).orderBy("ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    batch = spark.read.parquet(str(src))
+    stream = stream_read_parquet(
+        spark, str(src), batch.schema, max_files_per_trigger=1
+    )
+    q = stream_write_memory(
+        holt_stateful(stream.select("event_type", "event_id", "ts", "value")),
+        "holt_out",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.day): (
+                r.mean_micros,
+                r.forecast_micros,
+                r.abs_err_micros,
+                r.level_micros,
+                r.trend_micros,
+            )
+            for r in spark.sql("SELECT * FROM holt_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(expected) > 50
+    # forecasts exist from each type's second closed day onward
+    n_fc = sum(1 for (_, fc, *_r) in expected.values() if fc is not None)
+    assert n_fc >= len(expected) - 5
