@@ -197,3 +197,112 @@ def _register_daily() -> None:
 
 
 _register_daily()
+
+
+# --------------------------------------------------------------------------
+# Embedding-space drift: per-label centroid displacement between the
+# two deterministic halves of the corpus (vec_id parity — the stand-in
+# for "yesterday's batch vs today's"). Unlike the centroid-sim query's
+# snapped avg(), the centroids here are EXACT: each element is scaled to
+# integer micros per row and summed as BIGINTs (order-free), and the
+# mean is one truncating division — so the displacement is
+# hash-identical by construction, not empirically.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_split_centroid_drift",
+    oracle="""
+    WITH esd_x AS (
+        SELECT label, vec_id % 2 AS half,
+               unnest(range(1, len(embedding) + 1)) AS d,
+               embedding
+        FROM embeddings
+    ),
+    esd_e AS (
+        SELECT label, half, d,
+               CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000.0 + 0.5)
+                   AS BIGINT) AS v_e6
+        FROM esd_x
+    ),
+    esd_c AS (
+        SELECT label, half, d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v_e6) AS BIGINT) AS s_e6
+        FROM esd_e GROUP BY 1, 2, 3
+    ),
+    esd_m AS (
+        -- truncating mean (sums can be negative): DuckDB // truncates
+        SELECT label, half, d, n, s_e6 // n AS c_e6 FROM esd_c
+    ),
+    esd_p AS (
+        SELECT a.label, a.d,
+               a.n AS n_even, b.n AS n_odd,
+               a.c_e6 - b.c_e6 AS diff_e6
+        FROM esd_m a JOIN esd_m b
+          ON a.label = b.label AND a.d = b.d
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(max(n_even) AS BIGINT) AS n_even,
+           CAST(max(n_odd) AS BIGINT) AS n_odd,
+           CAST(sum(diff_e6 * diff_e6) AS BIGINT) AS dist2_e12,
+           CAST(floor(sqrt(CAST(sum(diff_e6 * diff_e6) AS DOUBLE))
+               + 0.5) AS BIGINT) AS dist_e6
+    FROM esd_p GROUP BY label
+    """,
+    doc=(
+        "embedding-space drift monitor: per label, the exact centroid "
+        "displacement between the two deterministic corpus halves "
+        "(vec_id parity) — per-element integer-micros sums (order-free, "
+        "no snapped avg), truncating mean, exact integer squared "
+        "distance + one IEEE sqrt; the alarm a nightly embedding "
+        "refresh reads before swapping indexes"
+    ),
+)
+def embedding_split_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("d0", "v_raw"),
+    ).select(
+        "label",
+        "half",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("v_raw").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v_e6"),
+    )
+    c = ex.groupBy("label", "half", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_e6").cast("long").alias("s_e6"),
+    )
+    m = c.select(
+        "label",
+        "half",
+        "d",
+        "n",
+        F.call_function("div", F.col("s_e6"), F.col("n")).alias("c_e6"),
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "d", F.col("n").alias("n_even"), F.col("c_e6").alias("ca")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "d", F.col("n").alias("n_odd"), F.col("c_e6").alias("cb")
+    )
+    p = a.join(b, ["label", "d"]).select(
+        "label",
+        "n_even",
+        "n_odd",
+        (F.col("ca") - F.col("cb")).alias("diff_e6"),
+    )
+    dist2 = F.sum(F.col("diff_e6") * F.col("diff_e6"))
+    return p.groupBy("label").agg(
+        F.max("n_even").cast("long").alias("n_even"),
+        F.max("n_odd").cast("long").alias("n_odd"),
+        dist2.cast("long").alias("dist2_e12"),
+        F.floor(F.sqrt(dist2.cast("double")) + F.lit(0.5))
+        .cast("long")
+        .alias("dist_e6"),
+    )

@@ -307,6 +307,7 @@ HEADLINE = (
     "privacy_k_anonymity_report",
     "events_session_metrics",
     "stream_holt_batch_twin",
+    "embedding_split_centroid_drift",
 )
 
 

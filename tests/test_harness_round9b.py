@@ -142,3 +142,51 @@ def test_session_metrics_match_python(spark):
         for r in REGISTRY["events_session_metrics"].fn(spark, SF).collect()
     }
     assert got == want
+
+
+def test_embedding_split_drift_matches_python(spark):
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    sums: dict[tuple, list] = {}
+    for r in rows:
+        half = r["vec_id"] % 2
+        for d, v in enumerate(r["embedding"], start=1):
+            st = sums.setdefault((r["label"], half, d), [0, 0])
+            st[0] += 1
+            st[1] += math.floor(float(v) * 1_000_000.0 + 0.5)
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    want = {}
+    labels = {lbl for lbl, _, _ in sums}
+    dims = {d for _, _, d in sums}
+    for lbl in labels:
+        if (lbl, 0, 1) not in sums or (lbl, 1, 1) not in sums:
+            continue  # a half missing entirely -> inner join drops it
+        d2 = 0
+        for d in dims:
+            na, sa = sums[(lbl, 0, d)]
+            nb, sb = sums[(lbl, 1, d)]
+            diff = tdiv(sa, na) - tdiv(sb, nb)
+            d2 += diff * diff
+        want[lbl] = (
+            sums[(lbl, 0, 1)][0],
+            sums[(lbl, 1, 1)][0],
+            d2,
+            math.floor(math.sqrt(float(d2)) + 0.5),
+        )
+    got = {
+        r["label"]: (r["n_even"], r["n_odd"], r["dist2_e12"], r["dist_e6"])
+        for r in REGISTRY["embedding_split_centroid_drift"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert got == want
+    assert got, "fixture produced no drift rows"
