@@ -91,3 +91,74 @@ def privacy_k_anonymity_report(
             "risk_mass_ppm"
         ),
     )
+
+
+L_DIV = 3
+
+
+@register(
+    "privacy_l_diversity_report",
+    plan=("scalar_cross",),
+    oracle=f"""
+    WITH ld AS (
+        SELECT lang, n_chars // {QI_LEN_BAND} AS len_band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+               CAST(sum(CASE WHEN n_sensitive < {L_DIV}
+                             THEN n_docs ELSE 0 END) AS BIGINT) AS n_risky
+        FROM ld
+    )
+    SELECT q.lang, q.len_band, q.n_docs, q.n_sensitive,
+           CAST(CASE WHEN q.n_sensitive < {L_DIV} THEN 1 ELSE 0 END
+               AS BIGINT) AS below_l,
+           CAST(t.n_risky * 1000000 // t.n_all AS BIGINT) AS risk_mass_ppm
+    FROM ld q CROSS JOIN tot t
+    """,
+    doc=(
+        f"l-diversity audit (l={L_DIV}) — k-anonymity's companion "
+        "(Machanavajjhala et al. 2007): a cell can be large yet still "
+        "leak if every member shares one sensitive value, so each "
+        "(lang, length-band) quasi-identifier cell reports its count "
+        "of DISTINCT sensitive values (source) and a below-l flag, "
+        "with the corpus-wide risk mass in ppm; one distinct-agg "
+        "groupBy on the bounded QI domain + a broadcast 1-row total"
+    ),
+)
+def privacy_l_diversity_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ld = docs.groupBy(
+        "lang",
+        F.call_function("div", F.col("n_chars"), F.lit(QI_LEN_BAND)).alias(
+            "len_band"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sensitive"),
+    )
+    tot = ld.agg(
+        F.sum("n_docs").cast("long").alias("n_all"),
+        F.sum(
+            F.when(F.col("n_sensitive") < L_DIV, F.col("n_docs")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_risky"),
+    )
+    return ld.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "len_band",
+        "n_docs",
+        "n_sensitive",
+        F.when(F.col("n_sensitive") < L_DIV, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("below_l"),
+        floordiv(F.col("n_risky") * F.lit(1_000_000), F.col("n_all")).alias(
+            "risk_mass_ppm"
+        ),
+    )

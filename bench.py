@@ -308,6 +308,7 @@ HEADLINE = (
     "events_session_metrics",
     "stream_holt_batch_twin",
     "embedding_split_centroid_drift",
+    "privacy_l_diversity_report",
 )
 
 

@@ -190,3 +190,29 @@ def test_embedding_split_drift_matches_python(spark):
     }
     assert got == want
     assert got, "fixture produced no drift rows"
+
+
+def test_l_diversity_matches_python(spark):
+    from algorithmproject_spark_spark.queries.privacy import L_DIV
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("lang", "source", "n_chars")
+        .collect()
+    )
+    cells: dict[tuple, list] = {}
+    for d in docs:
+        key = (d["lang"], d["n_chars"] // QI_LEN_BAND)
+        st = cells.setdefault(key, [0, set()])
+        st[0] += 1
+        st[1].add(d["source"])
+    n_all = len(docs)
+    n_risky = sum(n for n, srcs in cells.values() if len(srcs) < L_DIV)
+    out = REGISTRY["privacy_l_diversity_report"].fn(spark, SF).collect()
+    assert len(out) == len(cells)
+    for r in out:
+        n, srcs = cells[(r["lang"], r["len_band"])]
+        assert (r["n_docs"], r["n_sensitive"]) == (n, len(srcs))
+        assert r["below_l"] == (1 if len(srcs) < L_DIV else 0)
+        assert r["risk_mass_ppm"] == n_risky * 1_000_000 // n_all
