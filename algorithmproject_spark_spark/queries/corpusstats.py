@@ -306,3 +306,69 @@ def _register() -> None:
 
 
 _register()
+
+
+# --------------------------------------------------------------------------
+# Token burstiness (Church & Gale 1995): mean occurrences per document
+# CONTAINING the token. Stopword-like tokens spread evenly
+# (burstiness ~= 1); topical/content tokens clump — when they appear
+# at all, they appear repeatedly. The ranking separates the two
+# without any stopword list, which is why burstiness feeds stopword
+# induction and keyword weighting in corpus pipelines.
+# --------------------------------------------------------------------------
+BURST_MIN_DF = 5
+BURST_TOPK = 50
+
+
+@register(
+    "token_burstiness_topk",
+    oracle=f"""
+    WITH tb_t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tb_s AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tb_t GROUP BY token
+    )
+    SELECT token, tf, df,
+           CAST(tf * 1000000 // df AS BIGINT) AS burstiness_e6
+    FROM tb_s
+    WHERE df >= {BURST_MIN_DF}
+    ORDER BY burstiness_e6 DESC, token
+    LIMIT {BURST_TOPK}
+    """,
+    doc=(
+        "token burstiness (Church & Gale): total occurrences per "
+        "document containing the token, in exact ppm — topical tokens "
+        "clump (high), function words spread (~1e6); min-df floor plus "
+        "deterministic top-k via TakeOrderedAndProject; one explode + "
+        "one map-side-combined groupBy"
+    ),
+)
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.functions.numeric import floordiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    s = t.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        s.filter(F.col("df") >= BURST_MIN_DF)
+        .select(
+            "token",
+            "tf",
+            "df",
+            floordiv(F.col("tf") * F.lit(1_000_000), F.col("df")).alias(
+                "burstiness_e6"
+            ),
+        )
+        .orderBy(F.col("burstiness_e6").desc(), "token")
+        .limit(BURST_TOPK)
+    )

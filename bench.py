@@ -309,6 +309,7 @@ HEADLINE = (
     "stream_holt_batch_twin",
     "embedding_split_centroid_drift",
     "privacy_l_diversity_report",
+    "token_burstiness_topk",
 )
 
 

@@ -216,3 +216,35 @@ def test_l_diversity_matches_python(spark):
         assert (r["n_docs"], r["n_sensitive"]) == (n, len(srcs))
         assert r["below_l"] == (1 if len(srcs) < L_DIV else 0)
         assert r["risk_mass_ppm"] == n_risky * 1_000_000 // n_all
+
+
+def test_token_burstiness_matches_python(spark):
+    from algorithmproject_spark_spark.queries.corpusstats import (
+        BURST_MIN_DF,
+        BURST_TOPK,
+    )
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    )
+    tf: dict[str, int] = {}
+    dfreq: dict[str, set] = {}
+    for d in docs:
+        for tok in d["text"].split(" "):
+            tf[tok] = tf.get(tok, 0) + 1
+            dfreq.setdefault(tok, set()).add(d["doc_id"])
+    want = sorted(
+        (
+            (-(tf[t] * 1_000_000 // len(dfreq[t])), t, tf[t], len(dfreq[t]))
+            for t in tf
+            if len(dfreq[t]) >= BURST_MIN_DF
+        )
+    )[:BURST_TOPK]
+    got = [
+        (-r["burstiness_e6"], r["token"], r["tf"], r["df"])
+        for r in REGISTRY["token_burstiness_topk"].fn(spark, SF).collect()
+    ]
+    assert got == want
+    # burstiness >= 1e6 by construction (tf >= df)
+    assert all(-b >= 1_000_000 for b, *_rest in got)
