@@ -608,3 +608,77 @@ def quality_isotonic_calibration(
         floordiv(F.col("pos") * E6, F.col("n")).alias("raw_rate_e6"),
         F.col("iso").cast("long").alias("iso_rate_e6"),
     )
+
+
+@register(
+    "quality_model_pr_auc",
+    oracle=f"""
+    WITH {_sql_sl_prefix()},
+    {_SQL_BY_SCORE},
+    cum AS (
+        SELECT score_ppm,
+               SUM(n_pos) OVER (ORDER BY score_ppm DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               SUM(n_neg) OVER (ORDER BY score_ppm DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+               SUM(n_pos) OVER () AS p_total
+        FROM by_s
+    ),
+    pts AS (
+        SELECT tp, fp, p_total,
+               tp * 1000000 // (tp + fp) AS precision_e6,
+               tp - COALESCE(lag(tp) OVER (ORDER BY score_ppm DESC), 0)
+                   AS d_tp
+        FROM cum
+    )
+    SELECT CAST(max(p_total) AS BIGINT) AS n_pos,
+           CASE WHEN max(p_total) > 0 THEN
+               CAST(sum(d_tp * precision_e6) // max(p_total) AS BIGINT)
+           ELSE NULL END AS ap_e6
+    FROM pts
+    """,
+    doc=(
+        "average precision (PR-AUC) of the learned quality head vs the "
+        "heuristic gate: AP = sum over descending thresholds of "
+        "(delta recall x precision), composed exactly as "
+        "sum(d_tp * precision_ppm) div P — one more window over the "
+        "score-DOMAIN-bounded compacted relation; the threshold-free "
+        "companion to quality_model_auc for the class-imbalanced case"
+    ),
+)
+def quality_model_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    by_s = _by_score(sl)
+    wd = Window.orderBy(F.col("score_ppm").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy(F.col("score_ppm").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_s.select(
+        "score_ppm",
+        F.sum("n_pos").over(wd).alias("tp"),
+        F.sum("n_neg").over(wd).alias("fp"),
+        F.sum("n_pos").over(wall).alias("p_total"),
+    )
+    wl = Window.orderBy(F.col("score_ppm").desc())
+    pts = cum.select(
+        "tp",
+        "p_total",
+        floordiv(F.col("tp") * E6, F.col("tp") + F.col("fp")).alias(
+            "precision_e6"
+        ),
+        (F.col("tp") - F.coalesce(F.lag("tp").over(wl), F.lit(0))).alias(
+            "d_tp"
+        ),
+    )
+    p = F.max("p_total")
+    return pts.agg(
+        p.cast("long").alias("n_pos"),
+        F.when(
+            p > 0,
+            floordiv(F.sum(F.col("d_tp") * F.col("precision_e6")), p),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("ap_e6"),
+    )

@@ -310,6 +310,7 @@ HEADLINE = (
     "embedding_split_centroid_drift",
     "privacy_l_diversity_report",
     "token_burstiness_topk",
+    "quality_model_pr_auc",
 )
 
 

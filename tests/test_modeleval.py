@@ -182,3 +182,22 @@ def test_isotonic_equals_trunc_rational_pava(spark, sl_rows):
     assert rates == sorted(rates)
     for r in out:
         assert r["raw_rate_e6"] == r["n_pos"] * E6 // r["n_docs"]
+
+
+def test_pr_auc_matches_python(spark, sl_rows):
+    scores = sorted({s for _, _, s, _ in sl_rows}, reverse=True)
+    p_total = sum(l for *_, l in sl_rows)
+    tp = fp = prev_tp = 0
+    num = 0
+    for t in scores:
+        tp += sum(1 for _, _, s, l in sl_rows if s == t and l == 1)
+        fp += sum(1 for _, _, s, l in sl_rows if s == t and l == 0)
+        num += (tp - prev_tp) * (tp * E6 // (tp + fp))
+        prev_tp = tp
+    out = REGISTRY["quality_model_pr_auc"].fn(spark, SF).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pos"] == p_total
+    assert r["ap_e6"] == num // p_total
+    # AP of a real (non-degenerate) ranking sits strictly inside (0, 1]
+    assert 0 < r["ap_e6"] <= E6
