@@ -38,17 +38,38 @@ BAND_ROWS = 2  # 4 bands × 2 rows
 SHINGLE_N = 3
 
 
-def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + array of distinct 3-shingle hashes (exact integers).
+def _token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, th): the char-folded token-hash array — the ONE
+    expensive text pass every near-dup flavor shares.
 
-    Tokens are char-folded ONCE, then shingle hashes are integer folds
-    over token-hash windows — O(chars + tokens) instead of O(chars ×
-    shingle_width) per doc.
+    MinHash derives shingle hashes from it, SimHash derives its four
+    bit-vote arrays from it (cheap affine re-hashes). Caching HERE —
+    one level below the per-flavor derived relations — means a session
+    (or one query, like ``neardup_flavor_agreement``) that runs both
+    flavors char-folds the corpus once instead of once per flavor
+    (round-9 verdict #3: under cache isolation the agreement report
+    paid two independent tokenizations, ~half its 36 s sf1 cost).
+    ~8 B × tokens per doc, comparable to the text itself — at cluster
+    scale tracked_cache's default MEMORY_AND_DISK spills rather than
+    evicts.
     """
     docs = load_table(spark, sf_dir, "documents")
     th = token_hash_array(F.split(F.col("text"), " "))
-    sh = docs.select(
-        "doc_id", F.array_distinct(gram_hash_array(th, SHINGLE_N)).alias("sh")
+    return tracked_cache(docs.select("doc_id", th.alias("th")))
+
+
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + array of distinct 3-shingle hashes (exact integers).
+
+    Tokens are char-folded ONCE (in the shared cached
+    :func:`_token_hashes` relation), then shingle hashes are integer
+    folds over token-hash windows — O(chars + tokens) instead of
+    O(chars × shingle_width) per doc.
+    """
+    tok = _token_hashes(spark, sf_dir)
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(gram_hash_array(F.col("th"), SHINGLE_N)).alias("sh"),
     )
     # The shingle table is the compact derived representation every
     # near-dup query builds on (~8 B × shingles per doc, far smaller
@@ -316,78 +337,124 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # swapped in a long doc barely moves Jaccard bands but flips ≤2-3 vote
 # bits).
 #
-# Scale design: a 31-bit fingerprint gives only 2^8 buckets per 8-bit
-# band — at 10^10 docs every bucket holds ~40M rows and the self-join is
-# quadratic. So the pair query widens to a 62-bit fingerprint (two
-# INDEPENDENT 31-bit bit-votes from different polynomial multipliers,
-# packed side by side) and splits it into 4 bands of 16/16/16/14 bits:
-# 65k buckets per band, bucket occupancy ~n/65k, and the pigeonhole
-# guarantee still holds — any pair with Hamming(fp62) ≤ 3 differs in at
-# most 3 bands, so at least one of the 4 bands matches exactly. More
-# corpus → wider fp / more+narrower bands is the standard dial.
+# Scale design (round-10 rewrite of the round-9 62-bit/16-bit-band
+# scheme, whose fixed 2^16 band-key entropy made accidental candidate
+# volume grow as n²/2^16 — ~76M verify rows at sf1, a wall at 10^7+
+# docs): the fingerprint is 124 bits — FOUR independent 31-bit bit-vote
+# blocks, each voted over a cheap affine re-hash (aᵢ·h + bᵢ) mod M of
+# the ONE char-folded token hash (the same universal-family trick the
+# MinHash signatures use) — packed into two BIGINT columns. Each band
+# IS one full 31-bit block, so band-key entropy is 2^31: accidental
+# bucket occupancy is n/2^31 per band and expected accidental candidate
+# volume is 4·n²/2^32 — ~0.6 pairs at sf1's 50k docs, ~23k pairs at
+# 10^7 docs, still ~2×10^8 (one shuffle's worth) at 10^9 docs. The
+# pigeonhole guarantee is unchanged: any pair with Hamming(fp124) ≤ 3
+# differs in at most 3 of the 4 blocks, so at least one band matches
+# exactly. More corpus → more+wider blocks remains the dial, but the
+# default now survives the 100-TB design point.
 # --------------------------------------------------------------------------
 SIMHASH_K = 3  # max Hamming distance admitted as a near-dup
-_SH2_MULT = 131  # second, independent polynomial hash multiplier
+# Four affine (a, b) maps over MOD = 2^31-1 deriving the four
+# independent 31-bit vote inputs from the shared token hash. a < 2^31
+# keeps a·h + b under 2^62 (no BIGINT overflow, ANSI-safe). Block 0 is
+# the identity so fp_lo's low 31 bits equal simhash_fingerprints'
+# 31-bit value.
+SIMHASH_AFFINE = ((1, 0), (131, 911), (1009, 5417), (7919, 10007))
+_SH_MOD = 2_147_483_647  # 2^31 - 1 (hashing.MOD, inlined into SQL text)
 
 
-def _vote31(bound_arr: str) -> str:
-    """SQL expr: 31-bit SimHash vote over a BOUND token-hash array.
+def _fp124_batches(it):
+    """Arrow kernel: 124-bit SimHash fingerprints from token-hash
+    arrays — the vectorized twin of the 31-bit HOF vote in
+    :func:`simhash_fingerprints`, ×4 blocks.
 
-    ``bound_arr`` must be a plain projected-column NAME; the
-    transform(array(..)) wrapper binds it to a lambda variable so the
-    31 bit-folds reference an O(1) variable, not a re-evaluated subtree
-    (see simhash_fingerprints' docstring for the measured 6× penalty).
+    Exactness: every quantity is int64 (affine products < 2^44, bit
+    counts < 2^20) — the kernel computes the same integers as the
+    oracle's per-bit group-sum, just batched. Why Python here when the
+    31-bit query stays a pure HOF: the vote is O(bits × tokens) and
+    interpreted lambda evaluation priced the 124-fold form at ~17 s sf1
+    versus ~2 s for this kernel (round-10 measurement) — same trade the
+    SemDeDup gram kernel makes, declared via plan=("arrow",) at the
+    register site.
     """
-    return (
-        f"element_at(transform(array({bound_arr}), th -> "
-        "aggregate(sequence(0, 30), cast(0 as bigint), (acc, bit) -> acc + "
-        "if(aggregate(th, cast(0 as bigint), "
-        "(a, h) -> a + if((shiftright(h, bit) & 1) = 1, 1, -1)) > 0, "
-        "shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))), 1)"
-    )
+    import numpy as np
+    import pandas as pd
+
+    bit_w = np.int64(1) << np.arange(31, dtype="int64")
+    for pdf in it:
+        n = len(pdf)
+        if n == 0:
+            continue
+        arrs = [np.asarray(a, dtype="int64") for a in pdf["th"]]
+        lens = np.array([len(a) for a in arrs], dtype="int64")
+        fp = np.zeros((n, 2), dtype="int64")
+        if lens.sum() > 0:
+            flat = np.concatenate(arrs)
+            starts = np.zeros(n, dtype="int64")
+            np.cumsum(lens[:-1], out=starts[1:])
+            empty = lens == 0
+            for i, (a, b) in enumerate(SIMHASH_AFFINE):
+                hh = flat if (a, b) == (1, 0) else (flat * a + b) % _SH_MOD
+                # little-endian byte view → per-position bit matrix;
+                # one reduceat sums all 31 bit columns per doc segment
+                bits = np.unpackbits(
+                    hh.astype("<u8").view("u1").reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )[:, :31]
+                cnt = np.add.reduceat(bits.astype("int64"), starts, axis=0)
+                votes = cnt * 2 > lens[:, None]  # sign of the ±1 vote sum
+                if empty.any():
+                    # reduceat returns the NEXT segment's first row for
+                    # an empty segment — an empty token list votes 0
+                    votes[empty] = False
+                block = (votes * bit_w).sum(axis=1)
+                fp[:, i // 2] |= block << (31 * (i % 2))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "fp_lo": fp[:, 0],
+                "fp_hi": fp[:, 1],
+            }
+        )
 
 
-def simhash62_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, fp62): two independent 31-bit votes packed into 62 bits.
+def simhash124_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp_lo, fp_hi): four independent 31-bit votes packed
+    into two 62-bit BIGINT halves (124-bit fingerprint).
 
-    Map-only; cached because the band relation is self-joined (Spark
-    does NOT ReuseExchange a shared aggregation/projection subtree — the
-    uncached plan would run the double char-fold + 62 bit-folds twice).
+    Built on the shared cached :func:`_token_hashes` relation — the
+    char-fold runs once and the four vote blocks are one Arrow pass
+    (:func:`_fp124_batches`). Cached because the band relation is
+    self-joined (Spark does NOT ReuseExchange a shared projection
+    subtree — the uncached plan would run the kernel twice).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    votes = (
-        docs.select(
-            "doc_id",
-            token_hash_array(toks).alias("th0"),
-            token_hash_array(toks, mult=_SH2_MULT).alias("th1"),
-        )
-        .select(
-            "doc_id",
-            F.expr(_vote31("th0")).alias("v0"),
-            F.expr(_vote31("th1")).alias("v1"),
-        )
-        .select("doc_id", F.expr("v0 | shiftleft(v1, 31)").alias("fp62"))
+    tok = _token_hashes(spark, sf_dir)
+    fps = tok.mapInPandas(
+        _fp124_batches, schema="doc_id long, fp_lo long, fp_hi long"
     )
-    return tracked_cache(votes)
+    return tracked_cache(fps)
 
 
-def _sql_fp62() -> str:
-    """DuckDB CTE prefix computing (doc_id, fp62) — exact twin of
-    :func:`simhash62_fingerprints`. Two unnests in one SELECT zip
-    positionally in DuckDB; th0/th1 always have equal length (same
-    token list), so h0/h1 stay aligned."""
-    th0 = sql_token_hash_array("string_split(text, chr(32))")
-    th1 = sql_token_hash_array("string_split(text, chr(32))", mult=_SH2_MULT)
+def _sql_fp124() -> str:
+    """DuckDB CTE prefix computing (doc_id, fp_lo, fp_hi) — exact twin
+    of :func:`simhash124_fingerprints`: one char-folded token hash,
+    four affine re-hashes, 31-bit vote per block."""
+    th = sql_token_hash_array("string_split(text, chr(32))")
+    votes = []
+    for i, (a, b) in enumerate(SIMHASH_AFFINE):
+        hexp = "t.h" if (a, b) == (1, 0) else f"((t.h * {a} + {b}) % {_SH_MOD})"
+        votes.append(
+            f"sum(CASE WHEN ({hexp} >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w{i}"
+        )
     return f"""
     tok AS (
-        SELECT doc_id, {th0} AS th0, {th1} AS th1 FROM documents
+        SELECT doc_id, {th} AS th FROM documents
     ),
     bits AS (
         SELECT doc_id, b.bit AS bit,
-               sum(CASE WHEN (t.h0 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w0,
-               sum(CASE WHEN (t.h1 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w1
-        FROM (SELECT doc_id, unnest(th0) AS h0, unnest(th1) AS h1 FROM tok) t
+               {", ".join(votes)}
+        FROM (SELECT doc_id, unnest(th) AS h FROM tok) t
         CROSS JOIN (SELECT unnest(range(0, 31)) AS bit) b
         GROUP BY doc_id, b.bit
     ),
@@ -395,63 +462,82 @@ def _sql_fp62() -> str:
         SELECT doc_id,
                CAST(sum(CASE WHEN w0 > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
                   + sum(CASE WHEN w1 > 0 THEN (CAST(1 AS BIGINT) << (bit + 31)) ELSE 0 END)
-                    AS BIGINT) AS fp62
+                    AS BIGINT) AS fp_lo,
+               CAST(sum(CASE WHEN w2 > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                  + sum(CASE WHEN w3 > 0 THEN (CAST(1 AS BIGINT) << (bit + 31)) ELSE 0 END)
+                    AS BIGINT) AS fp_hi
         FROM bits GROUP BY doc_id
     )
     """
 
 
+# Band key i = 31-bit vote block i, extracted from the packed halves.
+_SQL_BAND_KEY = """CASE i.band_idx WHEN 0 THEN fp_lo & 2147483647
+                    WHEN 1 THEN fp_lo >> 31
+                    WHEN 2 THEN fp_hi & 2147483647
+                    ELSE fp_hi >> 31 END"""
+
+
 @register(
     "simhash_hamming_pairs",
+    plan=("arrow",),  # the fp124 Arrow kernel (see _fp124_batches)
     oracle=f"""
-    WITH {_sql_fp62()},
+    WITH {_sql_fp124()},
     bands AS (
-        SELECT doc_id, fp62, i.band_idx AS band_idx,
-               CASE WHEN i.band_idx = 3 THEN fp62 >> 48
-                    ELSE (fp62 >> (i.band_idx * 16)) & 65535 END AS band_key
+        SELECT doc_id, fp_lo, fp_hi, i.band_idx AS band_idx,
+               {_SQL_BAND_KEY} AS band_key
         FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) i
     )
     SELECT DISTINCT doc_a, doc_b, hamming FROM (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-               CAST(bit_count(xor(x.fp62, y.fp62)) AS BIGINT) AS hamming
+               CAST(bit_count(xor(x.fp_lo, y.fp_lo))
+                  + bit_count(xor(x.fp_hi, y.fp_hi)) AS BIGINT) AS hamming
         FROM bands x JOIN bands y
           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
          AND x.doc_id < y.doc_id
     ) v WHERE hamming <= {SIMHASH_K}
     """,
-    doc="SimHash near-dup pairs: 62-bit fingerprint, 4-band pigeonhole "
-    "bucket-join, exact Hamming ≤ 3 verify (Manku et al. WWW'07)",
+    doc="SimHash near-dup pairs: 124-bit fingerprint, 4×31-bit-band "
+    "pigeonhole bucket-join, exact Hamming ≤ 3 verify (Manku et al. WWW'07)",
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate generation is an equi-join on (band_idx, band_key) —
     linear in docs × 4 bands, never O(n²); any pair within Hamming
-    ``SIMHASH_K`` of each other on the 62-bit fingerprint shares at
-    least one exact band (pigeonhole: 3 differing bits can spoil at
-    most 3 of 4 bands). Verification is one integer ``bit_count(xor)``
-    per candidate — no second join back to the corpus because the band
-    rows carry the (cached, 8-byte) fingerprint with them.
+    ``SIMHASH_K`` of each other on the 124-bit fingerprint shares at
+    least one exact 31-bit band (pigeonhole: 3 differing bits can spoil
+    at most 3 of 4 blocks). Band keys carry 31 bits of entropy, so
+    accidental collisions are n/2³¹ per bucket — the candidate set
+    stays ~linear past 10⁹ docs. Verification is one integer
+    ``bit_count(xor)`` per half per candidate — no second join back to
+    the corpus because the band rows carry the (cached, 16-byte)
+    fingerprint with them.
     """
-    fps = simhash62_fingerprints(spark, sf_dir)
+    fps = simhash124_fingerprints(spark, sf_dir)
     band_arr = F.expr(
-        "transform(sequence(0, 3), i -> "
-        "if(i = 3, shiftright(fp62, 48), shiftright(fp62, i * 16) & 65535))"
+        "array(fp_lo & 2147483647, shiftright(fp_lo, 31), "
+        "fp_hi & 2147483647, shiftright(fp_hi, 31))"
     )
     bands = fps.select(
-        "doc_id", "fp62", F.posexplode(band_arr).alias("band_idx", "band_key")
+        "doc_id",
+        "fp_lo",
+        "fp_hi",
+        F.posexplode(band_arr).alias("band_idx", "band_key"),
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("fp62").alias("fp_a"),
+        F.col("fp_lo").alias("lo_a"),
+        F.col("fp_hi").alias("hi_a"),
         "band_idx",
         "band_key",
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("fp62").alias("fp_b"),
+        F.col("fp_lo").alias("lo_b"),
+        F.col("fp_hi").alias("hi_b"),
         "band_idx",
         "band_key",
     )
-    ham = F.expr("bit_count(fp_a ^ fp_b)").cast("long")
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long")
     return (
         a.join(b, ["band_idx", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -1220,6 +1306,7 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "neardup_flavor_agreement",
+    plan=("arrow",),  # composes simhash_hamming_pairs' fp124 kernel
     oracle=None,  # installed below (composes both pair CTE chains)
     doc=(
         "agreement report between the two native near-dup flavors: "
@@ -1270,17 +1357,17 @@ def _install_flavor_agreement_oracle() -> None:
     # cand/dup_pairs, so the SimHash chain here uses fa_-prefixed names
     oracle = f"""
     WITH {sql_dup_pairs_cte()},
-    {_sql_fp62()},
+    {_sql_fp124()},
     fa_bands AS (
-        SELECT doc_id, fp62, i.band_idx AS band_idx,
-               CASE WHEN i.band_idx = 3 THEN fp62 >> 48
-                    ELSE (fp62 >> (i.band_idx * 16)) & 65535 END AS band_key
+        SELECT doc_id, fp_lo, fp_hi, i.band_idx AS band_idx,
+               {_SQL_BAND_KEY} AS band_key
         FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) i
     ),
     fa_sh AS (
         SELECT DISTINCT doc_a, doc_b FROM (
             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                   bit_count(xor(x.fp62, y.fp62)) AS hamming
+                   bit_count(xor(x.fp_lo, y.fp_lo))
+                 + bit_count(xor(x.fp_hi, y.fp_hi)) AS hamming
             FROM fa_bands x JOIN fa_bands y
               ON x.band_idx = y.band_idx AND x.band_key = y.band_key
              AND x.doc_id < y.doc_id
