@@ -1,0 +1,57 @@
+"""Committed bench records must be COMPLETE per-query dicts.
+
+VERDICT r9 #2: rounds 5–9 committed the COMPACT stdout line (top-39
+slowest + ``n_queries``) as BENCH_LOCAL_r{N}.json / BENCH_SF1_r{N}.json,
+so per-query ratios could not be independently recomputed from
+artifacts. bench.py writes the full record to its OUT file — that file
+is what gets committed. This gate pins the contract from round 10 on:
+a committed record either carries every query it claims
+(``len(queries) == n_queries``) or carries no ``n_queries`` marker at
+all (the full payload never has one).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Rounds whose committed records are known-compact (pre-dates this
+# gate; the full sf1 records no longer exist on any disk to backfill).
+_GRANDFATHERED_MAX_ROUND = 9
+
+
+def _round_of(path: str) -> int:
+    m = re.search(r"_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else 0
+
+
+def test_committed_bench_records_are_complete():
+    paths = glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")) + glob.glob(
+        os.path.join(REPO, "BENCH_SF1_r*.json")
+    )
+    assert paths, "no committed bench records found"
+    checked = 0
+    for path in sorted(paths):
+        if _round_of(path) <= _GRANDFATHERED_MAX_ROUND:
+            continue
+        with open(path, encoding="utf-8") as fh:
+            rec = json.load(fh)
+        n = rec.get("n_queries", len(rec["queries"]))
+        assert len(rec["queries"]) == n, (
+            f"{os.path.basename(path)} is a truncated compact line: "
+            f"{len(rec['queries'])} of {n} queries"
+        )
+        # a complete record's total must be the sum of its parts
+        assert abs(sum(rec["queries"].values()) - rec["value"]) < 0.01, (
+            f"{os.path.basename(path)}: value != sum(queries)"
+        )
+        checked += 1
+    # vacuous until the round-10 records land; real from then on
+    if checked == 0:
+        import pytest
+
+        pytest.skip("no post-r9 bench records committed yet")
