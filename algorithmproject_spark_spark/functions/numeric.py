@@ -138,6 +138,45 @@ def sql_ppm(count_expr: str, total_expr: str) -> str:
     return f"CAST(({c} // {t}) * 1000 + (({c} % {t}) * 1000) // {t} AS BIGINT)"
 
 
+def ratio_e6(num: Column, den: Column) -> Column:
+    """EXACT floor(num * 1e6 / den) for RATIOS — num may exceed den
+    (ppm()'s precondition is count ≤ total; a per-token tf/df
+    burstiness ratio violates it by definition, r9 advice).
+
+    Split off the integer part first — q = num div den, r = num % den —
+    then scale the sub-1 remainder with ppm()'s 1000×1000 split:
+
+        floor(num*1e6/den) = q*1e6
+                           + ((r*1000) div den)*1000
+                           + (((r*1000) % den)*1000) div den
+
+    exactly. Every intermediate is ≤ max(num, den*1000): safe for
+    num, den up to ~9.2e15 — at the 100 TB design point per-token
+    totals are ~2.5e13 and the naive num*1000000 (which wraps at
+    ~9.2e12) is exactly the overflow this replaces. q*1e6 still needs
+    the final ratio < ~9.2e12 — a burstiness (mean repeats per doc)
+    that large is not a real corpus. Keep :func:`sql_ratio_e6`
+    textually in sync."""
+    q = floordiv(num, den)
+    r = num % den
+    r1k = r * F.lit(1000)
+    return (
+        q * F.lit(1_000_000)
+        + floordiv(r1k, den) * F.lit(1000)
+        + floordiv((r1k % den) * F.lit(1000), den)
+    )
+
+
+def sql_ratio_e6(num_expr: str, den_expr: str) -> str:
+    """DuckDB twin of :func:`ratio_e6` (same q/r + 1000×1000 split)."""
+    n, d = f"({num_expr})", f"({den_expr})"
+    r1k = f"(({n} % {d}) * 1000)"
+    return (
+        f"CAST(({n} // {d}) * 1000000 + ({r1k} // {d}) * 1000 "
+        f"+ (({r1k} % {d}) * 1000) // {d} AS BIGINT)"
+    )
+
+
 def ppm_wide(count: Column, total: Column) -> Column:
     """EXACT floor(count * 1e6 / total) for totals ppm() cannot reach.
 

@@ -50,8 +50,16 @@ def _sql_policy_arm(name: str) -> str:
         return "0"
     if name == "user_hash":
         return sql_hash_mod("user_id", N_ARMS)
-    # value_band: the value's 100-unit band picks the arm
-    return f"(CAST(floor(value) AS BIGINT) // 100) % {N_ARMS}"
+    # value_band: the value's 100-unit band picks the arm. pmod-style
+    # double-% (r9 advice): trunc division + sign-preserving % made the
+    # band NEGATIVE for value <= -100, an arm id no logged arm (always
+    # in [0, N_ARMS)) could ever match — those events were silently
+    # excluded from the replay estimate. ((x % K) + K) % K lands every
+    # value in [0, K) in both engines.
+    return (
+        f"(((CAST(floor(value) AS BIGINT) // 100) % {N_ARMS})"
+        f" + {N_ARMS}) % {N_ARMS}"
+    )
 
 
 def _policy_arm(name: str):
@@ -59,12 +67,12 @@ def _policy_arm(name: str):
         return F.lit(0).cast("long")
     if name == "user_hash":
         return hash_mod("user_id", N_ARMS).cast("long")
-    return (
-        F.call_function(
-            "div", F.floor(F.col("value")).cast("long"), F.lit(100)
-        )
-        % N_ARMS
-    ).cast("long")
+    # pmod-style double-% — see _sql_policy_arm's note (negative values
+    # must land in [0, N_ARMS) or they can never match a logged arm)
+    band = F.call_function(
+        "div", F.floor(F.col("value")).cast("long"), F.lit(100)
+    )
+    return (((band % N_ARMS) + N_ARMS) % N_ARMS).cast("long")
 
 
 POLICIES = ("always_0", "user_hash", "value_band")

@@ -37,6 +37,7 @@ from algorithmproject_spark_spark.functions.numeric import (
     floordiv,
     ppm,
     sql_ppm,
+    sql_ratio_e6,
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -334,7 +335,7 @@ BURST_TOPK = 50
         FROM tb_t GROUP BY token
     )
     SELECT token, tf, df,
-           CAST(tf * 1000000 // df AS BIGINT) AS burstiness_e6
+           {sql_ratio_e6('tf', 'df')} AS burstiness_e6
     FROM tb_s
     WHERE df >= {BURST_MIN_DF}
     ORDER BY burstiness_e6 DESC, token
@@ -349,7 +350,11 @@ BURST_TOPK = 50
     ),
 )
 def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from algorithmproject_spark_spark.functions.numeric import floordiv
+    # ratio_e6, not tf*1e6//df: per-token tf exceeds ~9.2e12 at the
+    # 100 TB design point and the naive product wraps BIGINT (r9
+    # advice); ppm() is also out — its count ≤ total precondition is
+    # violated by tf ≥ df by definition.
+    from algorithmproject_spark_spark.functions.numeric import ratio_e6
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -365,9 +370,7 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             "tf",
             "df",
-            floordiv(F.col("tf") * F.lit(1_000_000), F.col("df")).alias(
-                "burstiness_e6"
-            ),
+            ratio_e6(F.col("tf"), F.col("df")).alias("burstiness_e6"),
         )
         .orderBy(F.col("burstiness_e6").desc(), "token")
         .limit(BURST_TOPK)

@@ -17,9 +17,18 @@ turns into an immediate hash mismatch.
 
 Exactness discipline (the kappa/EWMA lessons):
 - Rates/ratios are ppm via non-negative BIGINT floor division
-  (Spark ``div`` == DuckDB ``//``, both truncate; all operands here
-  are >= 0 except the band index, whose trunc-vs-floor agreement is
-  verified for negatives in tests).
+  (Spark ``div`` == DuckDB ``//``, both truncate). SIGNED columns in
+  this module: ``score_ppm`` (the quality logit is a signed score),
+  anything derived from it by subtraction (``ncf`` cumulative-false
+  offsets, score deltas), and the band index. Divisions touching any
+  of those MUST stay on trunc-division helpers (``floordiv`` /
+  ``F.call_function("div", ..)`` / SQL ``//``), whose trunc-vs-floor
+  agreement for negatives is verified in tests. Do NOT reach for
+  ``ppm()`` / ``sql_ppm`` on score-derived quantities — those helpers
+  carry a ``0 <= count <= total`` precondition and their 1000×1000
+  split wraps differently for negative operands; the existing ppm
+  call sites here divide pure COUNTS (always >= 0), which is why they
+  are safe.
 - The one double op (final AUC ratio) is a SINGLE IEEE division of
   exact integers + ``micros`` — bit-identical cross-engine. Overflow
   contract: the exact pair count 2·P·N must fit BIGINT, i.e.

@@ -67,10 +67,14 @@ BAND_PPM = 1_000_000 // N_PCT
         FROM qn_src
     ),
     qn_ranked AS (
+        -- GREATEST(.., 1): for a source with > 1e6 docs the lowest
+        -- ranks floor to rank_ppm = 0, whose ceiling band is 0 — the
+        -- inner join to the 1..100 grid would silently DROP those
+        -- normalization rows (r9 advice). Clamp into the grid.
         SELECT source, score_ppm, n_docs,
                {sql_ppm('cum', 'n')} AS rank_ppm,
-               ({sql_ppm('cum', 'n')} + {BAND_PPM - 1}) // {BAND_PPM}
-                   AS pct_band
+               GREATEST(({sql_ppm('cum', 'n')} + {BAND_PPM - 1})
+                   // {BAND_PPM}, 1) AS pct_band
         FROM qn_rk
     ),
     qn_pool AS (
@@ -83,8 +87,10 @@ BAND_PPM = 1_000_000 // N_PCT
         FROM qn_pool
     ),
     qn_band_min AS (
-        SELECT ({sql_ppm('cum', 'n')} + {BAND_PPM - 1}) // {BAND_PPM}
-                   AS band,
+        -- same clamp: a > 1e6-doc pool would file its lowest scores
+        -- under band 0, outside the grid, losing them from the cuts
+        SELECT GREATEST(({sql_ppm('cum', 'n')} + {BAND_PPM - 1})
+                   // {BAND_PPM}, 1) AS band,
                min(score_ppm) AS m
         FROM qn_pool_rk GROUP BY 1
     ),
@@ -137,14 +143,19 @@ def source_score_quantile_norm(
         .alias("n"),
     )
     rank_ppm = ppm(F.col("cum"), F.col("n"))
+    # greatest(.., 1): a source with > 1e6 docs floors its lowest
+    # ranks to rank_ppm = 0 → ceiling band 0, which the inner join to
+    # the 1..100 grid would silently drop (r9 advice). Clamp into the
+    # grid — oracle applies the identical GREATEST.
     ranked = rk.select(
         "source",
         "score_ppm",
         "n_docs",
         rank_ppm.alias("rank_ppm"),
-        floordiv(rank_ppm + F.lit(BAND_PPM - 1), F.lit(BAND_PPM)).alias(
-            "pct_band"
-        ),
+        F.greatest(
+            floordiv(rank_ppm + F.lit(BAND_PPM - 1), F.lit(BAND_PPM)),
+            F.lit(1),
+        ).alias("pct_band"),
     )
     pool = sc.groupBy("score_ppm").agg(F.count(F.lit(1)).cast("long").alias("c"))
     wp = W.orderBy("score_ppm")
@@ -156,9 +167,12 @@ def source_score_quantile_norm(
         .alias("n"),
     )
     band_min = pool_rk.groupBy(
-        floordiv(
-            ppm(F.col("cum"), F.col("n")) + F.lit(BAND_PPM - 1),
-            F.lit(BAND_PPM),
+        F.greatest(
+            floordiv(
+                ppm(F.col("cum"), F.col("n")) + F.lit(BAND_PPM - 1),
+                F.lit(BAND_PPM),
+            ),
+            F.lit(1),
         ).alias("band")
     ).agg(F.min("score_ppm").alias("m"))
     grid = (

@@ -528,6 +528,53 @@ def test_ppm_equals_unbounded_integer_math(spark, pairs):
     assert sorted(got) == sorted(want)
 
 
+@given(
+    pairs=st.lists(
+        st.tuples(
+            # RATIO numerator: may exceed the denominator by orders of
+            # magnitude (tf vs df), up to the 100 TB token-count regime
+            st.integers(0, 9_000_000_000_000_000),
+            st.integers(1, 9_000_000_000_000_000),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_ratio_e6_equals_unbounded_integer_math(spark, pairs):
+    """ratio_e6's q/r + 1000×1000 split must equal floor(n*1e6/d) in
+    Python's unbounded ints WITHOUT ppm's count ≤ total precondition —
+    the burstiness tf/df overflow class (r9 advice). Spark and the
+    DuckDB twin must agree with each other and with Python."""
+    import duckdb
+
+    from algorithmproject_spark_spark.functions.numeric import (
+        ratio_e6,
+        sql_ratio_e6,
+    )
+
+    # keep the integer part under ratio_e6's documented ~9.2e12 bound
+    pairs = [
+        (n if n // d < 9_000_000_000_000 else n % d, d) for n, d in pairs
+    ]
+    df = spark.createDataFrame(pairs, ["n", "d"])
+    got = [
+        r.p
+        for r in df.select(ratio_e6(F.col("n"), F.col("d")).alias("p")).collect()
+    ]
+    want = [n * 1_000_000 // d for n, d in pairs]
+    assert sorted(got) == sorted(want)
+    sql_got = [
+        row[0]
+        for row in duckdb.sql(
+            "SELECT " + sql_ratio_e6("t.n", "t.d")
+            + " FROM (SELECT unnest($n) AS n, unnest($d) AS d) t",
+            params={"n": [n for n, _ in pairs], "d": [d for _, d in pairs]},
+        ).fetchall()
+    ]
+    assert sorted(sql_got) == sorted(want)
+
+
 @given(xs=st.lists(st.integers(0, 0xFFFF), min_size=1, max_size=30))
 @SLOW
 def test_spread_bits_is_injective_and_even_positioned(spark, xs):
