@@ -235,6 +235,139 @@ def quality_model_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Broadcast-weight-table variant at fastText-scale D (VERDICT r9 #4):
+# the literal-array form above embeds the weight vector in the Catalyst
+# plan — readable at the demo D=1024, but at fastText's real D (1e6–1e7)
+# a plan-embedded literal means a multi-MB plan per query. The
+# production form is weights as DATA: a (bucket, w_ppm) relation —
+# loaded from wherever training wrote it — broadcast-joined on the
+# bucket id. Here the fixture table is GENERATED deterministically
+# (Lehmer step mod 2^31-1, mapped into ±50000 ppm) so both engines
+# derive identical weights from nothing but the bucket id; swapping in
+# trained weights = pointing the DataFrame at a parquet file, zero plan
+# changes.
+#
+# Scale shape: one explode of the per-doc feature buckets (linear,
+# ×~2 tokens), ONE BroadcastHashJoin against the D-row weight table
+# (65536 rows × 16 B ≈ 1 MB broadcast; 1e7 rows ≈ 160 MB — still a
+# broadcast on production executors), then a map-side-combined
+# groupBy(doc_id) whose exchange carries ONE row per doc. That single
+# narrow shuffle is the price of weights-as-data; the literal form
+# stays registered as the zero-shuffle alternative.
+# --------------------------------------------------------------------------
+QMB_DIM = 65_536
+_QMB_A = 48_271  # Lehmer/Park-Miller multiplier (public constant)
+_QMB_C = 11_213
+_QMB_SPAN = 100_001  # maps the hash into [-50000, 50000] ppm
+
+
+def qmb_weight_table(spark: SparkSession) -> DataFrame:
+    """The (b, wt) weight fixture: w_ppm(b) = ((b·A + C) mod 2³¹-1)
+    mod 100001 − 50000. Generated, not stored — the deterministic
+    stand-in for a trained-weights parquet; every value in ±50000 ppm
+    like the literal table's."""
+    return spark.range(QMB_DIM).select(
+        F.col("id").alias("b"),
+        (
+            ((F.col("id") * F.lit(_QMB_A) + F.lit(_QMB_C)) % F.lit(MOD))
+            % F.lit(_QMB_SPAN)
+            - F.lit(50_000)
+        )
+        .cast("long")
+        .alias("wt"),
+    )
+
+
+@register(
+    "quality_model_score_bcast",
+    oracle=f"""
+    WITH qmb_w AS (
+        SELECT b, ((b * {_QMB_A} + {_QMB_C}) % {MOD}) % {_QMB_SPAN} - 50000
+                   AS wt
+        FROM (SELECT unnest(range(0, {QMB_DIM})) AS b)
+    ),
+    qmb_h AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t_ -> {sql_char_fold_hash('t_', MULT, MOD)}) AS th
+        FROM documents
+    ),
+    qmb_f AS (
+        SELECT doc_id,
+               CAST(len(th) + greatest(len(th) - 1, 0) AS BIGINT) AS n_feats,
+               unnest(list_concat(
+                   list_transform(th, h_ -> h_ % {QMB_DIM}),
+                   list_transform({sql_gram_hash_array('th', 2, GRAM_MULT, MOD)},
+                                  h_ -> h_ % {QMB_DIM}))) AS b
+        FROM qmb_h
+    ),
+    qmb_s AS (
+        SELECT f.doc_id,
+               CAST(max(f.n_feats) AS BIGINT) AS n_feats,
+               CAST(sum(w.wt) AS BIGINT) AS sum_w_ppm
+        FROM qmb_f f JOIN qmb_w w USING (b)
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_feats, sum_w_ppm,
+           CAST(sum_w_ppm // n_feats + {QM_BIAS_PPM} AS BIGINT) AS score_ppm,
+           CAST(CASE WHEN sum_w_ppm // n_feats + {QM_BIAS_PPM}
+                          >= {QM_KEEP_PPM}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM qmb_s
+    """,
+    doc=(
+        "model-based quality scoring with the weight table as "
+        "broadcast DATA at D=65536 (the fastText-scale form of "
+        "doc_quality_model_score): explode hashed uni+bigram buckets, "
+        "ONE BroadcastHashJoin against the generated (bucket, w_ppm) "
+        "fixture relation, map-side-combined per-doc re-aggregation — "
+        "the plan embeds no weight vector, so D=1e7 and real trained "
+        "weights are a data swap, not a plan change"
+    ),
+)
+def quality_model_score_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+
+    def feats(th: Column) -> Column:
+        n_feats = F.size(th) + F.greatest(F.size(th) - F.lit(1), F.lit(0))
+        buckets = F.concat(
+            F.transform(th, lambda h: h % F.lit(QMB_DIM)),
+            F.transform(gram_hash_array(th, 2), lambda h: h % F.lit(QMB_DIM)),
+        )
+        return F.struct(
+            n_feats.cast("long").alias("n_feats"), buckets.alias("buckets")
+        )
+
+    fs = docs.select(
+        "doc_id", bind_once(token_hash_array(toks), feats).alias("fs")
+    )
+    exploded = fs.select(
+        "doc_id",
+        F.col("fs.n_feats").alias("n_feats"),
+        F.explode("fs.buckets").alias("b"),
+    )
+    scored = (
+        exploded.join(F.broadcast(qmb_weight_table(spark)), "b")
+        .groupBy("doc_id", "n_feats")
+        .agg(F.sum("wt").cast("long").alias("sum_w_ppm"))
+    )
+    score_ppm = F.call_function(
+        "div", F.col("sum_w_ppm"), F.col("n_feats")
+    ) + F.lit(QM_BIAS_PPM)
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "sum_w_ppm",
+        score_ppm.alias("score_ppm"),
+        F.when(score_ppm >= QM_KEEP_PPM, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Score-band histogram + streaming twin: monitoring the live score
 # distribution of an ingest stream. Bands are score_ppm div 10000
 # clamped to [-5, 5] — 11 fixed buckets, so the streaming aggregation

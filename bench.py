@@ -311,6 +311,8 @@ HEADLINE = (
     "privacy_l_diversity_report",
     "token_burstiness_topk",
     "quality_model_pr_auc",
+    # round-10: broadcast-weight-table quality head (fastText-scale D)
+    "quality_model_score_bcast",
 )
 
 

@@ -147,3 +147,42 @@ def test_spark_matches_python_on_irregular_whitespace(spark):
         assert (r["n_feats"], r["sum_w_ppm"], r["score_ppm"], r["keep"]) == exp, (
             f"text {t!r}"
         )
+
+
+def test_bcast_variant_plan_has_no_embedded_weight_vector(spark):
+    """VERDICT r9 #4: the D=65536 variant must carry its weights as a
+    broadcast-joined relation, not a plan literal — the form that
+    survives fastText's D=1e6+ and accepts trained weights as data."""
+    from algorithmproject_spark_spark.queries import REGISTRY
+
+    df = REGISTRY["quality_model_score_bcast"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the literal form's plan embeds QM_DIM integers; this plan must
+    # stay small — a 65536-element literal would be ~400 kB of text
+    assert len(plan) < 100_000
+
+
+def test_bcast_variant_agrees_with_literal_head_shape(spark):
+    """Same scoring semantics, different weight tables: per-doc
+    n_feats must be identical to the literal head's (both count
+    unigrams + bigrams of the same tokenization)."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.queries import REGISTRY
+    from algorithmproject_spark_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    lit_nf = {
+        r["doc_id"]: r["n_feats"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", *quality_logit_cols(F.col("text")))
+        .collect()
+    }
+    bc = {
+        r["doc_id"]: r["n_feats"]
+        for r in REGISTRY["quality_model_score_bcast"].fn(spark, sf).collect()
+    }
+    assert bc == lit_nf
