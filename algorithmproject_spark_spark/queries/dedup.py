@@ -478,6 +478,24 @@ _SQL_BAND_KEY = """CASE i.band_idx WHEN 0 THEN fp_lo & 2147483647
                     ELSE fp_hi >> 31 END"""
 
 
+def fp124_bands(fps: DataFrame) -> DataFrame:
+    """(doc_id, fp_lo, fp_hi, band_idx, band_key): the join-ready
+    banded form of a (doc_id, fp_lo, fp_hi) fingerprint relation —
+    shared by the batch pair query and the streaming probe
+    (streaming/simhashstream.py), so batch and stream band identically
+    by construction."""
+    band_arr = F.expr(
+        "array(fp_lo & 2147483647, shiftright(fp_lo, 31), "
+        "fp_hi & 2147483647, shiftright(fp_hi, 31))"
+    )
+    return fps.select(
+        "doc_id",
+        "fp_lo",
+        "fp_hi",
+        F.posexplode(band_arr).alias("band_idx", "band_key"),
+    )
+
+
 @register(
     "simhash_hamming_pairs",
     plan=("arrow",),  # the fp124 Arrow kernel (see _fp124_batches)
@@ -513,16 +531,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint with them.
     """
     fps = simhash124_fingerprints(spark, sf_dir)
-    band_arr = F.expr(
-        "array(fp_lo & 2147483647, shiftright(fp_lo, 31), "
-        "fp_hi & 2147483647, shiftright(fp_hi, 31))"
-    )
-    bands = fps.select(
-        "doc_id",
-        "fp_lo",
-        "fp_hi",
-        F.posexplode(band_arr).alias("band_idx", "band_key"),
-    )
+    bands = fp124_bands(fps)
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("fp_lo").alias("lo_a"),

@@ -213,6 +213,60 @@ def stream_near_dup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drops, "doc_id", "left_anti").select("doc_id")
 
 
+def _sql_simhash_twin() -> str:
+    from algorithmproject_spark_spark.queries.dedup import (
+        _SQL_BAND_KEY,
+        _sql_fp124,
+        SIMHASH_K,
+    )
+
+    return f"""
+    WITH {_sql_fp124()},
+    st_bands AS (
+        SELECT doc_id, fp_lo, fp_hi, i.band_idx AS band_idx,
+               {_SQL_BAND_KEY} AS band_key
+        FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) i
+    ),
+    st_drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM st_bands a JOIN st_bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+            + bit_count(xor(a.fp_hi, b.fp_hi)) <= {SIMHASH_K}
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM st_drops)
+    """
+
+
+@register(
+    "stream_simhash_dedup_batch_twin",
+    plan=("arrow",),  # the shared fp124 fingerprint kernel
+    oracle=_sql_simhash_twin(),
+    doc="batch twin of the incremental SimHash near-dup filter "
+    "(streaming/simhashstream.py, 15th stateful twin): one micro-batch "
+    "with an empty store — the local-minima survivor rule (drop on a "
+    "Hamming <= K match against a smaller id) over 31-bit-banded "
+    "124-bit fingerprints, the same kernel foreachBatch replays "
+    "incrementally against the persistent survivor store",
+)
+def stream_simhash_dedup_batch_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from algorithmproject_spark_spark.streaming.simhashstream import (
+        simhash_band_state,
+        within_batch_drop_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # cache: the local-minima rule self-joins the band relation; the
+    # fingerprint kernel must not run once per join side
+    bands = tracked_cache(simhash_band_state(docs))
+    drops = within_batch_drop_ids(bands)
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
 @register(
     "stream_anomaly_batch_twin",
     oracle="""

@@ -312,7 +312,9 @@ HEADLINE = (
     "token_burstiness_topk",
     "quality_model_pr_auc",
     # round-10: broadcast-weight-table quality head (fastText-scale D)
+    # + the SimHash streaming twin (15th stateful twin)
     "quality_model_score_bcast",
+    "stream_simhash_dedup_batch_twin",
 )
 
 

@@ -1085,3 +1085,87 @@ def test_holt_stream_equals_batch_twin(spark, events_dir):
     # forecasts exist from each type's second closed day onward
     n_fc = sum(1 for (_, fc, *_r) in expected.values() if fc is not None)
     assert n_fc >= len(expected) - 5
+
+
+def test_streaming_simhash_filter_across_batches(spark, scratch):
+    """Incremental SimHash near-dup filter (15th stateful twin): exact
+    duplicates planted in LATER micro-batches (and within one batch)
+    are dropped against the persistent survivor store; the final output
+    must equal process_simhash_batch replayed over the same ordered
+    slices — the same seam contract as the MinHash filter."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.streaming.simhashstream import (
+        process_simhash_batch,
+        simhash_filter_stream,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    slices = [
+        docs.filter(F.col("doc_id") < 20),
+        # batch 2 carries an exact copy of doc 3 (cross-batch dup) and
+        # two copies of doc 7 (cross-batch + within-batch dup pair)
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).unionAll(
+            docs.filter(F.col("doc_id") == 3).select(
+                F.lit(1003).alias("doc_id"), "text"
+            )
+        ).unionAll(
+            docs.filter(F.col("doc_id") == 7).select(
+                F.lit(1007).alias("doc_id"), "text"
+            )
+        ).unionAll(
+            docs.filter(F.col("doc_id") == 7).select(
+                F.lit(2007).alias("doc_id"), "text"
+            )
+        ),
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)).unionAll(
+            docs.filter(F.col("doc_id") == 41).select(
+                F.lit(3041).alias("doc_id"), "text"
+            )
+        ),
+    ]
+    src = scratch / "simhash_in"
+    src.mkdir(parents=True, exist_ok=True)
+    for i, sl in enumerate(slices):
+        part = scratch / f"simhash_part{i}"
+        sl.coalesce(1).write.mode("overwrite").parquet(str(part))
+        pq = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        target = src / f"batch{i}.parquet"
+        os.rename(part / pq, target)
+        os.utime(target, (time.time() + i, time.time() + i))
+
+    from algorithmproject_spark_spark.streaming import stream_read_parquet
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = stream_read_parquet(spark, str(src), schema, max_files_per_trigger=1)
+    state, out, chk = (
+        str(scratch / "sh_state"),
+        str(scratch / "sh_out"),
+        str(scratch / "sh_chk"),
+    )
+    q = simhash_filter_stream(stream, state, out, chk)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert {1003, 1007, 2007, 3041}.isdisjoint(got)  # planted dups dropped
+    assert len(got) >= 50
+    assert 0 in got and 3 in got and 7 in got and 41 in got
+
+    # batch twin: replaying the same slices through the batch function
+    # yields the identical survivor set
+    state2, out2 = str(scratch / "sh_state2"), str(scratch / "sh_out2")
+    for i in range(3):
+        batch = spark.read.parquet(str(src / f"batch{i}.parquet"))
+        process_simhash_batch(spark, batch, state2, out2)
+    twin = {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert twin == got
