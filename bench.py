@@ -315,6 +315,8 @@ HEADLINE = (
     # + the SimHash streaming twin (15th stateful twin)
     "quality_model_score_bcast",
     "stream_simhash_dedup_batch_twin",
+    "ann_binary_hamming_topk",
+    "ann_binary_recall",
 )
 
 
