@@ -317,6 +317,7 @@ HEADLINE = (
     "stream_simhash_dedup_batch_twin",
     "ann_binary_hamming_topk",
     "ann_binary_recall",
+    "source_mixing_weights",
 )
 
 
