@@ -375,3 +375,63 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness_e6").desc(), "token")
         .limit(BURST_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary richness: Chao1 species-richness estimate + Good-Turing
+# unseen mass. The "how much vocabulary have we NOT seen yet" corpus
+# diagnostic — Chao1 (1984) lower-bounds the true vocabulary from the
+# hapax/dis counts (V + f1(f1-1)/(2(f2+1))), Good-Turing estimates the
+# probability mass of unseen tokens as f1/N. Both drive "is more crawl
+# worth it" and OOV-rate expectations for tokenizer design.
+# --------------------------------------------------------------------------
+@register(
+    "vocab_richness_estimates",
+    oracle="""
+    WITH vr_t AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vr_f AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS tf FROM vr_t GROUP BY token
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(count(*)
+              + sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+              * (sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) - 1)
+              // (2 * (sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) + 1))
+                AS BIGINT) AS chao1_vocab_est,
+           CAST((sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1000)
+                // sum(tf) * 1000
+              + ((sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1000)
+                 % sum(tf)) * 1000 // sum(tf)
+                AS BIGINT) AS unseen_mass_ppm
+    FROM vr_f
+    """,
+    doc=(
+        "vocabulary richness: Chao1 bias-corrected species estimate "
+        "(V + f1(f1-1)/(2(f2+1)), exact integer; overflow contract "
+        "f1 < 3e9 hapaxes — ANSI raises loudly past it) and the "
+        "Good-Turing unseen-token mass f1/N in exact ppm; one explode "
+        "+ one map-side-combined groupBy + a 1-row aggregate"
+    ),
+)
+def vocab_richness_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    f = t.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    one = F.sum((F.col("tf") == 1).cast("long")).cast("long")
+    two = F.sum((F.col("tf") == 2).cast("long")).cast("long")
+    v = F.count(F.lit(1)).cast("long")
+    n = F.sum("tf").cast("long")
+    chao1 = v + floordiv(one * (one - F.lit(1)), (two + F.lit(1)) * F.lit(2))
+    return f.agg(
+        v.alias("vocab"),
+        n.alias("n_tokens"),
+        one.alias("f1"),
+        two.alias("f2"),
+        chao1.alias("chao1_vocab_est"),
+        ppm(one, n).alias("unseen_mass_ppm"),
+    )

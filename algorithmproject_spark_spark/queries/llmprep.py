@@ -940,3 +940,102 @@ def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Split leakage audit: near-duplicate pairs that straddle the
+# train/val/test split. The reason dedup must run BEFORE splitting —
+# a test doc whose near-dup sits in train inflates eval (Lee et al.
+# 2022 measured the effect; every serious pipeline audits it). This
+# composes the verified near-dup pair relation with the deterministic
+# hash split: one broadcast-sized join per side (pairs are ~dup-rate ×
+# corpus), counts per canonicalized split combination.
+# --------------------------------------------------------------------------
+@register(
+    "split_leakage_audit",
+    oracle=None,  # installed below (needs dedup's pair CTE)
+    doc=(
+        "near-dup split leakage audit: verified near-dup pairs whose "
+        "endpoints land in different train/val/test splits, counted "
+        "per canonical (split_lo, split_hi) combination with a "
+        "cross-split flag — the eval-contamination check run before "
+        "freezing a split; composes the cached verified-pair relation "
+        "with the deterministic hash split (two equi-joins on doc_id)"
+    ),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.queries.dedup import (
+        jaccard_pairs_above,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_mod("doc_id", SPLIT_MOD)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s = docs.select("doc_id", split.alias("split"))
+    pairs = jaccard_pairs_above(spark, sf_dir).select("doc_a", "doc_b")
+    tagged = (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        tagged.groupBy(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi"))
+            .cast("long")
+            .alias("is_cross_split"),
+        )
+    )
+
+
+def _install_split_leakage_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.queries.dedup import sql_dup_pairs_cte
+    from algorithmproject_spark_spark.registry import REGISTRY as _REG
+
+    oracle = f"""
+    WITH {sql_dup_pairs_cte()},
+    sl_split AS (
+        SELECT doc_id,
+               CASE WHEN {sql_hash_mod('doc_id', SPLIT_MOD)} < {SPLIT_TRAIN_LT}
+                    THEN 'train'
+                    WHEN {sql_hash_mod('doc_id', SPLIT_MOD)} < {SPLIT_VAL_LT}
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    ),
+    sl_tagged AS (
+        SELECT least(a.split, b.split) AS split_lo,
+               greatest(a.split, b.split) AS split_hi
+        FROM dup_pairs p
+        JOIN sl_split a ON p.doc_a = a.doc_id
+        JOIN sl_split b ON p.doc_b = b.doc_id
+    )
+    SELECT split_lo, split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT)
+               AS is_cross_split
+    FROM sl_tagged GROUP BY split_lo, split_hi
+    """
+    _REG["split_leakage_audit"] = replace(
+        _REG["split_leakage_audit"], oracle=oracle
+    )
+
+
+_install_split_leakage_oracle()

@@ -318,6 +318,8 @@ HEADLINE = (
     "ann_binary_hamming_topk",
     "ann_binary_recall",
     "source_mixing_weights",
+    "split_leakage_audit",
+    "vocab_richness_estimates",
 )
 
 
