@@ -55,6 +55,7 @@ from algorithmproject_spark_spark.functions.hashing import (
     sql_gram_hash_array,
     token_hash_array,
 )
+from algorithmproject_spark_spark.functions.numeric import sql_micros
 from algorithmproject_spark_spark.functions.text import tokenize
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -505,4 +506,96 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.call_function(
             "div", F.sum(as_i(keep_ok)) * F.lit(1_000_000), n
         ).alias("survival_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wilson score interval for the per-language keep rate: the CI that
+# stays honest at small n and extreme rates (a 0/12 language reads
+# [0, 24%], not the Wald interval's degenerate [0, 0]). Decides
+# whether a language's keep-rate delta is evidence or noise before
+# retuning the filter threshold.
+#
+# Exactness: every operation in the Wilson formula is +, −, ×, ÷ or
+# sqrt — ALL correctly rounded under IEEE 754 — so two engines
+# evaluating the IDENTICAL expression tree produce the identical
+# double, and the final micros() quantization is hash-stable. The
+# Spark and SQL forms below are kept token-for-token parallel (same
+# literals, same association); 1.96 parses to the same double in both.
+# --------------------------------------------------------------------------
+WILSON_Z = "1.96"  # 95% two-sided
+
+
+def _wilson_bounds(k, n):
+    """(lower, upper) Wilson bounds as Column expressions — k, n are
+    BIGINT Columns; float ops sequenced exactly like _sql_wilson."""
+    z = F.lit(float(WILSON_Z))
+    nn = n.cast("double")
+    p = k.cast("double") / nn
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / nn
+    center = p + z2 / (F.lit(2.0) * nn)
+    half = z * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * nn)) / nn)
+    return (center - half) / denom, (center + half) / denom
+
+
+def _sql_wilson(k: str, n: str) -> tuple[str, str]:
+    z = WILSON_Z
+    nn = f"CAST({n} AS DOUBLE)"
+    p = f"(CAST({k} AS DOUBLE) / {nn})"
+    z2 = f"({z} * {z})"
+    denom = f"(1.0 + {z2} / {nn})"
+    center = f"({p} + {z2} / (2.0 * {nn}))"
+    half = f"({z} * sqrt(({p} * (1.0 - {p}) + {z2} / (4.0 * {nn})) / {nn}))"
+    return (
+        f"(({center} - {half}) / {denom})",
+        f"(({center} + {half}) / {denom})",
+    )
+
+
+@register(
+    "quality_keep_wilson_ci",
+    oracle=f"""
+    WITH {_sql_quality_prefix()},
+    wl AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_keep
+        FROM qscore GROUP BY lang
+    )
+    SELECT lang, n_docs, n_keep,
+           CAST(n_keep * 1000000 // n_docs AS BIGINT) AS keep_ppm,
+           {sql_micros(_sql_wilson('n_keep', 'n_docs')[0])} AS wilson_lo_ppm,
+           {sql_micros(_sql_wilson('n_keep', 'n_docs')[1])} AS wilson_hi_ppm
+    FROM wl
+    """,
+    doc=(
+        "Wilson 95% score interval on the per-language keep rate of "
+        "the quality filter — small-n-honest CI in exact micros (the "
+        "whole formula is correctly-rounded IEEE ops, so both engines "
+        "agree bit-for-bit); one map-side-combined groupBy"
+    ),
+)
+def quality_keep_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("lang", *quality_logit_cols(F.col("text")))
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+    )
+    from algorithmproject_spark_spark.functions.numeric import (
+        floordiv,
+        micros as _micros,
+    )
+
+    lo, hi = _wilson_bounds(F.col("n_keep"), F.col("n_docs"))
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_keep",
+        floordiv(F.col("n_keep") * F.lit(1_000_000), F.col("n_docs")).alias(
+            "keep_ppm"
+        ),
+        _micros(lo).alias("wilson_lo_ppm"),
+        _micros(hi).alias("wilson_hi_ppm"),
     )

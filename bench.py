@@ -320,6 +320,8 @@ HEADLINE = (
     "source_mixing_weights",
     "split_leakage_audit",
     "vocab_richness_estimates",
+    "source_score_ks_matrix",
+    "quality_keep_wilson_ci",
 )
 
 
