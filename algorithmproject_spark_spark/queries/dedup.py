@@ -385,14 +385,24 @@ def _fp124_batches(it):
         n = len(pdf)
         if n == 0:
             continue
-        arrs = [np.asarray(a, dtype="int64") for a in pdf["th"]]
+        # NULL token arrays (arbitrary frames via simhash_band_state)
+        # vote exactly like empty ones
+        arrs = [
+            np.asarray(a if a is not None else (), dtype="int64")
+            for a in pdf["th"]
+        ]
         lens = np.array([len(a) for a in arrs], dtype="int64")
         fp = np.zeros((n, 2), dtype="int64")
         if lens.sum() > 0:
             flat = np.concatenate(arrs)
-            starts = np.zeros(n, dtype="int64")
-            np.cumsum(lens[:-1], out=starts[1:])
-            empty = lens == 0
+            # reduceat runs over NON-EMPTY segments only: an empty
+            # segment's start index would alias into a neighbour (a
+            # TRAILING empty even indexes past the end — ADVICE r10
+            # crash); empty/NULL token lists simply vote all-zero
+            nz = lens > 0
+            lens_nz = lens[nz]
+            starts = np.zeros(len(lens_nz), dtype="int64")
+            np.cumsum(lens_nz[:-1], out=starts[1:])
             for i, (a, b) in enumerate(SIMHASH_AFFINE):
                 hh = flat if (a, b) == (1, 0) else (flat * a + b) % _SH_MOD
                 # little-endian byte view → per-position bit matrix;
@@ -403,11 +413,9 @@ def _fp124_batches(it):
                     bitorder="little",
                 )[:, :31]
                 cnt = np.add.reduceat(bits.astype("int64"), starts, axis=0)
-                votes = cnt * 2 > lens[:, None]  # sign of the ±1 vote sum
-                if empty.any():
-                    # reduceat returns the NEXT segment's first row for
-                    # an empty segment — an empty token list votes 0
-                    votes[empty] = False
+                votes = np.zeros((n, 31), dtype=bool)
+                # sign of the ±1 vote sum, scattered back to batch rows
+                votes[nz] = cnt * 2 > lens_nz[:, None]
                 block = (votes * bit_w).sum(axis=1)
                 fp[:, i // 2] |= block << (31 * (i % 2))
         yield pd.DataFrame(

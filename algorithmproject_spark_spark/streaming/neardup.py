@@ -164,12 +164,48 @@ def within_batch_drop_ids(bands: DataFrame, min_agree: int = MIN_AGREE) -> DataF
     return within.filter(agree >= min_agree).select("doc_id").distinct()
 
 
+def _has_parquet(d: str) -> bool:
+    """True if the directory holds at least one parquet data file —
+    ``os.path.exists`` alone is wrong once writes are partitioned: a
+    retried EMPTY micro-batch leaves a ``batch_id=N`` dir with only
+    ``_SUCCESS`` and schema inference on it would fail."""
+    for root, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _write_batch_partition(df: DataFrame, base_dir: str, batch_id) -> None:
+    """Idempotent micro-batch write: with a ``batch_id``, (over)write the
+    ``batch_id=N`` partition directory — a RETRIED batch truncates and
+    rewrites exactly its own partition (even to empty), so a crash
+    between the survivor and state writes can never double-append
+    (ADVICE r10). Without one (ad-hoc batch-twin replays), plain
+    append, as before."""
+    if batch_id is None:
+        df.write.mode("append").parquet(base_dir)
+    else:
+        df.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"batch_id={int(batch_id)}")
+        )
+
+
+def _store_without_batch(store: DataFrame, batch_id) -> DataFrame:
+    """Drop the current batch's OWN partition from the store view: on a
+    retry the partial previous attempt's band rows are already on disk
+    and every document would otherwise collide with itself."""
+    if batch_id is not None and "batch_id" in store.columns:
+        store = store.filter(F.col("batch_id") != int(batch_id))
+    return store
+
+
 def process_near_dup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     state_dir: str,
     out_dir: str,
     min_agree: int = MIN_AGREE,
+    batch_id=None,
 ) -> None:
     """One micro-batch of the incremental filter (also the batch twin:
     calling this over ordered slices replays the stream exactly)."""
@@ -177,17 +213,17 @@ def process_near_dup_batch(
 
     bands, release_bands = scoped_local_checkpoint(doc_band_state(batch_df))
     dropped = None
-    if os.path.exists(state_dir):
-        store = spark.read.parquet(state_dir)
+    if _has_parquet(state_dir):
+        store = _store_without_batch(spark.read.parquet(state_dir), batch_id)
         dropped = _verified_hits(bands, store, min_agree)
     within_drop = within_batch_drop_ids(bands, min_agree)
     drop_ids = (
         within_drop if dropped is None else dropped.unionAll(within_drop).distinct()
     )
     survivors = batch_df.join(drop_ids, "doc_id", "left_anti")
-    survivors.write.mode("append").parquet(out_dir)
-    bands.join(drop_ids, "doc_id", "left_anti").write.mode("append").parquet(
-        state_dir
+    _write_batch_partition(survivors, out_dir, batch_id)
+    _write_batch_partition(
+        bands.join(drop_ids, "doc_id", "left_anti"), state_dir, batch_id
     )
     # The checkpoint is fully consumed by the two writes above — free
     # its blocks NOW, or a long-running stream accumulates one block
@@ -206,8 +242,10 @@ def near_dup_filter_stream(
     (doc_id, text, ...) columns."""
     spark = docs_stream.sparkSession
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        process_near_dup_batch(spark, batch_df, state_dir, out_dir, min_agree)
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_near_dup_batch(
+            spark, batch_df, state_dir, out_dir, min_agree, batch_id=batch_id
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

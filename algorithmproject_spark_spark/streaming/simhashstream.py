@@ -116,15 +116,24 @@ def process_simhash_batch(
     batch_df: DataFrame,
     state_dir: str,
     out_dir: str,
+    batch_id=None,
 ) -> None:
     """One micro-batch of the incremental filter (also the batch twin:
-    calling this over ordered slices replays the stream exactly)."""
+    calling this over ordered slices replays the stream exactly).
+    With a ``batch_id`` both writes land in that batch's partition
+    directory idempotently — a foreachBatch retry after a crash between
+    the two writes rewrites rather than double-appends (ADVICE r10)."""
     from algorithmproject_spark_spark.cacheutil import scoped_local_checkpoint
+    from algorithmproject_spark_spark.streaming.neardup import (
+        _has_parquet,
+        _store_without_batch,
+        _write_batch_partition,
+    )
 
     bands, release_bands = scoped_local_checkpoint(simhash_band_state(batch_df))
     dropped = None
-    if os.path.exists(state_dir):
-        store = spark.read.parquet(state_dir)
+    if _has_parquet(state_dir):
+        store = _store_without_batch(spark.read.parquet(state_dir), batch_id)
         dropped = _verified_hits(bands, store)
     within_drop = within_batch_drop_ids(bands)
     drop_ids = (
@@ -133,9 +142,9 @@ def process_simhash_batch(
         else dropped.unionAll(within_drop).distinct()
     )
     survivors = batch_df.join(drop_ids, "doc_id", "left_anti")
-    survivors.write.mode("append").parquet(out_dir)
-    bands.join(drop_ids, "doc_id", "left_anti").write.mode("append").parquet(
-        state_dir
+    _write_batch_partition(survivors, out_dir, batch_id)
+    _write_batch_partition(
+        bands.join(drop_ids, "doc_id", "left_anti"), state_dir, batch_id
     )
     # checkpoint blocks are fully consumed by the two writes — free
     # them now or a long-running stream accumulates one block set per
@@ -153,8 +162,10 @@ def simhash_filter_stream(
     frame with (doc_id, text, ...) columns."""
     spark = docs_stream.sparkSession
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        process_simhash_batch(spark, batch_df, state_dir, out_dir)
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_simhash_batch(
+            spark, batch_df, state_dir, out_dir, batch_id=batch_id
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

@@ -1169,3 +1169,116 @@ def test_streaming_simhash_filter_across_batches(spark, scratch):
         process_simhash_batch(spark, batch, state2, out2)
     twin = {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
     assert twin == got
+
+
+def test_fp124_kernel_trailing_empty_and_null_tokens(spark):
+    """ADVICE r10: a trailing empty token array put len(flat) into the
+    reduceat index vector (out-of-bounds crash) and a NULL array broke
+    np.asarray. Both must fingerprint as all-zero votes — identical to
+    a mid-batch empty — and must not disturb neighbours."""
+    import pandas as pd
+
+    from algorithmproject_spark_spark.queries.dedup import _fp124_batches
+
+    def run(th_lists):
+        pdf = pd.DataFrame(
+            {"doc_id": list(range(len(th_lists))), "th": th_lists}
+        )
+        out = pd.concat(list(_fp124_batches(iter([pdf]))), ignore_index=True)
+        return {
+            int(r.doc_id): (int(r.fp_lo), int(r.fp_hi))
+            for r in out.itertuples()
+        }
+
+    toks = [17, 99, 17]
+    # trailing empty, mid empty, NULL, and a trailing NULL batch
+    got = run([toks, [], toks, []])
+    assert got[1] == (0, 0) and got[3] == (0, 0)
+    assert got[0] == got[2] and got[0] != (0, 0)
+    ref = got[0]
+    got = run([None, toks, None])
+    assert got[0] == (0, 0) and got[2] == (0, 0) and got[1] == ref
+    # all-empty batch (lens.sum() == 0 path)
+    got = run([[], None])
+    assert got == {0: (0, 0), 1: (0, 0)}
+
+
+def test_streaming_filters_idempotent_batch_retry(spark, scratch):
+    """ADVICE r10: foreachBatch retries must not double-append. With a
+    batch_id both filters write partition directories idempotently —
+    replaying a batch (including after a simulated partial failure
+    where only the survivor write landed) leaves output and state
+    identical to a single clean run."""
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.streaming.neardup import (
+        process_near_dup_batch,
+    )
+    from algorithmproject_spark_spark.streaming.simhashstream import (
+        process_simhash_batch,
+        simhash_band_state,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    b0 = docs.filter(F.col("doc_id") < 20)
+    b1 = docs.filter(F.col("doc_id") >= 20).unionAll(
+        docs.filter(F.col("doc_id") == 3).select(
+            F.lit(1003).alias("doc_id"), "text"
+        )
+    )
+
+    for name, proc in (
+        ("sh", lambda b, s, o, i: process_simhash_batch(spark, b, s, o, batch_id=i)),
+        ("mh", lambda b, s, o, i: process_near_dup_batch(spark, b, s, o, batch_id=i)),
+    ):
+        # clean single run — the ground truth the retried run must match
+        state_c = str(scratch / f"idem_{name}_state_clean")
+        out_c = str(scratch / f"idem_{name}_out_clean")
+        proc(b0, state_c, out_c, 0)
+        proc(b1, state_c, out_c, 1)
+        clean = sorted(
+            r.doc_id
+            for r in spark.read.parquet(out_c).select("doc_id").collect()
+        )
+
+        state = str(scratch / f"idem_{name}_state")
+        out = str(scratch / f"idem_{name}_out")
+        proc(b0, state, out, 0)
+        # simulate a partial batch-1 failure: survivors landed, state
+        # write crashed — mimic by writing batch 1 then deleting its
+        # state partition
+        proc(b1, state, out, 1)
+        import shutil
+
+        shutil.rmtree(f"{state}/batch_id=1")
+        # retry batch 1 — and then retry it AGAIN fully-committed
+        proc(b1, state, out, 1)
+        proc(b1, state, out, 1)
+
+        ids = sorted(
+            r.doc_id
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+        assert len(ids) == len(set(ids)), f"{name}: duplicated survivors"
+        assert 1003 not in ids and 3 in ids
+        assert ids == clean, f"{name}: retried run diverges from clean run"
+        # state holds exactly the survivors' rows, once each, matching
+        # the clean run's store
+        st = spark.read.parquet(state).drop("batch_id")
+        st_c = spark.read.parquet(state_c).drop("batch_id")
+        assert st.exceptAll(st_c).count() == 0
+        assert st_c.exceptAll(st).count() == 0
+
+    # empty-batch retry: a batch_id partition holding only _SUCCESS
+    # must not break the next batch's store read
+    state = str(scratch / "idem_empty_state")
+    out = str(scratch / "idem_empty_out")
+    empty = b0.filter(F.lit(False))
+    process_simhash_batch(spark, empty, state, out, batch_id=0)
+    process_simhash_batch(spark, b0, state, out, batch_id=1)
+    assert spark.read.parquet(out).count() > 0
+    _ = simhash_band_state  # referenced for import-coverage clarity
