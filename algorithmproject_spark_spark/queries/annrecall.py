@@ -14,8 +14,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import floordiv
 from algorithmproject_spark_spark.registry import REGISTRY, register
+
+
+def _retriever(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One ANN candidate list (``ann_lsh_topk`` / ``ann_ivf_topk`` /
+    ``knn_bruteforce_cosine``), tracked-cached (VERDICT r10 #2): the
+    rank-metric spine consumes the approximate union TWICE in one plan
+    and the recall/fusion family re-derives the same lists back-to-back
+    in a session — Spark does not ReuseExchange across those reference
+    sites, so without the cache each consumer re-runs the bucketed
+    retriever. The cached relation is top-k-per-query sized
+    (N_QUERIES × TOP_K rows) — always executor-memory-trivial, at any
+    corpus scale."""
+    return tracked_cache(REGISTRY[name].fn(spark, sf_dir))
 
 _LSH_SQL = REGISTRY["ann_lsh_topk"].oracle
 _BF_SQL = REGISTRY["knn_bruteforce_cosine"].oracle
@@ -38,10 +52,10 @@ _BF_SQL = REGISTRY["knn_bruteforce_cosine"].oracle
     "oracle-checked quality metric",
 )
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lsh = REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).select(
+    lsh = _retriever(spark, sf_dir, "ann_lsh_topk").select(
         "q_id", F.col("neighbor_id").alias("lsh_neighbor")
     )
-    bf = REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).select(
+    bf = _retriever(spark, sf_dir, "knn_bruteforce_cosine").select(
         "q_id", "neighbor_id"
     )
     hit = bf.join(
@@ -74,10 +88,10 @@ _IVF_SQL = REGISTRY["ann_ivf_topk"].oracle
     "query vector",
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ivf = REGISTRY["ann_ivf_topk"].fn(spark, sf_dir).select(
+    ivf = _retriever(spark, sf_dir, "ann_ivf_topk").select(
         "q_id", F.col("neighbor_id").alias("ivf_neighbor")
     )
-    bf = REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).select(
+    bf = _retriever(spark, sf_dir, "knn_bruteforce_cosine").select(
         "q_id", "neighbor_id"
     )
     hit = bf.join(
@@ -95,11 +109,11 @@ def _approx_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both approximate rankings stacked with a method tag — the shape
     every rank metric below consumes (and the RRF fusion input)."""
     lsh = (
-        REGISTRY["ann_lsh_topk"].fn(spark, sf_dir)
+        _retriever(spark, sf_dir, "ann_lsh_topk")
         .select(F.lit("lsh").alias("method"), "q_id", "neighbor_id", "rk")
     )
     ivf = (
-        REGISTRY["ann_ivf_topk"].fn(spark, sf_dir)
+        _retriever(spark, sf_dir, "ann_ivf_topk")
         .select(F.lit("ivf").alias("method"), "q_id", "neighbor_id", "rk")
     )
     return lsh.unionAll(ivf)
@@ -164,7 +178,7 @@ def ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads as (0, 0, 0), not a missing row.
     """
     approx = _approx_union(spark, sf_dir)
-    bf = REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).select(
+    bf = _retriever(spark, sf_dir, "knn_bruteforce_cosine").select(
         "q_id", "neighbor_id", F.col("rk").alias("bf_rk")
     )
     joined = bf.join(
@@ -360,7 +374,7 @@ def _install_matryoshka() -> None:
             .filter(F.col("rk") <= TOP_K)
             .select("q_id", F.col("neighbor_id").alias("tr_neighbor"))
         )
-        bf = REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).select(
+        bf = _retriever(spark, sf_dir, "knn_bruteforce_cosine").select(
             "q_id", "neighbor_id"
         )
         hit = bf.join(
