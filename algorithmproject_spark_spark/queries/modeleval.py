@@ -54,6 +54,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import floordiv, micros
 from algorithmproject_spark_spark.functions.text import (
     stopword_array,
@@ -96,6 +97,18 @@ def scored_labeled(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", "lang", score_ppm, _label_col().alias("label")
     )
+
+
+def _sl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared scored+labeled relation of the modeleval family
+    (VERDICT r10 #3): tracked-cached, so the expensive quality-logit +
+    heuristic-ratio map pass runs once per session across the six
+    evaluation queries (and once within any plan that references it
+    twice). Kept as the one-pass form rather than a join against
+    qualitymodel.scored_docs — the label column needs its own text
+    pass anyway, and a doc_id join of two data-scale relations would
+    trade a map-only pass for a shuffle."""
+    return tracked_cache(scored_labeled(load_table(spark, sf_dir, "documents")))
 
 
 def _sql_sl_prefix() -> str:
@@ -161,7 +174,7 @@ def _by_score(sl: DataFrame) -> DataFrame:
     ),
 )
 def quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    sl = _sl(spark, sf_dir)
     by_s = _by_score(sl)
     w = Window.orderBy("score_ppm").rowsBetween(Window.unboundedPreceding, -1)
     cum = by_s.select(
@@ -222,7 +235,7 @@ def quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def quality_model_pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    sl = _sl(spark, sf_dir)
     by_s = _by_score(sl)
     wd = Window.orderBy(F.col("score_ppm").desc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -296,7 +309,7 @@ _SQL_CONF_THR = f"""cal AS (
 def quality_conformal_thresholds(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    sl = _sl(spark, sf_dir)
     return _conformal_thresholds(sl)
 
 
@@ -366,15 +379,11 @@ def _conformal_thresholds(sl: DataFrame) -> DataFrame:
 def quality_conformal_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from algorithmproject_spark_spark.cacheutil import tracked_cache
-
-    # pin: the scored relation feeds BOTH the threshold derivation and
-    # the coverage join — uncached, the expensive quality-logit +
+    # the shared cached relation feeds BOTH the threshold derivation
+    # and the coverage join — uncached, the expensive quality-logit +
     # heuristic-ratio map pass runs twice (measured 14.0 -> ~8 s solo
     # at sf1; the cached relation is 4 narrow columns)
-    sl = tracked_cache(
-        scored_labeled(load_table(spark, sf_dir, "documents"))
-    )
+    sl = _sl(spark, sf_dir)
     thr = _conformal_thresholds(sl).select("lang", "thr_score_ppm")
     j = sl.join(F.broadcast(thr), "lang")
     acc = F.col("score_ppm") >= F.col("thr_score_ppm")
@@ -572,7 +581,7 @@ ISO_CLAMP = 25
 def quality_isotonic_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    sl = _sl(spark, sf_dir)
     band = F.least(
         F.greatest(
             F.call_function("div", F.col("score_ppm"), F.lit(ISO_BAND_PPM)),
@@ -656,7 +665,7 @@ def quality_isotonic_calibration(
     ),
 )
 def quality_model_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sl = scored_labeled(load_table(spark, sf_dir, "documents"))
+    sl = _sl(spark, sf_dir)
     by_s = _by_score(sl)
     wd = Window.orderBy(F.col("score_ppm").desc()).rowsBetween(
         Window.unboundedPreceding, 0

@@ -55,6 +55,7 @@ from algorithmproject_spark_spark.functions.hashing import (
     sql_gram_hash_array,
     token_hash_array,
 )
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import sql_micros
 from algorithmproject_spark_spark.functions.text import tokenize
 from algorithmproject_spark_spark.registry import register
@@ -194,8 +195,34 @@ def _sql_quality_prefix() -> str:
     ),
 )
 def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scored_docs(spark, sf_dir).select(
+        "doc_id", "n_feats", "sum_w_ppm", "score_ppm", "keep"
+    )
+
+
+def scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared scored relation (VERDICT r10 #3): one tracked-cached
+    (doc_id, source, lang, n_chars, n_feats, sum_w_ppm, score_ppm,
+    keep) superset every quality-score consumer (this module, kstest,
+    quantnorm, modeleval) selects from, so the hashed-feature logit map
+    pass — the dominant per-query cost of the family — runs ONCE per
+    session instead of once per consumer, and plans that reference the
+    scored relation several times (the KS grid references its
+    compaction three times) hit memory instead of re-scoring.
+
+    Cache footprint: 4 BIGINTs + 2 short strings + 1 small int per doc
+    (~1-2% of corpus text bytes) under MEMORY_AND_DISK — spillable,
+    never an OOM risk at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *quality_logit_cols(F.col("text")))
+    return tracked_cache(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            *quality_logit_cols(F.col("text")),
+        )
+    )
 
 
 @register(
@@ -220,8 +247,7 @@ def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def quality_model_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select("lang", *quality_logit_cols(F.col("text")))
+    scored = scored_docs(spark, sf_dir)
     n = F.count(F.lit(1)).cast("long")
     return scored.groupBy("lang").agg(
         n.alias("n_docs"),
@@ -482,10 +508,7 @@ FUNNEL_LANG = "en"
     ),
 )
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "source", "lang", "n_chars", *quality_logit_cols(F.col("text"))
-    )
+    scored = scored_docs(spark, sf_dir)
     # token count is exactly derivable from the scored pass: n_feats =
     # 2n-1 for n tokens, so (n_feats + 1) div 2 = n — no re-tokenize
     # (an un-bound split expression would be re-evaluated in every
@@ -577,8 +600,7 @@ def _sql_wilson(k: str, n: str) -> tuple[str, str]:
     ),
 )
 def quality_keep_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select("lang", *quality_logit_cols(F.col("text")))
+    scored = scored_docs(spark, sf_dir)
     agg = scored.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("keep").cast("long").alias("n_keep"),

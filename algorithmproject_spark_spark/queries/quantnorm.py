@@ -37,10 +37,8 @@ from algorithmproject_spark_spark.functions.numeric import (
 )
 from algorithmproject_spark_spark.queries.qualitymodel import (
     _sql_quality_prefix,
-    quality_logit_cols,
 )
 from algorithmproject_spark_spark.registry import register
-from algorithmproject_spark_spark.sources.catalog import load_table
 
 N_PCT = 100
 BAND_PPM = 1_000_000 // N_PCT
@@ -121,14 +119,13 @@ BAND_PPM = 1_000_000 // N_PCT
 def source_score_quantile_norm(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from algorithmproject_spark_spark.cacheutil import tracked_cache
+    from algorithmproject_spark_spark.queries.qualitymodel import scored_docs
 
-    docs = load_table(spark, sf_dir, "documents")
-    score_ppm = quality_logit_cols(F.col("text"))[2]
-    # pin: the scored projection feeds BOTH the per-source and the
-    # pooled compactions — uncached, the quality-logit map pass runs
-    # twice (2 narrow columns cached)
-    sc = tracked_cache(docs.select("source", score_ppm))
+    # the shared cached scored relation (VERDICT r10 #3): feeds BOTH
+    # the per-source and the pooled compactions here AND every other
+    # quality-score consumer in the session — the logit map pass runs
+    # once, period
+    sc = scored_docs(spark, sf_dir).select("source", "score_ppm")
     src = sc.groupBy("source", "score_ppm").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
