@@ -99,3 +99,4 @@ from algorithmproject_spark_spark.queries import privacy  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import annbinary  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import mixing  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import kstest  # noqa: F401,E402
+from algorithmproject_spark_spark.queries import trainedhead  # noqa: F401,E402

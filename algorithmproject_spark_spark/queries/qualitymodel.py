@@ -353,44 +353,23 @@ def qmb_weight_table(spark: SparkSession) -> DataFrame:
     ),
 )
 def quality_model_score_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the generic weights-as-data scoring plan over the generated
+    # fixture relation — trainedhead.score_with_weights is the SAME
+    # function the trained-parquet swap runs, so "swap the weight
+    # table" is exercised end-to-end, not just claimed (the left join
+    # there equals this query's historical inner join because the
+    # fixture table is dense over all QMB_DIM buckets)
+    from algorithmproject_spark_spark.queries.trainedhead import (
+        score_with_weights,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-
-    def feats(th: Column) -> Column:
-        n_feats = F.size(th) + F.greatest(F.size(th) - F.lit(1), F.lit(0))
-        buckets = F.concat(
-            F.transform(th, lambda h: h % F.lit(QMB_DIM)),
-            F.transform(gram_hash_array(th, 2), lambda h: h % F.lit(QMB_DIM)),
-        )
-        return F.struct(
-            n_feats.cast("long").alias("n_feats"), buckets.alias("buckets")
-        )
-
-    fs = docs.select(
-        "doc_id", bind_once(token_hash_array(toks), feats).alias("fs")
-    )
-    exploded = fs.select(
-        "doc_id",
-        F.col("fs.n_feats").alias("n_feats"),
-        F.explode("fs.buckets").alias("b"),
-    )
-    scored = (
-        exploded.join(F.broadcast(qmb_weight_table(spark)), "b")
-        .groupBy("doc_id", "n_feats")
-        .agg(F.sum("wt").cast("long").alias("sum_w_ppm"))
-    )
-    score_ppm = F.call_function(
-        "div", F.col("sum_w_ppm"), F.col("n_feats")
-    ) + F.lit(QM_BIAS_PPM)
-    return scored.select(
-        "doc_id",
-        "n_feats",
-        "sum_w_ppm",
-        score_ppm.alias("score_ppm"),
-        F.when(score_ppm >= QM_KEEP_PPM, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("keep"),
+    return score_with_weights(
+        docs,
+        qmb_weight_table(spark),
+        bias_ppm=QM_BIAS_PPM,
+        keep_ppm=QM_KEEP_PPM,
+        with_bands=False,  # fixture is token-only; historical schema
     )
 
 
