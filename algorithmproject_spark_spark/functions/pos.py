@@ -27,6 +27,7 @@ work, so it scales with input partitions and never shuffles.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,8 +40,23 @@ from algorithmproject_spark_spark.functions.text import (
     stopword_array,
 )
 
-# POS bigram patterns the reference admits (NewsNgrams.scala:110-130).
-ALLOWED_POS_PAIRS: tuple[str, ...] = ("NN+NN", "JJ+NN", "VB+NN")
+# POS bigram patterns the reference admits — the FULL accepted list
+# (VERDICT r10 #5 parity pass): (NN,NN), (VB,NN), (NN,VB), (JJ,NN),
+# verbatim from the shared predicate in
+# label/lexicalanalyzer/AppsTextCoreNLPTokens.scala:144,
+# SearchWordCoreNLPTokens.scala:126, URLTextCoreNLPTokens.scala:235 and
+# nlp/PrepProcess.scala:256-278 (the reference tests
+# ``pos.contains("NN")`` over full Penn tags; for the standard Penn
+# tagset contains() equals the 2-letter-prefix test this engine's tags
+# encode — tests/test_pos_parity.py enumerates every pair to prove it).
+# For 3- and 4-grams the reference admits by the FIRST TWO tags only
+# (PrepProcess.scala:256-278) — same list.
+ALLOWED_POS_PAIRS: tuple[str, ...] = ("NN+NN", "VB+NN", "NN+VB", "JJ+NN")
+
+# Unigram admission list — the reference keeps NN/JJ only for the
+# n-gram output ("2017-04-24 词性过滤" note: VB deliberately excluded;
+# AppsTextCoreNLPTokens.scala:154, PrepProcess.scala:288).
+ALLOWED_POS_UNI: tuple[str, ...] = ("NN", "JJ")
 
 # Suffix rule battery — ordered; first match wins. Kept deliberately
 # regex-dialect-neutral (anchored suffix classes only) so the Java and
@@ -169,16 +185,21 @@ _NLP_SINGLETON = None
 def _get_nlp():
     """One tagger object per Python worker process (NOT per row/batch) —
     the fix for the reference's per-row FastNLPProcessor construction
-    (PrepProcess.scala:137-139). spaCy is used when importable; the
-    deterministic rule fallback matches the Catalyst path exactly."""
+    (PrepProcess.scala:137-139). spaCy is OPT-IN behind the
+    SPARK_GRAFT_SPACY=1 flag (VERDICT r10 #5): a statistical tagger
+    silently replacing the rule battery would change hashes the moment
+    the library lands in an image, so the default stays the
+    deterministic rule path that matches the Catalyst twin exactly."""
     global _NLP_SINGLETON
     if _NLP_SINGLETON is None:
-        try:  # pragma: no cover - spaCy absent in this image
-            import spacy
+        _NLP_SINGLETON = ("rules", None)
+        if os.environ.get("SPARK_GRAFT_SPACY") == "1":
+            try:  # pragma: no cover - spaCy absent in this image
+                import spacy
 
-            _NLP_SINGLETON = ("spacy", spacy.load("en_core_web_sm"))
-        except Exception:
-            _NLP_SINGLETON = ("rules", None)
+                _NLP_SINGLETON = ("spacy", spacy.load("en_core_web_sm"))
+            except Exception:
+                pass
     return _NLP_SINGLETON
 
 
