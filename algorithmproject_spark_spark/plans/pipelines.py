@@ -318,6 +318,106 @@ def corpus_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GraphX ``pageRank(0.0001)`` parity (VERDICT r10 #6): the reference's
+#: TextRank.scala:44-50 iterates to a 1e-4 tolerance instead of a fixed
+#: count. In fixed-point units the bound is scale·1e-4; the hard cap
+#: bounds worst-case wall-clock on adversarial graphs exactly like
+#: GraphX's maxIterations runner.
+PR_TOL_FP = PR_SCALE // 10_000
+PR_TOL_MAX_ITERS = 40
+
+
+def corpus_pagerank_tol(
+    docs: DataFrame,
+    tol_fp: int = PR_TOL_FP,
+    max_iters: int = PR_TOL_MAX_ITERS,
+    scale: int = PR_SCALE,
+) -> tuple[DataFrame, int]:
+    """(ranks, n_iters): the TOLERANCE-STOPPED twin of
+    :func:`corpus_pagerank` — same exact-integer update, but the loop
+    stops when the max per-word |Δrank| falls to ``tol_fp`` (GraphX
+    ``pageRank(tol)`` semantics re-expressed in fixed point) or at the
+    hard cap. The iteration count is DATA-DEPENDENT, so no finite SQL
+    unrolling exists — registered rows-only and golden-pinned; the
+    integer arithmetic still makes every run bit-identical.
+
+    Per-iteration cost over the fixed-count form: ONE extra join+agg of
+    two (word, rank) relations — both sides are checkpointed outputs of
+    the iteration itself, word-partitioned and node-table sized, so the
+    residual check is vocabulary-scale work, never corpus-scale. The
+    driver-side ``collect`` is a single BIGINT per iteration.
+    """
+    edges = tracked_cache(corpus_word_graph(docs))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges_n = tracked_cache(
+        edges.join(out_w, "src").select("src", "dst", "w", "out_w")
+    )
+    nodes = tracked_cache(edges.select(F.col("src").alias("word")).distinct())
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("word", F.lit(0).cast("long").alias("rank")), 0
+    base = (scale * 3 // 20) // n
+    ranks = tracked_local_checkpoint(
+        nodes.select("word", F.lit(scale // n).cast("long").alias("rank"))
+    )
+    iters = 0
+    for _ in range(max_iters):
+        contrib = (
+            edges_n.join(ranks, edges_n.src == ranks.word)
+            .select("dst", F.expr("rank * w DIV out_w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes.word == contrib.dst, "left")
+            .select(
+                "word",
+                (
+                    F.lit(base)
+                    + F.expr("coalesce(c, CAST(0 AS BIGINT)) * 17 DIV 20")
+                ).cast("long").alias("rank"),
+            )
+            .transform(tracked_local_checkpoint)
+        )
+        iters += 1
+        resid = (
+            new_ranks.join(
+                ranks.select("word", F.col("rank").alias("prev")), "word"
+            )
+            .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if resid is not None and resid <= tol_fp:
+            break
+    return ranks, iters
+
+
+@register(
+    "corpus_pagerank_tol_topk",
+    oracle=None,  # data-dependent iteration count — no finite SQL
+    # unrolling; rows-only + golden pin (tests/golden/ml_quartet.json)
+    doc=(
+        "T10 GraphX pageRank(0.0001) parity: TOLERANCE-stopped integer "
+        "PageRank over the word co-occurrence graph — iterates until "
+        "max per-word |delta-rank| <= scale*1e-4 with a hard 40-round "
+        "cap, then top-20 with the converged iteration count on every "
+        "row; exact fixed-point arithmetic keeps runs bit-identical, "
+        "pinned by golden hash"
+    ),
+)
+def corpus_pagerank_tol_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ranks, iters = corpus_pagerank_tol(docs)
+    return (
+        ranks.select(
+            "word", "rank", F.lit(iters).cast("long").alias("n_iters")
+        )
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §3.1 flagship composite: article ingest → dedup → clean → entity-tag →
 # external-dup anti-join → per-class quota. The reference runs this as

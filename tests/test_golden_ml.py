@@ -34,6 +34,7 @@ def golden():
         "lda_topics_described",
         "word2vec_neighbors",
         "ann_ivf_ml_kmeans_topk",
+        "corpus_pagerank_tol_topk",
     ],
 )
 def test_ml_output_matches_golden(spark, golden, name):

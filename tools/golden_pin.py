@@ -34,6 +34,10 @@ QUERIES = (
     "lda_topics_described",
     "word2vec_neighbors",
     "ann_ivf_ml_kmeans_topk",
+    # tolerance-stopped PageRank (VERDICT r10 #6): deterministic
+    # integer arithmetic, but the data-dependent iteration count has
+    # no SQL twin — pinned instead
+    "corpus_pagerank_tol_topk",
 )
 SF_DIR = "/root/testdata/sf0.01"
 DEST = os.path.join(
