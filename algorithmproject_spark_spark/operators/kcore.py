@@ -39,7 +39,10 @@ KCORE_ROUNDS = 4
 
 
 def kcore_vertices(
-    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Vertices surviving ``rounds`` peel rounds at threshold ``k``,
     with their degree inside the surviving subgraph: ``(v, deg)``.
@@ -57,13 +60,15 @@ def kcore_vertices(
     ``rounds`` fails loudly with a ValueError instead of silently
     returning a non-k-core as a dense-cluster certificate."""
     e = edges.select("a", "b").transform(tracked_local_checkpoint)
-    for _ in range(rounds):
+    for i in range(rounds):
         keep = _degrees(e).filter(F.col("deg") >= k).select("v")
-        e = (
-            e.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
-            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
-            .transform(tracked_local_checkpoint)
-        )
+        e = e.join(
+            keep.select(F.col("v").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+        # cadence knob (VERDICT r10 #7): lineage management only —
+        # values identical at any cadence; final round always truncates
+        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+            e = e.transform(tracked_local_checkpoint)
     deg = _degrees(e)
     # min-degree invariant: every vertex of a true k-core has deg >= k
     # in the surviving subgraph; a deg < k survivor means one more peel

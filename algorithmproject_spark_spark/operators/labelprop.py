@@ -33,9 +33,18 @@ def label_propagation(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     iterations: int = LPA_ITERS,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(v, community): synchronous LPA labels after `iterations` rounds
-    over the undirected graph given as unordered pairs."""
+    over the undirected graph given as unordered pairs.
+
+    ``checkpoint_every`` sets the localCheckpoint cadence (VERDICT r10
+    #7): cadence 1 truncates lineage every round; cadence 2 skips
+    alternate rounds, trading one extra plan-nesting level for one
+    fewer materialization per pair of rounds. Values are identical at
+    any cadence — checkpointing is lineage management, not semantics —
+    and the final round always checkpoints so callers never receive an
+    unbounded plan."""
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .unionAll(
@@ -49,7 +58,7 @@ def label_propagation(
         .withColumn("lbl", F.col("v"))
     )
     top1 = W.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
-    for _ in range(iterations):
+    for i in range(iterations):
         neighbor_labels = edges.join(
             labels.withColumnRenamed("v", "d"), "d"
         ).select(F.col("s").alias("v"), "lbl")
@@ -59,8 +68,9 @@ def label_propagation(
             .withColumn("rn", F.row_number().over(top1))
             .filter(F.col("rn") == 1)
             .select("v", "lbl")
-            .transform(tracked_local_checkpoint)
         )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            labels = labels.transform(tracked_local_checkpoint)
     return labels.select("v", F.col("lbl").alias("community"))
 
 
