@@ -325,6 +325,37 @@ HEADLINE = (
 )
 
 
+#: byte budget for the driver-parsed stdout line. The driver's tail
+#: window is 2000 chars (BENCH_r05/r06 tails are exactly 2000 with the
+#: line head-truncated); ~500 chars of JVM/log preamble precede the
+#: line, so 1400 keeps the whole line inside the parseable window.
+STDOUT_LINE_BUDGET = 1400
+
+
+def compact_stdout_line(payload: dict, timings: dict, record_name: str) -> str:
+    """The driver-facing stdout line: the full payload if it fits the
+    tail window, else the contract shape with `queries` trimmed to the
+    slowest entries that fit, plus `n_queries` (full count) and
+    `full_record` (the committed file carrying every number)."""
+    line = json.dumps(payload)
+    if len(line) <= STDOUT_LINE_BUDGET:
+        return line
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    compact = dict(
+        payload,
+        queries={},
+        n_queries=len(timings),
+        full_record=record_name,
+    )
+    compact.pop("spread", None)  # full spread lives in the OUT file
+    for name, sec in slowest.items():
+        trial = dict(compact, queries={**compact["queries"], name: sec})
+        if len(json.dumps(trial)) > STDOUT_LINE_BUDGET:
+            break
+        compact = trial
+    return json.dumps(compact)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -414,25 +445,18 @@ def main() -> None:
     )
     with open(out, "w", encoding="utf-8") as fh:
         fh.write(line + "\n")
-    # ... but print a COMPACT line to stdout: the driver keeps only a
-    # bounded stdout tail, and the full 140+-query dict (~6 KB) gets
-    # truncated mid-line, leaving BENCH_r{N}.json unparseable
-    # ("parsed": null in r6). The printed line keeps the contract shape
+    # ... but print a COMPACT line to stdout. VERDICT r10 #8 asked for
+    # the FULL dict in the driver-parsed stdout line; that is
+    # structurally impossible: the driver keeps a 2000-char stdout tail
+    # (measured — BENCH_r05/r06.json both record len(tail) == 2000 with
+    # the full dict head-truncated and "parsed": null, r07+ record
+    # <2000 with the compact line parsed), and a 250-query dict is
+    # ~7 KB. The printed line therefore keeps the contract shape
     # (metric/value/unit/queries/sf) but trims `queries` to the slowest
     # entries that fit the capture window; `n_queries` records the full
-    # count and the file carries every number.
-    if len(line) > 1400:
-        slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])
-        )
-        compact = dict(payload, queries={}, n_queries=len(timings))
-        compact.pop("spread", None)  # full spread lives in the OUT file
-        for name, sec in slowest.items():
-            trial = dict(compact, queries={**compact["queries"], name: sec})
-            if len(json.dumps(trial)) > 1400:
-                break
-            compact = trial
-        line = json.dumps(compact)
+    # count and `full_record` names the committed file that carries
+    # every number (gated complete by tests/test_bench_artifacts.py).
+    line = compact_stdout_line(payload, timings, os.path.basename(out))
     print(line)
     # Per-query release above already returned storage to zero; one
     # final sweep for anything the last query left behind.

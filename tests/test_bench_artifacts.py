@@ -55,3 +55,45 @@ def test_committed_bench_records_are_complete():
         import pytest
 
         pytest.skip("no post-r9 bench records committed yet")
+
+
+def test_stdout_line_fits_driver_tail_window():
+    """VERDICT r10 #8: the driver keeps only a 2000-char stdout tail
+    (BENCH_r05/r06 tails are exactly 2000 with the full line
+    head-truncated and parsed=null), so a 250+-query dict can never
+    ride stdout. The contract instead: the printed line always fits
+    the window, parses, carries the full count as ``n_queries`` and
+    points at the committed complete record via ``full_record``."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import STDOUT_LINE_BUDGET, compact_stdout_line
+
+    timings = {f"query_name_number_{i:03d}": i * 0.137 for i in range(300)}
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "reps": 3,
+        "spread": {k: [v, v] for k, v in timings.items()},
+    }
+    line = compact_stdout_line(payload, timings, "BENCH_LOCAL.json")
+    assert len(line) <= STDOUT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 300
+    assert parsed["full_record"] == "BENCH_LOCAL.json"
+    assert parsed["value"] == payload["value"]
+    # the trimmed sample is the SLOWEST queries — the ones worth eyes
+    kept = set(parsed["queries"])
+    slowest = sorted(timings, key=lambda k: -timings[k])[: len(kept)]
+    assert kept == set(slowest)
+
+    # a small payload passes through verbatim, full dict included
+    small_t = {"q1": 1.0, "q2": 2.0}
+    small = dict(payload, queries=small_t)
+    small.pop("spread")
+    small.pop("reps")
+    sline = compact_stdout_line(small, small_t, "BENCH_LOCAL.json")
+    assert json.loads(sline)["queries"] == small_t
