@@ -1,0 +1,311 @@
+"""Exact-integer PCA over the embedding corpus — principal-direction
+extraction and spectral outlier scoring as a Spark program (round 11).
+
+Training-data pipelines use PCA constantly (embedding whitening,
+drift/outlier detection, low-rank compression before ANN), but naive
+float PCA is NOT oracle-checkable: covariance accumulations are
+shuffle-order float sums and eigensolvers are library-specific. This
+module makes the whole chain exact:
+
+1. **Quantize**: each component → milli-units,
+   ``q = floor(x·1000 + 0.5)`` (the micros contract at 1e3 — float →
+   double widening and the one rounding op are bit-identical across
+   engines).
+2. **Moment pass** (the only data-scale work): second-moment matrix
+   ``M[i,j] = Σ q_i q_j``, component sums ``s_i`` and the row count in
+   ONE Arrow kernel that accumulates a numpy int64 Gram matrix per
+   PARTITION and emits 64×64 partial rows — map-side combine in its
+   purest form: the shuffle carries #partitions × 4096 rows, never the
+   corpus. (A relational explode+self-join would shuffle n·D² rows;
+   DuckDB pays exactly that in the oracle, which is fine at fixture
+   scale and is the point of doing it differently here.)
+3. **Centered covariance**: ``C[i,j] = M[i,j] − trunc(s_i·s_j / n)`` —
+   integer, deterministic. Bounds at the design point: |q| ≤ ~2000
+   (unit-ish vectors), so M entries stay < 2^63 up to ~2·10^12 rows
+   and the s_i·s_j product up to ~10^9 rows; past that, quantize at
+   1e2 or pre-center per shard (documented seam, same class as the
+   burstiness ratio split).
+4. **Eigensolve**: 100 fixed power-iteration rounds on the 64×64 integer
+   matrix — dimension-sized, so it runs driver-side in exact Python
+   bigints (the PQ-codebook pattern: the corpus never touches the
+   driver), renormalizing to max-abs 1e6 with TRUNC division each
+   round. The DuckDB oracle unrolls the identical rounds as CTEs over
+   BIGINTs; Python bigint == BIGINT wherever BIGINT doesn't overflow,
+   which holds through the sf1 fixtures by the bounds above.
+5. **Project + score**: every vector's projection onto the principal
+   direction is one map-only fold; outliers = top deviations from the
+   scalar mean projection (1-row broadcast — the sanctioned
+   scalar-cross pattern).
+
+Reference parity: none — the reference has no vector ops; this extends
+the embedding family (ANN, SemDeDup, quantization, drift) with the
+spectral member a 100 TB curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from algorithmproject_spark_spark.cacheutil import tracked_cache
+from algorithmproject_spark_spark.functions.vectors import EMB_DIM, to_double
+from algorithmproject_spark_spark.registry import register
+from algorithmproject_spark_spark.sources.catalog import load_table
+
+Q_SCALE = 1_000  # component quantization (milli-units)
+X_SCALE = 1_000_000  # eigenvector renormalization (max-abs component)
+PCA_ITERS = 100  # fixed power-iteration rounds (unrolled in the oracle).
+# 100 because the synthetic embeddings are NEAR-ISOTROPIC: the fixture
+# eigengap is λ2/λ1 ≈ 0.93, so k rounds leave a 0.93^k misalignment —
+# 8 rounds was 0.57 (useless), 100 rounds is <1e-3. Each round is a
+# 64-row matvec: trivially cheap on both engines, the unrolled oracle
+# just carries 300 small CTEs.
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division on Python ints — Python ``//``
+    floors, which diverges from Spark ``div`` / DuckDB BIGINT ``//``
+    on negative operands; the eigensolve must match both."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def quant_col(emb: Column) -> Column:
+    """array<long> of milli-quantized components."""
+    return F.transform(
+        to_double(emb),
+        lambda x: F.floor(x * F.lit(float(Q_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def sql_quant(emb: str) -> str:
+    return (
+        f"list_transform({emb}, x_ -> CAST(floor(CAST(x_ AS DOUBLE) "
+        f"* {Q_SCALE}.0 + 0.5) AS BIGINT))"
+    )
+
+
+def _moment_batches(it):
+    """Arrow kernel: per-partition int64 Gram accumulation. Emits long
+    rows (i, j, v): the 64×64 second-moment partials, the component
+    sums as (i, -1, s_i), and the row count as (-1, -1, n)."""
+    import numpy as np
+    import pandas as pd
+
+    d = EMB_DIM
+    m = np.zeros((d, d), dtype="int64")
+    s = np.zeros(d, dtype="int64")
+    n = 0
+    for pdf in it:
+        if not len(pdf):
+            continue
+        v = np.asarray(
+            [np.asarray(a, dtype="float64") for a in pdf["embedding"]]
+        )
+        q = np.floor(v * Q_SCALE + 0.5).astype("int64")
+        m += q.T @ q
+        s += q.sum(axis=0)
+        n += len(q)
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    yield pd.DataFrame(
+        {
+            "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+            "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+            "v": np.concatenate([m.ravel(), s, [n]]),
+        }
+    )
+
+
+def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, v) aggregated moment relation — the one corpus pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(
+        _moment_batches, schema="i int, j int, v long"
+    )
+    return tracked_cache(
+        partials.groupBy("i", "j").agg(F.sum("v").cast("long").alias("v"))
+    )
+
+
+def principal_direction(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The 64 integer components (max-abs = X_SCALE) of the top
+    covariance eigenvector after PCA_ITERS exact power-iteration
+    rounds; all-zero for an empty corpus. Driver-side on the
+    dimension-sized moment matrix only — exact bigint arithmetic, so
+    no overflow at any corpus size once the moments exist."""
+    rows = embedding_moments(spark, sf_dir).collect()
+    d = EMB_DIM
+    m = [[0] * d for _ in range(d)]
+    s = [0] * d
+    n = 0
+    for r in rows:
+        if r.i == -1:
+            n = int(r.v)
+        elif r.j == -1:
+            s[r.i] = int(r.v)
+        else:
+            m[r.i][r.j] = int(r.v)
+    if n == 0:
+        return [0] * d
+    cov = [
+        [m[i][j] - _tdiv(s[i] * s[j], n) for j in range(d)]
+        for i in range(d)
+    ]
+    x = [X_SCALE] * d
+    for _ in range(PCA_ITERS):
+        y = [sum(cov[i][j] * x[j] for j in range(d)) for i in range(d)]
+        sc = max(abs(v) for v in y)
+        if sc == 0:
+            break
+        # renormalize by DIVISION ONLY: y*X_SCALE//sc overflows BIGINT
+        # in the oracle once y reaches ~1e13 (sf0.01 already does);
+        # y // max(sc // X_SCALE, 1) keeps max-abs within [X, 2X)
+        # without any multiplication, identically on both engines
+        div = max(_tdiv(sc, X_SCALE), 1)
+        x = [_tdiv(v, div) for v in y]
+    return x
+
+
+def _sql_cov_ctes() -> str:
+    """Moment + covariance CTEs — the relational (explode + self-join)
+    derivation of the same integers the Arrow kernel computes."""
+    return f"""pc_q AS MATERIALIZED (
+        SELECT vec_id, {sql_quant('embedding')} AS vq FROM embeddings
+    ),
+    pc_f AS MATERIALIZED (
+        SELECT vec_id, f.i AS i, f.v AS v FROM (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, {EMB_DIM} + 1),
+                          i_ -> struct_pack(i := i_ - 1, v := vq[i_]))) AS f
+            FROM pc_q
+        )
+    ),
+    pc_n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pc_q),
+    pc_s AS MATERIALIZED (
+        SELECT i, CAST(SUM(v) AS BIGINT) AS sv FROM pc_f GROUP BY i
+    ),
+    pc_c AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(a.v * b.v)
+                    - (s1.sv * s2.sv) // (SELECT n FROM pc_n) AS BIGINT)
+                   AS c
+        FROM pc_f a
+        JOIN pc_f b USING (vec_id)
+        JOIN pc_s s1 ON s1.i = a.i
+        JOIN pc_s s2 ON s2.i = b.i
+        GROUP BY a.i, b.i, s1.sv, s2.sv
+    )"""
+
+
+def _sql_power_ctes(iters: int = PCA_ITERS) -> str:
+    """Unrolled power-iteration CTEs ending in ``px{iters}(i, v)``.
+    DuckDB BIGINT ``//`` truncates toward zero like the driver-side
+    _tdiv, and the renorm guard mirrors the sc == 0 break."""
+    # every CTE MATERIALIZED: px{{t}} is referenced twice per round
+    # (the matvec and the zero-scale fallback) — inlined, the chain
+    # re-expands exponentially and each expansion re-opens the parquet
+    # view until the fd limit trips
+    parts = [
+        f"px0 AS MATERIALIZED "
+        f"(SELECT i, CAST({X_SCALE} AS BIGINT) AS v FROM pc_s)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""py{t} AS MATERIALIZED (
+        SELECT c.i, CAST(SUM(c.c * x.v) AS BIGINT) AS y
+        FROM pc_c c JOIN px{t - 1} x ON c.j = x.i GROUP BY c.i
+    ),
+    ps{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS sc FROM py{t}),
+    px{t} AS MATERIALIZED (
+        SELECT p.i,
+               CAST(CASE WHEN (SELECT sc FROM ps{t}) = 0 THEN x.v
+                    ELSE p.y // GREATEST(
+                        (SELECT sc FROM ps{t}) // {X_SCALE}, 1)
+               END AS BIGINT) AS v
+        FROM py{t} p JOIN px{t - 1} x ON p.i = x.i
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "embedding_pca_top_direction",
+    plan=("arrow",),  # the moment kernel
+    oracle=f"""
+    WITH {_sql_cov_ctes()},
+    {_sql_power_ctes()}
+    SELECT i, v AS x FROM px{PCA_ITERS}
+    """,
+    doc=(
+        "top principal direction of the embedding corpus in exact "
+        "integer arithmetic: milli-quantized components, one Arrow "
+        "map-side-combined Gram pass (shuffle carries 4096 rows per "
+        "partition, never the corpus), trunc-centered covariance, 100 "
+        "driver-side bigint power-iteration rounds on the 64x64 "
+        "matrix — the oracle re-derives the identical integers via "
+        "explode/self-join + unrolled CTE rounds"
+    ),
+)
+def embedding_pca_top_direction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x = principal_direction(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(x)], "i int, x long"
+    )
+
+
+@register(
+    "embedding_pca_outliers",
+    plan=("arrow", "scalar_cross"),  # moment kernel + 1-row mean bcast
+    oracle=f"""
+    WITH {_sql_cov_ctes()},
+    {_sql_power_ctes()},
+    pj AS MATERIALIZED (
+        SELECT f.vec_id, CAST(SUM(f.v * x.v) AS BIGINT) AS p
+        FROM pc_f f JOIN px{PCA_ITERS} x ON f.i = x.i
+        GROUP BY f.vec_id
+    ),
+    pm AS (SELECT CAST(SUM(p) // COUNT(*) AS BIGINT) AS mean_p FROM pj)
+    SELECT vec_id, p AS proj, CAST(p - (SELECT mean_p FROM pm) AS BIGINT)
+               AS dev
+    FROM pj
+    ORDER BY ABS(p - (SELECT mean_p FROM pm)) DESC, vec_id
+    LIMIT 20
+    """,
+    doc=(
+        "spectral outliers: every embedding's projection onto the "
+        "exact-integer principal direction (one map-only fold per "
+        "row), top-20 deviations from the 1-row-broadcast mean "
+        "projection — the PCA-based drift/outlier screen a curation "
+        "pipeline runs before trusting an embedding batch"
+    ),
+)
+def embedding_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = principal_direction(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    xs = F.array(*[F.lit(v).cast("long") for v in x])
+    proj = F.aggregate(
+        F.zip_with(quant_col(F.col("embedding")), xs, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pj = emb.select("vec_id", proj.alias("p"))
+    mean_p = pj.agg(
+        F.call_function(
+            "div", F.sum("p"), F.count(F.lit(1))
+        ).alias("mean_p")
+    )
+    return (
+        pj.crossJoin(F.broadcast(mean_p))
+        .select(
+            "vec_id",
+            F.col("p").alias("proj"),
+            (F.col("p") - F.col("mean_p")).cast("long").alias("dev"),
+        )
+        .orderBy(F.abs(F.col("dev")).desc(), F.asc("vec_id"))
+        .limit(20)
+    )

@@ -100,3 +100,4 @@ from algorithmproject_spark_spark.queries import annbinary  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import mixing  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import kstest  # noqa: F401,E402
 from algorithmproject_spark_spark.queries import trainedhead  # noqa: F401,E402
+from algorithmproject_spark_spark.operators import pca  # noqa: F401,E402

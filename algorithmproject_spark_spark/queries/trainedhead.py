@@ -542,3 +542,76 @@ def quality_trained_vs_frozen_auc(
     )
     f_ = auc_e6(frozen).select(F.col("auc_e6").alias("auc_frozen_e6"))
     return t.crossJoin(F.broadcast(f_))
+
+
+@register(
+    "quality_head_disagreement",
+    plan=("scalar_cross",),  # the training-totals broadcasts
+    oracle=_with_lbl(
+        f"""{_SQL_TW},
+    {_SQL_EVAL_SCORE},
+    {_sql_quality_prefix()},
+    dq AS (
+        SELECT t.doc_id,
+               t.score_ppm AS trained_score_ppm,
+               q.score_ppm AS frozen_score_ppm,
+               t.keep AS trained_keep,
+               q.keep AS frozen_keep,
+               l.keep AS label
+        FROM te_score t
+        JOIN qscore q USING (doc_id)
+        JOIN lbl_all l USING (doc_id)
+        WHERE t.keep <> q.keep
+    )
+    SELECT doc_id, trained_score_ppm, frozen_score_ppm,
+           CAST(trained_keep AS BIGINT) AS trained_keep,
+           CAST(frozen_keep AS BIGINT) AS frozen_keep,
+           CAST(label AS BIGINT) AS label
+    FROM dq
+    ORDER BY ABS(trained_score_ppm) DESC, doc_id
+    LIMIT 25
+    """
+    ),
+    doc=(
+        "disagreement-sampling triage (query-by-committee, the "
+        "two-head special case): held-out docs where the trained and "
+        "frozen quality heads disagree on keep/drop, ranked by the "
+        "trained head's confidence — the review queue an active-"
+        "labeling loop reads first; carries both scores and the "
+        "heuristic label for adjudication"
+    ),
+)
+def quality_head_disagreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from algorithmproject_spark_spark.queries.qualitymodel import scored_docs
+
+    trained = quality_trained_head_score(spark, sf_dir).select(
+        "doc_id",
+        F.col("score_ppm").alias("trained_score_ppm"),
+        F.col("keep").alias("trained_keep"),
+    )
+    frozen = scored_docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("score_ppm").alias("frozen_score_ppm"),
+        F.col("keep").alias("frozen_keep"),
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    lbl = docs.select("doc_id", _label_col().alias("label"))
+    return (
+        trained.join(frozen, "doc_id")
+        .join(lbl, "doc_id")
+        .filter(F.col("trained_keep") != F.col("frozen_keep"))
+        .select(
+            "doc_id",
+            "trained_score_ppm",
+            "frozen_score_ppm",
+            "trained_keep",
+            "frozen_keep",
+            "label",
+        )
+        .orderBy(F.abs(F.col("trained_score_ppm")).desc(), F.asc("doc_id"))
+        .limit(25)
+    )
