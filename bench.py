@@ -322,6 +322,15 @@ HEADLINE = (
     "vocab_richness_estimates",
     "source_score_ks_matrix",
     "quality_keep_wilson_ci",
+    # round-11: trained quality head (closed-form fit + held-out
+    # scoring + AUC comparison + disagreement triage), exact-integer
+    # PCA over embeddings, tolerance-stopped PageRank
+    "quality_trained_head_score",
+    "quality_trained_vs_frozen_auc",
+    "quality_head_disagreement",
+    "embedding_pca_top_direction",
+    "embedding_pca_outliers",
+    "corpus_pagerank_tol_topk",
 )
 
 
