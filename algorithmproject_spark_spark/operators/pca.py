@@ -131,9 +131,11 @@ def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def principal_direction(spark: SparkSession, sf_dir: str) -> list[int]:
     """The 64 integer components (max-abs = X_SCALE) of the top
     covariance eigenvector after PCA_ITERS exact power-iteration
-    rounds; all-zero for an empty corpus. Driver-side on the
-    dimension-sized moment matrix only — exact bigint arithmetic, so
-    no overflow at any corpus size once the moments exist."""
+    rounds; EMPTY for an empty corpus (the oracle's CTE chain yields
+    zero rows there — round-11 edge-sweep finding: an all-zero 64-row
+    stand-in diverged from it). Driver-side on the dimension-sized
+    moment matrix only — exact bigint arithmetic, so no overflow at
+    any corpus size once the moments exist."""
     rows = embedding_moments(spark, sf_dir).collect()
     d = EMB_DIM
     m = [[0] * d for _ in range(d)]
@@ -147,7 +149,7 @@ def principal_direction(spark: SparkSession, sf_dir: str) -> list[int]:
         else:
             m[r.i][r.j] = int(r.v)
     if n == 0:
-        return [0] * d
+        return []
     cov = [
         [m[i][j] - _tdiv(s[i] * s[j], n) for j in range(d)]
         for i in range(d)
@@ -256,6 +258,14 @@ def embedding_pca_top_direction(
     )
 
 
+def _direction_or_zeros(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Projection form of the direction: zeros stand in on an empty
+    corpus so the outlier query's fold stays well-typed (it projects
+    zero rows anyway)."""
+    x = principal_direction(spark, sf_dir)
+    return x if x else [0] * EMB_DIM
+
+
 @register(
     "embedding_pca_outliers",
     plan=("arrow", "scalar_cross"),  # moment kernel + 1-row mean bcast
@@ -283,7 +293,7 @@ def embedding_pca_top_direction(
     ),
 )
 def embedding_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    x = principal_direction(spark, sf_dir)
+    x = _direction_or_zeros(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
