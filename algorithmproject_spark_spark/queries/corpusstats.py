@@ -49,20 +49,56 @@ BUCKET_LADDER = (16, 32, 64, 128)
 def vocab_coverage_curve(docs: DataFrame) -> DataFrame:
     """``(v, coverage_ppm)``: corpus-token coverage of the top-``v``
     vocabulary entries (count desc, token asc tiebreak) for each
-    ladder rung ≤ vocabulary size."""
+    ladder rung ≤ vocabulary size.
+
+    Scale shape (VERDICT r11 #3): the curve only needs ranks ≤
+    max(COVERAGE_LADDER), but a naive rank window runs single-partition
+    over the FULL vocabulary — the one plan in the registry that grows
+    unboundedly with distinct-token count. Instead the rank-R count
+    threshold is derived as an exact order statistic over the COMPACTED
+    (count → n_keys) distribution (same machinery as
+    :func:`key_skew_report`: cardinality = distinct count VALUES, far
+    below vocabulary size), broadcast back, and only tokens with
+    ``c >= c_R`` enter the rank window — ≤ R rows plus ties at the
+    threshold count. Ties at c_R keep the tok tie-break exact; natural
+    corpora have few ties among the top ranks, and even the theoretical
+    worst case (uniform counts) only degrades to the old plan, never
+    below it. Total corpus tokens ``n`` comes from the same compacted
+    pass (Σ c·k), so the ppm denominator still covers the whole corpus.
+    """
+    top_rank = max(COVERAGE_LADDER)
     counts = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), "tok")
-    ranked = counts.select(
+    dist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    wc = Window.orderBy(F.col("c").desc())
+    cum_keys = dist.select(
         "c",
+        "k",
+        F.sum("k")
+        .over(wc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_keys"),
+    )
+    # c_thr = count of the rank-R token (largest c whose running key
+    # count reaches R, scanning counts descending); NULL when the
+    # vocabulary is smaller than R — coalesced to 0 so the filter
+    # keeps everything (counts are >= 1).
+    thr = cum_keys.agg(
+        F.coalesce(
+            F.max(F.when(F.col("cum_keys") >= top_rank, F.col("c"))),
+            F.lit(0).cast("long"),
+        ).alias("c_thr"),
+        F.sum(F.col("c") * F.col("k")).alias("n"),
+    )
+    top = counts.join(F.broadcast(thr)).filter(F.col("c") >= F.col("c_thr"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = top.select(
+        "c",
+        "n",
         F.row_number().over(w).alias("rk"),
         F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
     )
     ladder = F.array(*[F.lit(v) for v in COVERAGE_LADDER])
     return (
@@ -149,6 +185,9 @@ def seqlen_bucket_waste(docs: DataFrame) -> DataFrame:
 def _register() -> None:
     @register(
         "vocab_coverage_curve",
+        # scalar_cross: the rank-R count threshold is a 1-row broadcast
+        # joined back onto the vocabulary counts (VERDICT r11 #3).
+        plan=("scalar_cross",),
         oracle=f"""
         WITH vc_c AS (
             SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
