@@ -55,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from algorithmproject_spark_spark.cacheutil import tracked_cache
+from algorithmproject_spark_spark.functions.hashing import bind_once
 from algorithmproject_spark_spark.functions.numeric import floordiv, micros
 from algorithmproject_spark_spark.functions.text import (
     stopword_array,
@@ -73,12 +74,13 @@ _LBL_SQL = REGISTRY["doc_quality_score"].oracle
 E6 = 1_000_000
 
 
-def _label_col() -> F.Column:
-    """Heuristic ``keep`` as a 0/1 long — the EXACT expression of
-    ``doc_quality_score`` (queries/text.py:129) inlined so score and
-    label ride one scan; the oracle uses the registered SQL, so the
-    inline copy is hash-policed against the canonical definition."""
-    toks = tokenize("text")
+def _label_from_toks(toks: F.Column) -> F.Column:
+    """Heuristic ``keep`` (0/1 long) from an already-bound token array —
+    the EXACT rule of ``doc_quality_score`` (queries/text.py:129); the
+    oracle uses the registered SQL, so this inline copy is hash-policed
+    against the canonical definition. Takes the token array (typically
+    a ``bind_once`` lambda variable) so callers deriving several
+    quantities from one tokenization share the bound value."""
     n_tokens = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: F.array_contains(stopword_array(), t)))
     sw_ratio = micros(sw.cast("double") / n_tokens)
@@ -89,6 +91,14 @@ def _label_col() -> F.Column:
         & (rep_ratio > 300_000)
     )
     return F.when(keep, 1).otherwise(0).cast("long")
+
+
+def _label_col() -> F.Column:
+    """:func:`_label_from_toks` over ``text``, tokenized ONCE per row:
+    without the bind, CollapseProject inlines ``tokenize`` into all
+    four references (r12 — the trained-head scans spent most of their
+    time re-splitting text)."""
+    return bind_once(tokenize("text"), _label_from_toks)
 
 
 def scored_labeled(docs: DataFrame) -> DataFrame:

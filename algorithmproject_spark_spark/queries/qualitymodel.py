@@ -88,9 +88,17 @@ def _sql_w_lit() -> str:
     return "[" + ", ".join(str(w) for w in QM_W_PPM) + "]"
 
 
-def quality_logit_cols(text: Column) -> list[Column]:
-    """(n_feats, sum_w_ppm, score_ppm, keep) columns for a text column —
-    shared by the batch query and the streaming twin."""
+def quality_struct(text: Column) -> Column:
+    """``struct(n_feats, sum_w_ppm, score_ppm, keep)`` for a text
+    column, with every field derived INSIDE the bound lambda so one
+    evaluation of the struct runs the hashed logit map exactly once.
+
+    Consumers that need several of the fields must route the struct
+    through a generator (``F.inline(F.array(struct))``) rather than
+    projecting struct fields: generator outputs are real attributes,
+    while CollapseProject inlines a projected struct's subtree into
+    every field reference and re-runs the weight-lookup aggregates per
+    column (r12 — scored_docs paid the map 4× per row that way)."""
     toks = tokenize(text)
 
     def score(th: Column) -> Column:
@@ -106,26 +114,44 @@ def quality_logit_cols(text: Column) -> list[Column]:
             F.lit(0).cast("long"),
             lambda acc, w: acc + w,
         )
-        n_feats = F.size(th) + F.greatest(F.size(th) - F.lit(1), F.lit(0))
-        return F.struct(
-            n_feats.cast("long").alias("n_feats"),
-            (uni + bi).alias("sum_w_ppm"),
-        )
+        n_feats = (
+            F.size(th) + F.greatest(F.size(th) - F.lit(1), F.lit(0))
+        ).cast("long")
 
-    s = bind_once(token_hash_array(toks), score)
-    n_feats = s["n_feats"]
-    sum_w = s["sum_w_ppm"]
-    # mean-pool + bias: trunc division (Spark `div`), NOT float `/` —
-    # sums are signed and both engines must truncate toward zero
-    score_ppm = F.call_function("div", sum_w, n_feats) + F.lit(QM_BIAS_PPM)
+        def with_sum(sum_w: Column) -> Column:
+            # mean-pool + bias: trunc division (Spark `div`), NOT float
+            # `/` — sums are signed and both engines must truncate
+            # toward zero
+            score_ppm = (
+                F.call_function("div", sum_w, n_feats) + F.lit(QM_BIAS_PPM)
+            )
+            return F.struct(
+                n_feats.alias("n_feats"),
+                sum_w.alias("sum_w_ppm"),
+                score_ppm.alias("score_ppm"),
+                F.when(score_ppm >= QM_KEEP_PPM, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("keep"),
+            )
+
+        return bind_once(uni + bi, with_sum)
+
+    return bind_once(token_hash_array(toks), score)
+
+
+def quality_logit_cols(text: Column) -> list[Column]:
+    """(n_feats, sum_w_ppm, score_ppm, keep) columns for a text column —
+    shared by the batch query and the streaming twin. Each returned
+    column carries its own copy of the scoring subtree: fine for
+    callers that select ONE of them; callers selecting several must use
+    :func:`quality_struct` + ``F.inline`` (see its docstring)."""
+    s = quality_struct(text)
     return [
-        n_feats.alias("n_feats"),
-        sum_w.alias("sum_w_ppm"),
-        score_ppm.alias("score_ppm"),
-        F.when(score_ppm >= QM_KEEP_PPM, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("keep"),
+        s["n_feats"].alias("n_feats"),
+        s["sum_w_ppm"].alias("sum_w_ppm"),
+        s["score_ppm"].alias("score_ppm"),
+        s["keep"].alias("keep"),
     ]
 
 
@@ -220,7 +246,9 @@ def scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "n_chars",
-            *quality_logit_cols(F.col("text")),
+            # inline-through-generator: ONE evaluation of the scoring
+            # struct per row emits all four columns (see quality_struct)
+            F.inline(F.array(quality_struct(F.col("text")))),
         )
     )
 
@@ -386,7 +414,9 @@ QM_BAND_CLAMP = 5
 def quality_bands(docs: DataFrame) -> DataFrame:
     """(lang, band, n_docs, n_keep) — ONE definition feeding the batch
     twin query, its oracle, and streaming/qualitystream.py."""
-    scored = docs.select("lang", *quality_logit_cols(F.col("text")))
+    scored = docs.select(
+        "lang", F.inline(F.array(quality_struct(F.col("text"))))
+    )
     band = F.least(
         F.greatest(
             F.call_function("div", F.col("score_ppm"), F.lit(QM_BAND_PPM)),

@@ -419,3 +419,87 @@ def stream_hdr_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return hdr_sketch_batch(ev)
+
+
+def _sql_pca_moments_twin() -> str:
+    """Relational re-derivation of the Arrow Gram kernel's (i, j, v)
+    moment relation (operators/pca.py::_moment_batches): explode the
+    quantized components, self-join for the second moments, grid-
+    totalize so every cell exists even at zero — the same fixed
+    4161-row shape the kernel emits (EMB_DIM² cells + EMB_DIM sums +
+    the count row)."""
+    from algorithmproject_spark_spark.functions.vectors import EMB_DIM
+    from algorithmproject_spark_spark.operators.pca import sql_quant
+
+    d = EMB_DIM
+    return f"""
+    WITH pm_q AS MATERIALIZED (
+        SELECT vec_id, {sql_quant('embedding')} AS vq FROM embeddings
+    ),
+    pm_f AS MATERIALIZED (
+        SELECT vec_id, f.i AS i, f.v AS v FROM (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, {d} + 1),
+                          i_ -> struct_pack(i := i_ - 1, v := vq[i_]))) AS f
+            FROM pm_q
+        )
+    ),
+    pm_m AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS v
+        FROM pm_f a JOIN pm_f b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    pm_s AS (SELECT i, CAST(SUM(v) AS BIGINT) AS v FROM pm_f GROUP BY i),
+    pm_r AS (SELECT CAST(unnest(range(0, {d})) AS INTEGER) AS r)
+    SELECT g.i AS i, g.j AS j, CAST(COALESCE(m.v, 0) AS BIGINT) AS v
+    FROM (SELECT a.r AS i, b.r AS j FROM pm_r a, pm_r b) g
+    LEFT JOIN pm_m m ON m.i = g.i AND m.j = g.j
+    UNION ALL
+    SELECT q.r AS i, CAST(-1 AS INTEGER) AS j,
+           CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+    FROM pm_r q LEFT JOIN pm_s s ON s.i = q.r
+    UNION ALL
+    SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pm_q) AS v
+    """
+
+
+@register(
+    "stream_pca_moments_batch_twin",
+    plan=("arrow", "scalar_cross"),  # Gram kernel + the 64×64 grid cross
+    oracle=_sql_pca_moments_twin(),
+    doc="batch twin of the streaming PCA moment sketch "
+    "(streaming/pcastream.py, 16th stateful twin): the embedding "
+    "corpus as one micro-batch through the SAME Arrow Gram kernel the "
+    "stream accumulates per batch_id partition — moments are additive "
+    "integers, so any slicing replays to exactly this relation (the "
+    "cross-batch seam test pins it); grid-totalized so all EMB_DIM² "
+    "cells + component sums + the count row exist even at zero",
+)
+def stream_pca_moments_batch_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from algorithmproject_spark_spark.functions.vectors import EMB_DIM
+    from algorithmproject_spark_spark.streaming.pcastream import (
+        moment_partials,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    acc = moment_partials(emb)
+    d = EMB_DIM
+    rng = spark.range(d).select(F.col("id").cast("int").alias("r"))
+    cells = rng.select(F.col("r").alias("i")).crossJoin(
+        rng.select(F.col("r").alias("j"))
+    )
+    grid = cells.unionAll(
+        rng.select(F.col("r").alias("i"), F.lit(-1).cast("int").alias("j"))
+    ).unionAll(
+        spark.range(1).select(
+            F.lit(-1).cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+        )
+    )
+    return grid.join(F.broadcast(acc), ["i", "j"], "left").select(
+        "i",
+        "j",
+        F.coalesce("v", F.lit(0).cast("long")).alias("v"),
+    )

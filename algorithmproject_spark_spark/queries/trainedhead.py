@@ -68,7 +68,11 @@ from algorithmproject_spark_spark.functions.hashing import (
 )
 from algorithmproject_spark_spark.functions.numeric import micros
 from algorithmproject_spark_spark.functions.text import stopword_array, tokenize
-from algorithmproject_spark_spark.queries.modeleval import _label_col, _LBL_SQL
+from algorithmproject_spark_spark.queries.modeleval import (
+    _label_col,
+    _label_from_toks,
+    _LBL_SQL,
+)
 from algorithmproject_spark_spark.queries.qualitymodel import (
     QMB_DIM,
     _sql_quality_prefix,
@@ -119,12 +123,11 @@ def _exploded(docs: DataFrame, extra: tuple = ()) -> DataFrame:
     )
 
 
-def _band_array() -> Column:
-    """[b_len, b_rep, b_sw] bucket ids for a ``text`` column — the
-    binned-scalar features, from the SAME quantities the heuristic
-    label reads (so the twin reuses the registered label SQL's
-    columns)."""
-    toks = tokenize("text")
+def _band_array(toks: Column) -> Column:
+    """[b_len, b_rep, b_sw] bucket ids from an already-bound token
+    array — the binned-scalar features, from the SAME quantities the
+    heuristic label reads (so the twin reuses the registered label
+    SQL's columns)."""
     n_tokens = F.size(toks)
     sw = F.size(
         F.filter(toks, lambda t: F.array_contains(stopword_array(), t))
@@ -141,6 +144,64 @@ def _band_array() -> Column:
     )
 
 
+def _feature_rows(with_label: bool) -> Column:
+    """``array<struct<b, n_feats|label>>`` — one element per feature
+    bucket of the doc, ready to ``explode`` in a single reference.
+
+    This is the r12 fix for the trio's sf1 cost (VERDICT r11 #4), in
+    two layers:
+
+    1. Everything (token buckets, band buckets, label, n_feats) is
+       derived from ONE bound token array — Catalyst's CollapseProject
+       inlines ``tokenize`` into every downstream reference, so the old
+       two-scan training pass re-split the text ~9× per row in
+       interpreted HOFs.
+    2. The per-doc payload rides INSIDE the exploded array elements, so
+       downstream selects reference the bound expression exactly ONCE
+       (the explode). Projecting a struct and reading two fields from
+       it re-evaluates the whole pipeline per field — measured 12.4 s
+       vs 4.0 s for the training scan at sf1.
+
+    ``b`` id spaces are disjoint (tokens < QMB_DIM, bands ≥ QMB_DIM),
+    so one explode serves both weight families and the scoring join.
+    The label is itself bound before being fanned into the array —
+    inside a ``transform`` lambda it would re-run the stopword filter
+    per element; ``n_feats`` is O(1) from the bound token array and
+    needs no extra bind."""
+
+    def from_toks(toks: Column) -> Column:
+        bands = _band_array(toks)
+        buckets = bind_once(
+            token_hash_array(toks),
+            lambda th: F.concat(
+                F.transform(th, lambda h: h % F.lit(QMB_DIM)),
+                F.transform(
+                    gram_hash_array(th, 2), lambda h: h % F.lit(QMB_DIM)
+                ),
+                bands,
+            ),
+        )
+        if with_label:
+            return bind_once(
+                _label_from_toks(toks),
+                lambda lab: F.transform(
+                    buckets,
+                    lambda b: F.struct(
+                        b.alias("b"), lab.alias("label")
+                    ),
+                ),
+            )
+        n_feats = (
+            F.size(toks) + F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+        ).cast("long")
+        return F.transform(
+            buckets,
+            lambda b: F.struct(b.alias("b"), n_feats.alias("n_feats")),
+        )
+
+    return bind_once(tokenize("text"), from_toks)
+
+
 def trained_weight_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(b, wt) — the TRAINED weight relation, fit on the even-doc_id
     split with the heuristic gate as labels: Rocchio frequency
@@ -149,58 +210,72 @@ def trained_weight_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring join while the training aggregation must not re-run per
     reference. Contains only buckets OBSERVED in training (≤ D rows;
     unseen buckets score 0 via the left join in
-    :func:`score_with_weights`)."""
+    :func:`score_with_weights`).
+
+    Fused training pass (VERDICT r11 #4): the token and band families
+    previously ran as two separate explode→groupBy aggregations, each
+    re-tokenizing the even split and re-deriving the label — the trio
+    of consumers paid 15-22 s each at sf1 for it. Now ONE scan derives
+    label + all bucket ids from one bound token array and explodes
+    (b, label) rows in a single reference (:func:`_feature_rows`), ONE
+    map-side-combined groupBy(b) counts (pos, n) for both families at
+    once (id spaces disjoint), ONE 1-row conditional aggregate derives
+    all four training totals, and the per-bucket weight formula
+    branches on the id range. Same integers as the two-pass form — the
+    oracle's independent re-derivation is unchanged. The grouped
+    relation is ≤ D+220 rows and referenced twice (totals + weights),
+    so it is tracked-cached: the explode scan runs exactly once.
+    """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 0
     )
-    # --- token family: class-conditional occurrence-frequency diff ---
-    occ = _exploded(
-        docs.select("doc_id", "text"), (_label_col().alias("label"),)
+    ex = docs.select(
+        F.explode(_feature_rows(with_label=True)).alias("x")
+    ).select("x.b", "x.label")
+    grouped = tracked_cache(
+        ex.groupBy("b").agg(
+            F.sum("label").cast("long").alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
     )
-    per_b = occ.groupBy("b").agg(
-        F.sum("label").cast("long").alias("pos_c"),
-        F.sum(F.lit(1) - F.col("label")).cast("long").alias("neg_c"),
-    )
-    tot = per_b.agg(
-        F.sum("pos_c").cast("long").alias("tot_pos"),
-        F.sum("neg_c").cast("long").alias("tot_neg"),
+    is_tok = F.col("b") < F.lit(QMB_DIM)
+    tot = grouped.agg(
+        F.coalesce(F.sum(F.when(is_tok, F.col("pos"))), F.lit(0))
+        .cast("long")
+        .alias("tot_pos"),
+        F.coalesce(
+            F.sum(F.when(is_tok, F.col("n") - F.col("pos"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tot_neg"),
+        F.coalesce(F.sum(F.when(~is_tok, F.col("pos"))), F.lit(0))
+        .cast("long")
+        .alias("tot_pos_d"),
+        F.coalesce(F.sum(F.when(~is_tok, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("tot_d"),
     )
     share = lambda c, t: F.when(  # noqa: E731
         F.col(t) > 0,
-        F.call_function("div", F.col(c) * F.lit(E6), F.col(t)),
+        F.call_function("div", c * F.lit(E6), F.col(t)),
     ).otherwise(F.lit(0).cast("long"))
-    tok_w = per_b.crossJoin(F.broadcast(tot)).select(
-        "b",
-        (share("pos_c", "tot_pos") - share("neg_c", "tot_neg"))
-        .cast("long")
-        .alias("wt"),
+    tok_wt = share(F.col("pos"), "tot_pos") - share(
+        F.col("n") - F.col("pos"), "tot_neg"
     )
-    # --- band family: per-band keep-rate lift over the base rate ---
-    band_docs = docs.select(
-        _label_col().alias("label"), F.explode(_band_array()).alias("b")
+    band_wt = F.call_function(
+        "div", F.col("pos") * F.lit(E6), F.col("n")
+    ) - F.call_function(
+        "div", F.col("tot_pos_d") * F.lit(E6), F.col("tot_d")
     )
-    per_band = band_docs.groupBy("b").agg(
-        F.sum("label").cast("long").alias("pos_d"),
-        F.count(F.lit(1)).cast("long").alias("n_d"),
-    )
-    base = per_band.agg(
-        # every doc contributes exactly 3 band rows, so the summed
-        # ratio IS the doc-level base keep rate
-        F.sum("pos_d").cast("long").alias("tot_pos_d"),
-        F.sum("n_d").cast("long").alias("tot_d"),
-    )
-    band_w = per_band.crossJoin(F.broadcast(base)).select(
-        "b",
-        (
-            F.call_function("div", F.col("pos_d") * F.lit(E6), F.col("n_d"))
-            - F.call_function(
-                "div", F.col("tot_pos_d") * F.lit(E6), F.col("tot_d")
-            )
+    return tracked_cache(
+        grouped.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.when(is_tok, tok_wt)
+            .otherwise(band_wt)
+            .cast("long")
+            .alias("wt"),
         )
-        .cast("long")
-        .alias("wt"),
     )
-    return tracked_cache(tok_w.unionAll(band_w))
 
 
 #: CTE suffix shared by both oracles: trained weights re-derived from
@@ -330,17 +405,19 @@ def score_with_weights(
     ``quality_model_score_bcast`` is this function with
     ``with_bands=False`` over the generated fixture (token-only, its
     historical schema); the parquet-swap test runs it with bands over
-    trained weights READ BACK FROM PARQUET."""
-    ex_tok = _exploded(docs.select("doc_id", "text"))
+    trained weights READ BACK FROM PARQUET.
+
+    With bands the feature rows come from ONE fused explode
+    (:func:`_feature_rows`) instead of a token scan unioned with a
+    band scan — n_feats rides every row (it is constant per doc, so
+    the max-pool is unchanged) and the disjoint id ranges route each
+    row to the right aggregate, same values as the two-scan form."""
     if with_bands:
-        ex_band = docs.select(
-            "doc_id",
-            F.lit(None).cast("long").alias("n_feats"),
-            F.explode(_band_array()).alias("b"),
-        )
-        rows = ex_tok.unionAll(ex_band)
+        rows = docs.select(
+            "doc_id", F.explode(_feature_rows(with_label=False)).alias("x")
+        ).select("doc_id", "x.n_feats", "x.b")
     else:
-        rows = ex_tok
+        rows = _exploded(docs.select("doc_id", "text"))
     is_tok = F.col("b") < F.lit(QMB_DIM)
     band_aggs = (
         [

@@ -165,12 +165,20 @@ def within_batch_drop_ids(bands: DataFrame, min_agree: int = MIN_AGREE) -> DataF
 
 
 def _has_parquet(d: str) -> bool:
-    """True if the directory holds at least one parquet data file —
-    ``os.path.exists`` alone is wrong once writes are partitioned: a
-    retried EMPTY micro-batch leaves a ``batch_id=N`` dir with only
-    ``_SUCCESS`` and schema inference on it would fail."""
-    for root, _dirs, files in os.walk(d):
-        if any(f.endswith(".parquet") for f in files):
+    """True if the directory holds at least one COMMITTED parquet data
+    file — ``os.path.exists`` alone is wrong once writes are
+    partitioned: a retried EMPTY micro-batch leaves a ``batch_id=N``
+    dir with only ``_SUCCESS`` and schema inference on it would fail.
+    Hidden directories (``_temporary`` from a crashed write, ``.``
+    staging dirs) are pruned during the walk (ADVICE r11):
+    ``spark.read.parquet`` ignores ``_``/``.``-prefixed paths, so a
+    file found only there must not route us into the read branch."""
+    for root, dirs, files in os.walk(d):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
             return True
     return False
 
@@ -181,10 +189,29 @@ def _write_batch_partition(df: DataFrame, base_dir: str, batch_id) -> None:
     rewrites exactly its own partition (even to empty), so a crash
     between the survivor and state writes can never double-append
     (ADVICE r10). Without one (ad-hoc batch-twin replays), plain
-    append, as before."""
+    append, as before.
+
+    The two modes produce INCOMPATIBLE directory layouts (ADVICE r11):
+    partitioned dirs expose a ``batch_id`` column to readers, root-level
+    appends do not, and mixing them under one ``base_dir`` breaks
+    parquet partition discovery. A directory is therefore owned by
+    whichever mode touched it first, asserted here; consumers of a
+    streamed ``out_dir`` should expect the extra ``batch_id`` column."""
+    partitioned = any(
+        e.startswith("batch_id=")
+        for e in (os.listdir(base_dir) if os.path.isdir(base_dir) else ())
+    )
     if batch_id is None:
+        assert not partitioned, (
+            f"{base_dir} holds batch_id= partitions; appending "
+            "root-level files to it would break partition discovery"
+        )
         df.write.mode("append").parquet(base_dir)
     else:
+        assert not (os.path.isdir(base_dir) and not partitioned and _has_parquet(base_dir)), (
+            f"{base_dir} holds root-level appended files; writing "
+            "batch_id= partitions into it would break partition discovery"
+        )
         df.write.mode("overwrite").parquet(
             os.path.join(base_dir, f"batch_id={int(batch_id)}")
         )

@@ -331,6 +331,8 @@ HEADLINE = (
     "embedding_pca_top_direction",
     "embedding_pca_outliers",
     "corpus_pagerank_tol_topk",
+    # round-12: streaming PCA moment sketch twin (16th stateful twin)
+    "stream_pca_moments_batch_twin",
 )
 
 

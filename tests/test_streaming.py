@@ -1282,3 +1282,83 @@ def test_streaming_filters_idempotent_batch_retry(spark, scratch):
     process_simhash_batch(spark, b0, state, out, batch_id=1)
     assert spark.read.parquet(out).count() > 0
     _ = simhash_band_state  # referenced for import-coverage clarity
+
+
+def test_pca_moment_sketch_stream_equals_batch(spark, scratch):
+    """16th stateful twin (VERDICT r11 #6): the streaming PCA moment
+    sketch accumulated over ordered micro-batch slices — including an
+    idempotent RETRY of a batch after a simulated partial failure —
+    snapshots to EXACTLY the batch embedding_moments relation, cell by
+    cell (integer moments are additive, so no seam may lose or double
+    a batch). Also drives a real file-stream through foreachBatch."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from algorithmproject_spark_spark.operators.pca import (
+        embedding_moments,
+    )
+    from algorithmproject_spark_spark.streaming import stream_read_parquet
+    from algorithmproject_spark_spark.streaming.pcastream import (
+        moment_sketch_stream,
+        moment_snapshot,
+        process_moment_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    batch = {
+        (r.i, r.j): r.v for r in embedding_moments(spark, sf).collect()
+    }
+    assert batch[(-1, -1)] > 0  # corpus non-empty
+
+    # --- replay seam: 3 slices + a retry of the middle one ---
+    state = str(scratch / "pca_state")
+    slices = [
+        emb.filter(F.col("vec_id") % 3 == k).select("embedding")
+        for k in range(3)
+    ]
+    process_moment_batch(spark, slices[0], state, batch_id=0)
+    process_moment_batch(spark, slices[1], state, batch_id=1)
+    # simulated partial failure: batch 1's partition is lost mid-write,
+    # then the batch is retried twice — overwrite semantics must leave
+    # exactly one copy of its contribution
+    shutil.rmtree(f"{state}/batch_id=1")
+    process_moment_batch(spark, slices[1], state, batch_id=1)
+    process_moment_batch(spark, slices[1], state, batch_id=1)
+    process_moment_batch(spark, slices[2], state, batch_id=2)
+    snap = {
+        (r.i, r.j): r.v for r in moment_snapshot(spark, state).collect()
+    }
+    assert snap == batch
+
+    # --- real file-stream through foreachBatch ---
+    src = scratch / "pca_in"
+    src.mkdir(parents=True, exist_ok=True)
+    for k, sl in enumerate(slices):
+        part = scratch / f"pca_part{k}"
+        sl.coalesce(1).write.mode("overwrite").parquet(str(part))
+        pq = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        target = src / f"batch{k}.parquet"
+        os.rename(part / pq, target)
+        os.utime(target, (time.time() + k, time.time() + k))
+    schema = spark.read.parquet(str(src)).schema
+    stream = stream_read_parquet(
+        spark, str(src), schema, max_files_per_trigger=1
+    )
+    state2, chk = str(scratch / "pca_state2"), str(scratch / "pca_chk")
+    q = moment_sketch_stream(stream, state2, chk)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap2 = {
+        (r.i, r.j): r.v for r in moment_snapshot(spark, state2).collect()
+    }
+    assert snap2 == batch
+
+    # empty store snapshots to zero rows (grid totalization is the
+    # registered twin's job, not the store's)
+    assert moment_snapshot(spark, str(scratch / "pca_nostate")).count() == 0
