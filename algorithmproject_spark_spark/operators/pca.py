@@ -128,32 +128,12 @@ def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def principal_direction(spark: SparkSession, sf_dir: str) -> list[int]:
-    """The 64 integer components (max-abs = X_SCALE) of the top
-    covariance eigenvector after PCA_ITERS exact power-iteration
-    rounds; EMPTY for an empty corpus (the oracle's CTE chain yields
-    zero rows there — round-11 edge-sweep finding: an all-zero 64-row
-    stand-in diverged from it). Driver-side on the dimension-sized
-    moment matrix only — exact bigint arithmetic, so no overflow at
-    any corpus size once the moments exist."""
-    rows = embedding_moments(spark, sf_dir).collect()
-    d = EMB_DIM
-    m = [[0] * d for _ in range(d)]
-    s = [0] * d
-    n = 0
-    for r in rows:
-        if r.i == -1:
-            n = int(r.v)
-        elif r.j == -1:
-            s[r.i] = int(r.v)
-        else:
-            m[r.i][r.j] = int(r.v)
-    if n == 0:
-        return []
-    cov = [
-        [m[i][j] - _tdiv(s[i] * s[j], n) for j in range(d)]
-        for i in range(d)
-    ]
+def _power_iterate(cov: list[list[int]]) -> list[int]:
+    """PCA_ITERS exact bigint power-iteration rounds on a (possibly
+    asymmetric — see :func:`_deflate`) integer matrix, renormalizing to
+    max-abs ~X_SCALE each round. Mirrors the oracle's unrolled CTE
+    chain exactly, including the sc == 0 keep-previous guard."""
+    d = len(cov)
     x = [X_SCALE] * d
     for _ in range(PCA_ITERS):
         y = [sum(cov[i][j] * x[j] for j in range(d)) for i in range(d)]
@@ -167,6 +147,80 @@ def principal_direction(spark: SparkSession, sf_dir: str) -> list[int]:
         div = max(_tdiv(sc, X_SCALE), 1)
         x = [_tdiv(v, div) for v in y]
     return x
+
+
+def _deflate(cov: list[list[int]], x: list[int]) -> list[list[int]]:
+    """Wielandt-style exact-integer rank-1 deflation:
+    ``C2 = C − (C·x)·xᵀ / (xᵀx)``, staged through X_SCALE so no product
+    exceeds BIGINT — ``t_i = (C·x)_i // max(xᵀx // X_SCALE, 1)`` then
+    ``C2[i][j] = C[i][j] − t_i·x_j // X_SCALE``.
+
+    With an exact eigenvector this maps x to 0 exactly (C2·x = C·x −
+    (C·x)(xᵀx)/(xᵀx)); with the 100-round approximation it leaves a
+    truncation-sized residue, which is fine — both engines truncate
+    identically, so the second power chain is bit-deterministic, and
+    hash-parity (not numerical perfection) is the contract. Bounds:
+    t_i ≤ D·|C|max·X_SCALE/|x|max ≤ D·|C|max, so the staged products
+    stay < 2^63 while D·|C|max·2e6 does — holding through sf1 like the
+    first chain's matvec bound (same |C|max factor)."""
+    d = len(cov)
+    y = [sum(cov[i][j] * x[j] for j in range(d)) for i in range(d)]
+    xtx = sum(v * v for v in x)
+    d0 = max(_tdiv(xtx, X_SCALE), 1)
+    t = [_tdiv(v, d0) for v in y]
+    return [
+        [cov[i][j] - _tdiv(t[i] * x[j], X_SCALE) for j in range(d)]
+        for i in range(d)
+    ]
+
+
+def _cov_matrix(spark: SparkSession, sf_dir: str) -> list[list[int]] | None:
+    """Integer covariance from the moment relation, or None on an
+    empty corpus."""
+    rows = embedding_moments(spark, sf_dir).collect()
+    d = EMB_DIM
+    m = [[0] * d for _ in range(d)]
+    s = [0] * d
+    n = 0
+    for r in rows:
+        if r.i == -1:
+            n = int(r.v)
+        elif r.j == -1:
+            s[r.i] = int(r.v)
+        else:
+            m[r.i][r.j] = int(r.v)
+    if n == 0:
+        return None
+    return [
+        [m[i][j] - _tdiv(s[i] * s[j], n) for j in range(d)]
+        for i in range(d)
+    ]
+
+
+def principal_direction(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The 64 integer components (max-abs = X_SCALE) of the top
+    covariance eigenvector after PCA_ITERS exact power-iteration
+    rounds; EMPTY for an empty corpus (the oracle's CTE chain yields
+    zero rows there — round-11 edge-sweep finding: an all-zero 64-row
+    stand-in diverged from it). Driver-side on the dimension-sized
+    moment matrix only — exact bigint arithmetic, so no overflow at
+    any corpus size once the moments exist."""
+    cov = _cov_matrix(spark, sf_dir)
+    return _power_iterate(cov) if cov is not None else []
+
+
+def principal_directions2(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], list[int]]:
+    """(x1, x2): the top direction and the deflated second direction
+    (both max-abs ~X_SCALE integer vectors); ([], []) on an empty
+    corpus. One moment pass feeds both (embedding_moments is cached)."""
+    cov = _cov_matrix(spark, sf_dir)
+    if cov is None:
+        return [], []
+    x1 = _power_iterate(cov)
+    x2 = _power_iterate(_deflate(cov, x1))
+    return x1, x2
 
 
 def _sql_cov_ctes() -> str:
@@ -200,35 +254,69 @@ def _sql_cov_ctes() -> str:
     )"""
 
 
-def _sql_power_ctes(iters: int = PCA_ITERS) -> str:
-    """Unrolled power-iteration CTEs ending in ``px{iters}(i, v)``.
-    DuckDB BIGINT ``//`` truncates toward zero like the driver-side
-    _tdiv, and the renorm guard mirrors the sc == 0 break."""
+def _sql_power_ctes(
+    iters: int = PCA_ITERS, cov: str = "pc_c", prefix: str = "p"
+) -> str:
+    """Unrolled power-iteration CTEs over the ``cov`` (i, j, c) matrix
+    CTE, ending in ``{prefix}x{iters}(i, v)``. DuckDB BIGINT ``//``
+    truncates toward zero like the driver-side _tdiv, and the renorm
+    guard mirrors the sc == 0 break. The prefix keeps a second
+    (deflated) chain's CTE names disjoint from the first's."""
     # every CTE MATERIALIZED: px{{t}} is referenced twice per round
     # (the matvec and the zero-scale fallback) — inlined, the chain
     # re-expands exponentially and each expansion re-opens the parquet
     # view until the fd limit trips
+    p = prefix
     parts = [
-        f"px0 AS MATERIALIZED "
+        f"{p}x0 AS MATERIALIZED "
         f"(SELECT i, CAST({X_SCALE} AS BIGINT) AS v FROM pc_s)"
     ]
     for t in range(1, iters + 1):
         parts.append(
-            f"""py{t} AS MATERIALIZED (
+            f"""{p}y{t} AS MATERIALIZED (
         SELECT c.i, CAST(SUM(c.c * x.v) AS BIGINT) AS y
-        FROM pc_c c JOIN px{t - 1} x ON c.j = x.i GROUP BY c.i
+        FROM {cov} c JOIN {p}x{t - 1} x ON c.j = x.i GROUP BY c.i
     ),
-    ps{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS sc FROM py{t}),
-    px{t} AS MATERIALIZED (
+    {p}s{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS sc FROM {p}y{t}),
+    {p}x{t} AS MATERIALIZED (
         SELECT p.i,
-               CAST(CASE WHEN (SELECT sc FROM ps{t}) = 0 THEN x.v
+               CAST(CASE WHEN (SELECT sc FROM {p}s{t}) = 0 THEN x.v
                     ELSE p.y // GREATEST(
-                        (SELECT sc FROM ps{t}) // {X_SCALE}, 1)
+                        (SELECT sc FROM {p}s{t}) // {X_SCALE}, 1)
                END AS BIGINT) AS v
-        FROM py{t} p JOIN px{t - 1} x ON p.i = x.i
+        FROM {p}y{t} p JOIN {p}x{t - 1} x ON p.i = x.i
     )"""
         )
     return ",\n    ".join(parts)
+
+
+def _sql_deflate_ctes(iters: int = PCA_ITERS) -> str:
+    """Deflation CTEs (:func:`_deflate` re-derived relationally) +
+    the second unrolled power chain, ending in ``qx{iters}(i, v)``.
+    Composes AFTER ``_sql_power_ctes()`` (needs ``px{iters}``)."""
+    n = iters
+    return f"""pd_y AS MATERIALIZED (
+        SELECT c.i, CAST(SUM(c.c * x.v) AS BIGINT) AS y
+        FROM pc_c c JOIN px{n} x ON c.j = x.i GROUP BY c.i
+    ),
+    pd_xtx AS MATERIALIZED (
+        SELECT CAST(SUM(v * v) AS BIGINT) AS xtx FROM px{n}
+    ),
+    pd_t AS MATERIALIZED (
+        SELECT y.i,
+               CAST(y.y // GREATEST(
+                   (SELECT xtx FROM pd_xtx) // {X_SCALE}, 1)
+                   AS BIGINT) AS t
+        FROM pd_y y
+    ),
+    pc_c2 AS MATERIALIZED (
+        SELECT c.i AS i, c.j AS j,
+               CAST(c.c - (t.t * x.v) // {X_SCALE} AS BIGINT) AS c
+        FROM pc_c c
+        JOIN pd_t t ON t.i = c.i
+        JOIN px{n} x ON x.i = c.j
+    ),
+    {_sql_power_ctes(iters, cov="pc_c2", prefix="q")}"""
 
 
 @register(
@@ -317,5 +405,114 @@ def embedding_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") - F.col("mean_p")).cast("long").alias("dev"),
         )
         .orderBy(F.abs(F.col("dev")).desc(), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_pca_top2_directions",
+    plan=("arrow",),  # the moment kernel
+    oracle=f"""
+    WITH {_sql_cov_ctes()},
+    {_sql_power_ctes()},
+    {_sql_deflate_ctes()}
+    SELECT a.i, a.v AS x1, b.v AS x2
+    FROM px{PCA_ITERS} a JOIN qx{PCA_ITERS} b ON a.i = b.i
+    """,
+    doc=(
+        "top-2 principal directions in exact integer arithmetic "
+        "(round 12, VERDICT r11 #8): the first chain's direction plus "
+        "a Wielandt-deflated second chain — C2 = C − (C·x1)·x1ᵀ/(x1ᵀx1) "
+        "staged through X_SCALE divisions so every product stays in "
+        "BIGINT, then the same 100 power rounds on C2; the oracle "
+        "re-derives both chains as unrolled MATERIALIZED CTEs"
+    ),
+)
+def embedding_pca_top2_directions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x1, x2 = principal_directions2(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(zip(x1, x2))],
+        "i int, x1 long, x2 long",
+    )
+
+
+@register(
+    "embedding_pca_outliers2d",
+    plan=("arrow", "scalar_cross"),  # moment kernel + 1-row mean bcast
+    oracle=f"""
+    WITH {_sql_cov_ctes()},
+    {_sql_power_ctes()},
+    {_sql_deflate_ctes()},
+    pj2 AS MATERIALIZED (
+        SELECT f.vec_id,
+               CAST(SUM(f.v * a.v) AS BIGINT) AS p1,
+               CAST(SUM(f.v * b.v) AS BIGINT) AS p2
+        FROM pc_f f
+        JOIN px{PCA_ITERS} a ON f.i = a.i
+        JOIN qx{PCA_ITERS} b ON f.i = b.i
+        GROUP BY f.vec_id
+    ),
+    pm2 AS (
+        SELECT CAST(SUM(p1) // COUNT(*) AS BIGINT) AS m1,
+               CAST(SUM(p2) // COUNT(*) AS BIGINT) AS m2
+        FROM pj2
+    )
+    SELECT vec_id,
+           CAST(p1 - (SELECT m1 FROM pm2) AS BIGINT) AS dev1,
+           CAST(p2 - (SELECT m2 FROM pm2) AS BIGINT) AS dev2
+    FROM pj2
+    ORDER BY GREATEST(ABS(p1 - (SELECT m1 FROM pm2)),
+                      ABS(p2 - (SELECT m2 FROM pm2))) DESC, vec_id
+    LIMIT 20
+    """,
+    doc=(
+        "2-D spectral outliers (round 12, VERDICT r11 #8): every "
+        "embedding's projections onto BOTH exact-integer principal "
+        "directions in one map-only fold, top-20 by the larger "
+        "absolute deviation from the per-direction mean projection — "
+        "outliers hiding orthogonal to the top direction (invisible "
+        "to the 1-D screen) surface through the deflated second axis"
+    ),
+)
+def embedding_pca_outliers2d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x1, x2 = principal_directions2(spark, sf_dir)
+    if not x1:
+        x1 = x2 = [0] * EMB_DIM  # projects zero rows anyway
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def proj(xs: list[int]) -> Column:
+        arr = F.array(*[F.lit(v).cast("long") for v in xs])
+        return F.aggregate(
+            F.zip_with(
+                quant_col(F.col("embedding")), arr, lambda a, b: a * b
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pj = emb.select(
+        "vec_id", proj(x1).alias("p1"), proj(x2).alias("p2")
+    )
+    means = pj.agg(
+        F.call_function("div", F.sum("p1"), F.count(F.lit(1))).alias("m1"),
+        F.call_function("div", F.sum("p2"), F.count(F.lit(1))).alias("m2"),
+    )
+    return (
+        pj.crossJoin(F.broadcast(means))
+        .select(
+            "vec_id",
+            (F.col("p1") - F.col("m1")).cast("long").alias("dev1"),
+            (F.col("p2") - F.col("m2")).cast("long").alias("dev2"),
+        )
+        .orderBy(
+            F.greatest(F.abs(F.col("dev1")), F.abs(F.col("dev2"))).desc(),
+            F.asc("vec_id"),
+        )
         .limit(20)
     )

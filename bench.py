@@ -332,7 +332,10 @@ HEADLINE = (
     "embedding_pca_outliers",
     "corpus_pagerank_tol_topk",
     # round-12: streaming PCA moment sketch twin (16th stateful twin)
+    # + top-2 deflated PCA directions and the 2-D spectral screen
     "stream_pca_moments_batch_twin",
+    "embedding_pca_top2_directions",
+    "embedding_pca_outliers2d",
 )
 
 
