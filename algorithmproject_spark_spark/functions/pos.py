@@ -147,6 +147,53 @@ def pos_pattern_bigrams(lemma_arr: Column, tag_arr: Column) -> Column:
     )
 
 
+def pos_pattern_unigrams(lemma_arr: Column, tag_arr: Column) -> Column:
+    """Lemmas whose tag is in :data:`ALLOWED_POS_UNI` — the reference's
+    UNIGRAM admission branch (NN/JJ only, VB deliberately excluded per
+    the 2017-04-24 词性过滤 note; AppsTextCoreNLPTokens.scala:154,
+    PrepProcess.scala:288). Runtime consumer of ALLOWED_POS_UNI
+    (ADVICE r11: the list was parity-tested but never applied)."""
+    allowed = F.array(*[F.lit(t) for t in ALLOWED_POS_UNI])
+    pairs = F.zip_with(
+        lemma_arr,
+        tag_arr,
+        lambda lem, tag: F.struct(lem.alias("lem"), tag.alias("tag")),
+    )
+    return F.transform(
+        F.filter(pairs, lambda p: F.array_contains(allowed, p["tag"])),
+        lambda p: p["lem"],
+    )
+
+
+def sql_pos_unigram_cte(table: str, text_col: str = "text") -> str:
+    """DuckDB CTE producing (doc_id, lem) rows of admitted NN/JJ
+    unigram lemmas — mirrors tokenize → lemmas → pos_tags →
+    pos_pattern_unigrams."""
+    lem_list = (
+        f"list_transform(string_split({text_col}, ' '), "
+        f"t -> {sql_lemmatize_token('t')})"
+    )
+    allowed = "[" + ", ".join(f"'{t}'" for t in ALLOWED_POS_UNI) + "]"
+    return f"""
+    WITH u_lemmed AS (
+        SELECT doc_id, {lem_list} AS lem FROM {table}
+    ),
+    u_tagged AS (
+        SELECT doc_id, lem,
+               list_transform(lem, t -> {sql_pos_tag_token('t')}) AS tag
+        FROM u_lemmed
+    ),
+    u_unis AS (
+        SELECT doc_id,
+               unnest(list_transform(list_filter(
+                   list_transform(range(1, len(lem) + 1), i -> struct_pack(
+                       lem := lem[i], tag := tag[i])),
+                   p -> list_contains({allowed}, p.tag)), p -> p.lem)) AS lem
+        FROM u_tagged
+    )
+    """
+
+
 def sql_pos_bigram_cte(table: str, text_col: str = "text") -> str:
     """DuckDB CTE producing (doc_id, gram) rows of admitted POS bigrams
     — mirrors tokenize → lemmas → pos_tags → pos_pattern_bigrams."""
@@ -239,6 +286,20 @@ LEMMA_POS_SCHEMA = StructType(
 )
 
 
+def _lemma_tag_text(text: str, kind: str, nlp) -> tuple[list, list]:
+    """One text → (lemmas, 2-char tags) under the resolved tagger —
+    the per-row kernel shared by the Arrow path and the offline golden
+    parity test (VERDICT r11 #7: the spaCy branch must be testable
+    in-process, since a worker daemon started before the opt-in flag
+    was set would not see it)."""
+    toks = text.split(" ")
+    if kind == "spacy":  # pragma: no cover - spaCy absent in image
+        doc = nlp(" ".join(toks))
+        return [w.lemma_.lower() for w in doc], [w.tag_[:2] for w in doc]
+    lems = [_rule_lemma(t) for t in toks]
+    return lems, [_rule_tag(l) for l in lems]
+
+
 def lemma_pos_map_in_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``mapInPandas`` lemma+POS pass: Arrow batches in, one lazy tagger
     per worker. Input needs (doc_id, ``text_col``)."""
@@ -248,14 +309,7 @@ def lemma_pos_map_in_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             lem_col, tag_col = [], []
             for text in pdf[text_col].astype(str):
-                toks = text.split(" ")
-                if kind == "spacy":  # pragma: no cover - not in image
-                    doc = nlp(" ".join(toks))
-                    lems = [w.lemma_.lower() for w in doc]
-                    tags = [w.tag_[:2] for w in doc]
-                else:
-                    lems = [_rule_lemma(t) for t in toks]
-                    tags = [_rule_tag(l) for l in lems]
+                lems, tags = _lemma_tag_text(text, kind, nlp)
                 lem_col.append(lems)
                 tag_col.append(tags)
             yield pd.DataFrame(

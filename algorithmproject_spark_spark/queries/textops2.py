@@ -452,3 +452,64 @@ def _install_pos_oracle() -> None:
 
 
 _install_pos_oracle()
+
+
+# T6 unigram branch: the reference's n-gram output ALSO emits single
+# lemmas, admitted when tagged NN/JJ only (VB deliberately excluded —
+# AppsTextCoreNLPTokens.scala:154, PrepProcess.scala:288). Round 12
+# wires ALLOWED_POS_UNI into this runtime consumer (ADVICE r11: the
+# list was parity-tested but never applied by any engine query).
+@register(
+    "doc_pos_unigrams",
+    oracle=None,  # installed below (shares the pos-module CTE builder)
+    doc="T6 unigram admission: rule-based lemma+POS tagging, NN/JJ "
+    "unigram filter (AppsTextCoreNLPTokens.scala:154), corpus top-40",
+)
+def doc_pos_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from algorithmproject_spark_spark.functions.pos import (
+        lemmas,
+        pos_pattern_unigrams,
+        pos_tags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lemmed = docs.select(
+        "doc_id", lemmas(tokenize("text")).alias("lem")
+    ).withColumn("tag", pos_tags(F.col("lem")))
+    unis = lemmed.select(
+        F.explode(
+            pos_pattern_unigrams(F.col("lem"), F.col("tag"))
+        ).alias("lem")
+    )
+    return (
+        unis.groupBy("lem")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("lem"))
+        .limit(40)
+    )
+
+
+def _install_pos_uni_oracle() -> None:
+    from dataclasses import replace
+
+    from algorithmproject_spark_spark.functions.pos import (
+        sql_pos_unigram_cte,
+    )
+    from algorithmproject_spark_spark.registry import REGISTRY
+
+    sql = (
+        sql_pos_unigram_cte("documents")
+        + """
+    SELECT lem, n FROM (
+        SELECT lem, count(*) AS n FROM u_unis GROUP BY lem
+    )
+    ORDER BY n DESC, lem
+    LIMIT 40
+    """
+    )
+    REGISTRY["doc_pos_unigrams"] = replace(
+        REGISTRY["doc_pos_unigrams"], oracle=sql
+    )
+
+
+_install_pos_uni_oracle()

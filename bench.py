@@ -336,6 +336,7 @@ HEADLINE = (
     "stream_pca_moments_batch_twin",
     "embedding_pca_top2_directions",
     "embedding_pca_outliers2d",
+    "doc_pos_unigrams",
 )
 
 
@@ -367,6 +368,15 @@ def compact_stdout_line(payload: dict, timings: dict, record_name: str) -> str:
         if len(json.dumps(trial)) > STDOUT_LINE_BUDGET:
             break
         compact = trial
+    # final guard (ADVICE r11): if even the minimal object exceeds the
+    # budget (pathologically long record name), drop optional fields
+    # rather than emit a line the driver's tail window would truncate
+    # mid-JSON — the contract fields (metric/value/unit/sf) always fit.
+    if len(json.dumps(compact)) > STDOUT_LINE_BUDGET:
+        for field in ("full_record", "queries", "n_queries"):
+            compact.pop(field, None)
+            if len(json.dumps(compact)) <= STDOUT_LINE_BUDGET:
+                break
     return json.dumps(compact)
 
 

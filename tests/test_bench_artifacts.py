@@ -97,3 +97,27 @@ def test_stdout_line_fits_driver_tail_window():
     small.pop("reps")
     sline = compact_stdout_line(small, small_t, "BENCH_LOCAL.json")
     assert json.loads(sline)["queries"] == small_t
+
+
+def test_stdout_line_guard_on_pathological_record_name():
+    """ADVICE r11: even with a record name long enough that the minimal
+    compact object exceeds the budget, the printed line must stay
+    within the window and keep the contract fields parseable."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import STDOUT_LINE_BUDGET, compact_stdout_line
+
+    timings = {f"q{i}": float(i) for i in range(50)}
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+    }
+    line = compact_stdout_line(payload, timings, "R" * 3000)
+    assert len(line) <= STDOUT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 1.0
