@@ -168,8 +168,14 @@ def ratio_e6(num: Column, den: Column) -> Column:
 
 
 def sql_ratio_e6(num_expr: str, den_expr: str) -> str:
-    """DuckDB twin of :func:`ratio_e6` (same q/r + 1000×1000 split)."""
-    n, d = f"({num_expr})", f"({den_expr})"
+    """DuckDB twin of :func:`ratio_e6` (same q/r + 1000×1000 split).
+
+    Operands are widened to BIGINT here rather than at every call site:
+    DuckDB types small-integer expressions INT32, and the q*1e6 term
+    overflows INT32 already at q = 2148 — the documented ~9.2e15 bound
+    assumes 64-bit intermediates."""
+    n = f"CAST(({num_expr}) AS BIGINT)"
+    d = f"CAST(({den_expr}) AS BIGINT)"
     r1k = f"(({n} % {d}) * 1000)"
     return (
         f"CAST(({n} // {d}) * 1000000 + ({r1k} // {d}) * 1000 "
