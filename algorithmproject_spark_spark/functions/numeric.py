@@ -86,6 +86,14 @@ def sql_micros(expr: str) -> str:
     return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
 
 
+def ss_micros(expr: str) -> str:
+    """Spark-SQL TEXT twin of :func:`micros` — for F.expr()-built
+    kernels (see functions/vectors.py ss_* rationale). floor(double)
+    already returns BIGINT in Spark; the CAST mirrors the Column
+    version's no-op .cast('long') for textual clarity."""
+    return f"CAST(floor(({expr}) * 1000000.0D + 0.5D) AS BIGINT)"
+
+
 def floordiv(num: Column, den: Column) -> Column:
     """BIGINT floor division of non-negative Columns — SQL's exact
     ``div`` (IntegralDivide), reached via ``call_function`` since

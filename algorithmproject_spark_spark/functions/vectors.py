@@ -20,13 +20,21 @@ from pyspark.sql import Column, functions as F
 EMB_DIM = 64
 
 
-def to_double(vec: Column) -> Column:
-    """array<float> → array<double>; per-element widening is exact."""
+def to_double(vec: Column | str) -> Column:
+    """array<float> → array<double>; per-element widening is exact.
+
+    Pass a COLUMN NAME (str) to build the expression as one F.expr()
+    parse instead of py4j calls — same resolved expression, cheaper
+    construction (see the ss_* section below)."""
+    if isinstance(vec, str):
+        return F.expr(ss_to_double(vec))
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def _dot_d(a: Column, b: Column) -> Column:
+def _dot_d(a: Column | str, b: Column | str) -> Column:
     """Dot product of two already-widened arrays."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(ss_dot(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -34,7 +42,9 @@ def _dot_d(a: Column, b: Column) -> Column:
     )
 
 
-def _norm_d(a: Column) -> Column:
+def _norm_d(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(ss_norm(a))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
@@ -46,11 +56,15 @@ def norm(a: Column) -> Column:
     return _norm_d(to_double(a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     """dot/(|a||b|) with each vector widened ONCE via lambda binding —
     naive composition would inline to_double into the dot fold and both
     norm folds (CollapseProject duplicates aliases per reference); the
-    arithmetic and fold order are identical, so values are unchanged."""
+    arithmetic and fold order are identical, so values are unchanged.
+
+    String inputs (column names) take the one-parse F.expr path."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(ss_cosine(a, b))
     return F.element_at(
         F.transform(
             F.array(to_double(a)),
@@ -66,9 +80,13 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
-def l2sq(a: Column, b: Column) -> Column:
+def l2sq(a: Column | str, b: Column | str) -> Column:
     """Squared L2 distance between two vectors, sequential fold over
-    once-widened arrays (same binding discipline as :func:`cosine`)."""
+    once-widened arrays (same binding discipline as :func:`cosine`).
+
+    String inputs (column names) take the one-parse F.expr path."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(ss_l2sq(a, b))
     return F.element_at(
         F.transform(
             F.array(to_double(a)),
@@ -85,6 +103,76 @@ def l2sq(a: Column, b: Column) -> Column:
             ),
         ),
         1,
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-SQL TEXT twins (ss_*) of the Column builders above.
+#
+# Building the fold kernels through the Column API costs one py4j
+# round-trip per nested F.* call — thousands per ANN-family query,
+# measured at 4-12 s of DRIVER time per query at sf0.1 (more than the
+# queries' execution; the bench's timed window includes plan
+# construction, and on a cluster the driver pays it before any task can
+# launch). Emitting the identical expression as ONE Spark-SQL string
+# parsed by F.expr() moves construction into the JVM parser: one
+# round-trip, milliseconds. The parsed trees resolve to the same
+# Catalyst operators with the same fold order and the same IEEE ops, so
+# results are bit-identical — enforced by the oracle gate on every
+# consumer (optimization guide §1/§4: the Python boundary is the cost,
+# cross it once).
+# --------------------------------------------------------------------------
+
+
+def ss_fmt(x: float) -> str:
+    """Shortest-repr double literal with Spark's D suffix. Python repr
+    round-trips the exact IEEE double, and the JVM parses the same
+    shortest decimal back to the same bits — identical to what
+    F.lit(x) ships."""
+    return repr(float(x)) + "D"
+
+
+def ss_arr(vals) -> str:
+    """array(...) of double literals — evaluates to the same value as
+    F.array(*[F.lit(x) ...]) (and constant-folds to one Literal)."""
+    return "array(" + ", ".join(ss_fmt(v) for v in vals) + ")"
+
+
+def ss_to_double(expr: str) -> str:
+    """Text twin of :func:`to_double`."""
+    return f"transform({expr}, x -> CAST(x AS DOUBLE))"
+
+
+def ss_dot(a: str, b: str) -> str:
+    """Text twin of :func:`_dot_d` (same sequential fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def ss_norm(a: str) -> str:
+    """Text twin of :func:`_norm_d`."""
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+def ss_cosine(a: str, b: str) -> str:
+    """Text twin of :func:`cosine` (same once-widened lambda binding)."""
+    return (
+        f"element_at(transform(array({ss_to_double(a)}), va -> "
+        f"element_at(transform(array({ss_to_double(b)}), vb -> "
+        f"({ss_dot('va', 'vb')}) / (({ss_norm('va')}) * ({ss_norm('vb')}))"
+        f"), 1)), 1)"
+    )
+
+
+def ss_l2sq(a: str, b: str) -> str:
+    """Text twin of :func:`l2sq` (same sequential fold order)."""
+    return (
+        f"element_at(transform(array({ss_to_double(a)}), va -> "
+        f"element_at(transform(array({ss_to_double(b)}), vb -> "
+        f"aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        f"(acc, d) -> acc + d)), 1)), 1)"
     )
 
 

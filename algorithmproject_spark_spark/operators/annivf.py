@@ -32,11 +32,14 @@ from algorithmproject_spark_spark.functions.numeric import (
     micros,
     sql_hash_mod,
     sql_micros,
+    ss_micros,
 )
 from algorithmproject_spark_spark.functions.vectors import (
     EMB_DIM,
     cosine,
     sql_cosine,
+    ss_arr,
+    ss_to_double,
     to_double,
 )
 from algorithmproject_spark_spark.registry import register
@@ -95,6 +98,16 @@ def _l2sq(v: Column, centroid: tuple[float, ...]) -> Column:
     )
 
 
+def _ss_l2sq(v: str, centroid: tuple[float, ...]) -> str:
+    """Spark-SQL text twin of :func:`_l2sq` (see vectors.py ss_*
+    rationale: one F.expr parse instead of ~70 py4j calls per
+    centroid)."""
+    return (
+        f"aggregate(zip_with({v}, {ss_arr(centroid)}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d)"
+    )
+
+
 def _sql_l2sq(emb: str, centroid: tuple[float, ...]) -> str:
     lit = "[" + ", ".join(repr(x) for x in centroid) + "]"
     return (
@@ -135,6 +148,39 @@ def _enc_array(emb: Column, k: int = K_CELLS) -> Column:
     return _enc_array_from(emb, centroids_for(k))
 
 
+def _ss_enc_array_from(emb: str, cents: Sequence[tuple[float, ...]]) -> str:
+    """Spark-SQL text twin of :func:`_enc_array_from`: identical
+    once-widened lambda binding and per-centroid encodings."""
+    k = len(cents)
+    parts = ", ".join(
+        f"{ss_micros(_ss_l2sq('v', c))} * {k} + {i}"
+        for i, c in enumerate(cents)
+    )
+    return (
+        f"element_at(transform(array({ss_to_double(emb)}), "
+        f"v -> array({parts})), 1)"
+    )
+
+
+def ss_cell(emb: str, k: int = K_CELLS) -> str:
+    """Spark-SQL text twin of :func:`cell_col`."""
+    cents = centroids_for(k)
+    return f"CAST(array_min({_ss_enc_array_from(emb, cents)}) % {k} AS INT)"
+
+
+def ss_probe_cells(emb: str, k: int = K_CELLS) -> str:
+    """Spark-SQL text twin of :func:`probe_cells_col` (same bound-sort
+    binding)."""
+    cents = centroids_for(k)
+    inner = f"array_sort({_ss_enc_array_from(emb, cents)})"
+    parts = ", ".join(
+        f"CAST(element_at(s, {i + 1}) % {k} AS INT)" for i in range(NPROBE)
+    )
+    return (
+        f"element_at(transform(array({inner}), s -> array({parts})), 1)"
+    )
+
+
 def _sql_enc_array_from(emb: str, cents: Sequence[tuple[float, ...]]) -> str:
     parts = ", ".join(
         f"{sql_micros(_sql_l2sq(emb, c))} * {len(cents)} + {i}"
@@ -163,15 +209,24 @@ def sql_probe_cells_from(emb: str, cents: Sequence[tuple[float, ...]]) -> str:
     return f"[{parts}]"
 
 
-def cell_col(emb: Column, k: int = K_CELLS) -> Column:
+def cell_col(emb: Column | str, k: int = K_CELLS) -> Column:
     """Nearest-centroid cell id (exact integer argmin). Pass
-    ``k=cells_for(n_vectors)`` to keep cell sizes bounded at scale."""
+    ``k=cells_for(n_vectors)`` to keep cell sizes bounded at scale.
+    A string input (column name) takes the one-parse F.expr path."""
+    if isinstance(emb, str):
+        return F.expr(ss_cell(emb, k))
     return (F.array_min(_enc_array(emb, k)) % F.lit(k)).cast("int")
 
 
-def cell_col_from(emb: Column, cents: Sequence[tuple[float, ...]]) -> Column:
+def cell_col_from(emb: Column | str, cents: Sequence[tuple[float, ...]]) -> Column:
     """Nearest-centroid cell for an EXPLICIT centroid set — the
-    assignment column for exported/learned centroids."""
+    assignment column for exported/learned centroids. A string input
+    (column name) takes the one-parse F.expr path."""
+    if isinstance(emb, str):
+        return F.expr(
+            f"CAST(array_min({_ss_enc_array_from(emb, cents)}) "
+            f"% {len(cents)} AS INT)"
+        )
     return (F.array_min(_enc_array_from(emb, cents)) % F.lit(len(cents))).cast(
         "int"
     )
@@ -182,14 +237,23 @@ def sql_cell(emb: str) -> str:
 
 
 def probe_cells_col_from(
-    emb: Column, cents: Sequence[tuple[float, ...]]
+    emb: Column | str, cents: Sequence[tuple[float, ...]]
 ) -> Column:
     """The NPROBE nearest cell ids for a query vector.
 
     The sorted encoding array is lambda-bound: each of the NPROBE
     ``element_at`` references would otherwise re-sort — and re-compute —
-    the whole k-fold encoding array.
-    """
+    the whole k-fold encoding array. A string input (column name)
+    takes the one-parse F.expr path."""
+    if isinstance(emb, str):
+        inner = f"array_sort({_ss_enc_array_from(emb, cents)})"
+        parts = ", ".join(
+            f"CAST(element_at(s, {i + 1}) % {len(cents)} AS INT)"
+            for i in range(NPROBE)
+        )
+        return F.expr(
+            f"element_at(transform(array({inner}), s -> array({parts})), 1)"
+        )
     k = len(cents)
     return F.element_at(
         F.transform(
@@ -205,7 +269,9 @@ def probe_cells_col_from(
     )
 
 
-def probe_cells_col(emb: Column, k: int = K_CELLS) -> Column:
+def probe_cells_col(emb: Column | str, k: int = K_CELLS) -> Column:
+    if isinstance(emb, str):
+        return F.expr(ss_probe_cells(emb, k))
     return probe_cells_col_from(emb, centroids_for(k))
 
 
@@ -223,7 +289,7 @@ def cells(
     emb = load_table(spark, sf_dir, "embeddings")
     k = n_cells or K_CELLS
     return emb.select(
-        "vec_id", "label", "embedding", cell_col(F.col("embedding"), k).alias("cell")
+        "vec_id", "label", "embedding", cell_col("embedding", k).alias("cell")
     )
 
 
@@ -280,7 +346,7 @@ def ann_ivf_topk(
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
-            F.explode(probe_cells_col(F.col("embedding"), k)).alias("cell"),
+            F.explode(probe_cells_col("embedding", k)).alias("cell"),
         )
     )
     scored = (
@@ -289,7 +355,7 @@ def ann_ivf_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
@@ -338,6 +404,38 @@ def _emb_e6(emb: Column) -> Column:
     )
 
 
+def _ss_emb_e6(emb: str) -> str:
+    """Spark-SQL text twin of :func:`_emb_e6`."""
+    return (
+        f"transform({ss_to_double(emb)}, "
+        f"x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT) + {E6_OFFSET})"
+    )
+
+
+def _ss_arr_int(vals: Sequence[int]) -> str:
+    return "array(" + ", ".join(str(int(v)) for v in vals) + ")"
+
+
+def _ss_enc_int(v: str, cents: Sequence[Sequence[int]]) -> str:
+    """Spark-SQL text twin of :func:`_enc_int` (same BIGINT fold)."""
+    k = len(cents)
+    encs = ", ".join(
+        f"aggregate(zip_with({v}, {_ss_arr_int(c)}, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        f"(acc, t) -> acc + t) * {k} + {i}"
+        for i, c in enumerate(cents)
+    )
+    return f"array_min(array({encs}))"
+
+
+def _ss_bound_enc(e6: str, cents: Sequence[Sequence[int]]) -> str:
+    """Spark-SQL text twin of :func:`_bound_enc`."""
+    return (
+        f"element_at(transform(array({e6}), "
+        f"v -> {_ss_enc_int('v', cents)}), 1)"
+    )
+
+
 def _sql_emb_e6(emb: str) -> str:
     return (
         f"list_transform({emb}, x_ -> "
@@ -382,14 +480,14 @@ def lloyd_kmeans(
     sized). Empty cells keep their previous centroid."""
     fit = (
         emb.filter(hash_mod("vec_id", fit_mod) == 0)
-        .select(_emb_e6(F.col("embedding")).alias("e6"))
+        .select(F.expr(_ss_emb_e6("embedding")).alias("e6"))
         .cache()
     )
     cents = [tuple(c) for c in INIT_CENTS_E6[:k]]
     dim = len(cents[0])
     try:
         for _ in range(iters):
-            cell = (_bound_enc(F.col("e6"), cents) % k).cast("int")
+            cell = F.expr(f"CAST({_ss_bound_enc('e6', cents)} % {k} AS INT)")
             partials = (
                 fit.groupBy(cell.alias("cell"))
                 .agg(
@@ -503,47 +601,37 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = lloyd_kmeans(emb)
     k = len(cents)
-    e6 = _emb_e6(F.col("embedding"))
+    e6_txt = _ss_emb_e6("embedding")
     assigned = emb.select(
-        "vec_id", "embedding", (_bound_enc(e6, cents) % k).cast("int").alias("cell")
-    )
-    sorted_enc = F.element_at(
-        F.transform(
-            F.array(e6),
-            lambda v: F.array_sort(
-                F.array(
-                    *[
-                        F.aggregate(
-                            F.zip_with(
-                                v,
-                                F.array(*[F.lit(int(x)) for x in c]),
-                                lambda x, y: (x - y) * (x - y),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, t: acc + t,
-                        )
-                        * F.lit(k)
-                        + F.lit(i)
-                        for i, c in enumerate(cents)
-                    ]
-                )
-            ),
+        "vec_id",
+        "embedding",
+        F.expr(f"CAST({_ss_bound_enc(e6_txt, cents)} % {k} AS INT)").alias(
+            "cell"
         ),
-        1,
     )
-    probe = F.element_at(
-        F.transform(
-            F.array(sorted_enc),
-            lambda s: F.array(
-                *[(F.element_at(s, i + 1) % k).cast("int") for i in range(NPROBE)]
-            ),
-        ),
-        1,
+    sorted_enc_txt = (
+        f"element_at(transform(array({e6_txt}), "
+        f"v -> array_sort(array("
+        + ", ".join(
+            f"aggregate(zip_with(v, {_ss_arr_int(c)}, "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            f"(acc, t) -> acc + t) * {k} + {i}"
+            for i, c in enumerate(cents)
+        )
+        + "))), 1)"
+    )
+    probe_txt = (
+        f"element_at(transform(array({sorted_enc_txt}), s -> array("
+        + ", ".join(
+            f"CAST(element_at(s, {i + 1}) % {k} AS INT)"
+            for i in range(NPROBE)
+        )
+        + ")), 1)"
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode(probe).alias("cell"),
+        F.explode(F.expr(probe_txt)).alias("cell"),
     )
     scored = (
         assigned.join(F.broadcast(q), "cell")
@@ -551,7 +639,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
@@ -585,7 +673,7 @@ def kmeans_cells(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = emb.withColumn("features", array_to_vector(to_double(F.col("embedding"))))
+    feat = emb.withColumn("features", array_to_vector(to_double("embedding")))
     fit_input = feat.filter(hash_mod("vec_id", fit_mod) == 0) if fit_mod > 1 else feat
     # Tiny-input guard (edge-sweep finding): pyspark.ml KMeans aborts
     # when the fit input has fewer rows than k (and requires k >= 2).
@@ -639,39 +727,32 @@ def ann_ivf_ml_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         else [tuple(0.0 for _ in range(DIM))]
     )
 
-    def probe_cells(e: Column) -> Column:
+    def probe_cells(e: str) -> Column:
         """NPROBE nearest learned cells by the same exact-integer argmin
-        encoding as the fixed-centroid path."""
-        def enc(v: Column) -> Column:
-            return F.array_sort(
-                F.array(
-                    *[
-                        micros(_l2sq(v, c)) * F.lit(len(centers)) + F.lit(i)
-                        for i, c in enumerate(centers)
-                    ]
-                )
-            )
-
-        bound = F.element_at(F.transform(F.array(to_double(e)), enc), 1)
-        return F.element_at(
-            F.transform(
-                F.array(bound),
-                lambda s: F.array(
-                    *[
-                        (F.element_at(s, i + 1) % len(centers)).cast("int")
-                        # clamp: a guarded tiny fit can return < NPROBE
-                        # centers, and element_at past the end raises
-                        for i in range(min(NPROBE, len(centers)))
-                    ]
-                ),
-            ),
-            1,
+        encoding as the fixed-centroid path (one-parse F.expr text)."""
+        k = len(centers)
+        encs = ", ".join(
+            f"{ss_micros(_ss_l2sq('v', c))} * {k} + {i}"
+            for i, c in enumerate(centers)
+        )
+        bound = (
+            f"element_at(transform(array({ss_to_double(e)}), "
+            f"v -> array_sort(array({encs}))), 1)"
+        )
+        probes = ", ".join(
+            f"CAST(element_at(s, {i + 1}) % {k} AS INT)"
+            # clamp: a guarded tiny fit can return < NPROBE centers,
+            # and element_at past the end raises
+            for i in range(min(NPROBE, k))
+        )
+        return F.expr(
+            f"element_at(transform(array({bound}), s -> array({probes})), 1)"
         )
 
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+        F.explode(probe_cells("embedding")).alias("cell"),
     )
     scored = (
         assigned.join(F.broadcast(q), "cell")
@@ -679,7 +760,7 @@ def ann_ivf_ml_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
@@ -823,13 +904,13 @@ def ann_ivf_export_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     b = emb.select(
         "vec_id",
         "embedding",
-        cell_col_from(F.col("embedding"), EXPORTED_CENTROIDS).alias("cell"),
+        cell_col_from("embedding", EXPORTED_CENTROIDS).alias("cell"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.explode(
-            probe_cells_col_from(F.col("embedding"), EXPORTED_CENTROIDS)
+            probe_cells_col_from("embedding", EXPORTED_CENTROIDS)
         ).alias("cell"),
     )
     scored = (
@@ -838,7 +919,7 @@ def ann_ivf_export_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))

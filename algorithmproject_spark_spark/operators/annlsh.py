@@ -23,7 +23,14 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
-from algorithmproject_spark_spark.functions.vectors import EMB_DIM, cosine, sql_cosine, to_double
+from algorithmproject_spark_spark.functions.vectors import (
+    EMB_DIM,
+    cosine,
+    sql_cosine,
+    ss_arr,
+    ss_to_double,
+    to_double,
+)
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -40,12 +47,37 @@ PLANES: tuple[tuple[float, ...], ...] = tuple(
 )
 
 
-def bucket_col(emb: Column) -> Column:
+def _ss_plane_bits(v: str, planes) -> str:
+    """Spark-SQL text of the sign-bit accumulator for a bound widened
+    vector (see vectors.py ss_* rationale — one F.expr parse instead of
+    ~70 py4j calls per plane; same fold order, same CASE terms)."""
+    terms = ["0"]
+    for j, plane in enumerate(planes):
+        d = (
+            f"aggregate(zip_with({v}, {ss_arr(plane)}, (x, y) -> x * y), "
+            f"0.0D, (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0.0D THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def ss_bucket(emb: str) -> str:
+    """Text twin of :func:`bucket_col` (same once-widened binding)."""
+    return (
+        f"element_at(transform(array({ss_to_double(emb)}), "
+        f"v -> {_ss_plane_bits('v', PLANES)}), 1)"
+    )
+
+
+def bucket_col(emb: Column | str) -> Column:
     """LSH bucket id: bit j = sign(dot(v, plane_j)).
 
     The widened vector is lambda-bound so ``to_double`` runs once, not
     once per plane fold (CollapseProject inlines aliases per reference).
+    A string input (column name) takes the one-parse F.expr path.
     """
+    if isinstance(emb, str):
+        return F.expr(ss_bucket(emb))
 
     def _buckets(v: Column) -> Column:
         acc = F.lit(0)
@@ -76,7 +108,7 @@ def sql_bucket(emb: str) -> str:
 
 def bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", "label", "embedding", bucket_col(F.col("embedding")).alias("bucket"))
+    return emb.select("vec_id", "label", "embedding", bucket_col("embedding").alias("bucket"))
 
 
 _SQL_BUCKETED = "SELECT vec_id, label, embedding, {b} AS bucket FROM embeddings"
@@ -125,7 +157,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
@@ -228,14 +260,13 @@ def near_dup_candidates(
     """
     if planes_per_band is None:
         planes_per_band = planes_per_band_for(n_vectors if n_vectors is not None else df.count())
-    band_keys = F.element_at(
-        F.transform(
-            F.array(to_double(F.col("embedding"))),
-            lambda v: F.array(
-                *[_band_bucket_col(v, b, planes_per_band) for b in range(n_bands)]
-            ),
-        ),
-        1,
+    bands_txt = ", ".join(
+        _ss_plane_bits("v", _band_planes(b, planes_per_band))
+        for b in range(n_bands)
+    )
+    band_keys = F.expr(
+        f"element_at(transform(array({ss_to_double('embedding')}), "
+        f"v -> array({bands_txt})), 1)"
     )
     banded = df.select(
         "vec_id", F.posexplode(band_keys).alias("band_idx", "bucket")
@@ -272,7 +303,7 @@ def near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            micros(cosine(F.col("e_a"), F.col("e_b"))).alias("cosine_e6"),
+            micros(cosine("e_a", "e_b")).alias("cosine_e6"),
         )
         .filter(F.col("cosine_e6") >= threshold_e6)
     )

@@ -36,8 +36,15 @@ import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
-from algorithmproject_spark_spark.functions.vectors import EMB_DIM, l2sq, sql_l2sq, to_double
+from algorithmproject_spark_spark.functions.numeric import micros, sql_micros, ss_micros
+from algorithmproject_spark_spark.functions.vectors import (
+    EMB_DIM,
+    l2sq,
+    sql_l2sq,
+    ss_arr,
+    ss_to_double,
+    to_double,
+)
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -108,6 +115,98 @@ def _enc_from_dists(dists: Column) -> Column:
     )
 
 
+# Spark-SQL TEXT twins (see functions/vectors.py ss_* rationale: the
+# Column forms of these kernels cost thousands of py4j round-trips —
+# the measured bulk of this family's bench time at sf0.1; the text
+# forms parse once in the JVM and resolve to the identical Catalyst
+# trees, so values are bit-exact).
+
+
+def _ss_cb(j: int) -> str:
+    """Codebook j as array(array(...)) text — constant-folds to the
+    same nested-array value `_cb_lit` ships as one Literal."""
+    return "array(" + ", ".join(ss_arr(cvec) for cvec in CODEBOOKS[j]) + ")"
+
+
+def _ss_fold_l2(sub: str, cb: str) -> str:
+    return (
+        f"aggregate(zip_with({sub}, {cb}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, d) -> acc + d)"
+    )
+
+
+def _ss_dists_2d(v: str) -> str:
+    """Text twin of :func:`_dists_2d` for a bound widened vector."""
+    subs = "array(" + ", ".join(
+        f"slice({v}, {j * SUB_DIM + 1}, {SUB_DIM})" for j in range(M_SUB)
+    ) + ")"
+    inner = ", ".join(
+        f"transform({_ss_cb(j)}, "
+        f"cb -> {ss_micros(_ss_fold_l2(f'element_at(s, {j + 1})', 'cb'))})"
+        for j in range(M_SUB)
+    )
+    return f"element_at(transform(array({subs}), s -> array({inner})), 1)"
+
+
+def _ss_enc_from_dists(dists: str) -> str:
+    """Text twin of :func:`_enc_from_dists`."""
+    return (
+        f"transform({dists}, dj -> array_min("
+        f"transform(dj, (d, i) -> d * {K_PQ} + CAST(i AS BIGINT))))"
+    )
+
+
+def ss_d2(emb: str) -> str:
+    """The bound 2-D distance array for a raw embedding column — the
+    per-query lookup-table source in the ADC/IVFPQ queries."""
+    return (
+        f"element_at(transform(array({ss_to_double(emb)}), "
+        f"v -> {_ss_dists_2d('v')}), 1)"
+    )
+
+
+def ss_pq_code_array(emb: str) -> str:
+    """Text twin of :func:`pq_code_array`."""
+    return (
+        f"element_at(transform(array({ss_to_double(emb)}), "
+        f"v -> transform({_ss_enc_from_dists(_ss_dists_2d('v'))}, "
+        f"e -> CAST(e % {K_PQ} AS INT))), 1)"
+    )
+
+
+def ss_pq_pack(emb: str) -> str:
+    """Text twin of :func:`pq_pack` (same double lambda binding; the
+    named_struct resolves to the same CreateNamedStruct as
+    F.struct(...alias...))."""
+    enc_arr = (
+        f"element_at(transform(array({ss_to_double(emb)}), "
+        f"v -> {_ss_enc_from_dists(_ss_dists_2d('v'))}), 1)"
+    )
+    packed = "CAST(0 AS BIGINT) + " + " + ".join(
+        f"(element_at(e, {j + 1}) % {K_PQ}) * {K_PQ**j}" for j in range(M_SUB)
+    )
+    err = "CAST(0 AS BIGINT) + " + " + ".join(
+        f"shiftright(element_at(e, {j + 1}), 4)" for j in range(M_SUB)
+    )
+    return (
+        f"element_at(transform(array({enc_arr}), e -> "
+        f"named_struct('packed_code', {packed}, "
+        f"'recon_err_e6', {err})), 1)"
+    )
+
+
+def ss_recon_dot(codes_a: str, codes_b: str) -> str:
+    """Text twin of :func:`recon_dot` (same left-associated addition of
+    table lookups)."""
+    terms = " + ".join(
+        f"element_at({ss_arr(DOT_TABS[j])}, "
+        f"element_at({codes_a}, {j + 1}) * {K_PQ} "
+        f"+ element_at({codes_b}, {j + 1}) + 1)"
+        for j in range(M_SUB)
+    )
+    return f"({terms})"
+
+
 def _sql_sub_l2sq(emb: str, j: int, cvec: tuple[float, ...]) -> str:
     lit = "[" + ", ".join(repr(x) for x in cvec) + "]"
     base = j * SUB_DIM
@@ -128,15 +227,18 @@ def _sql_enc_j(emb: str, j: int) -> str:
     return f"list_min([{parts}])"
 
 
-def pq_pack(emb: Column) -> Column:
+def pq_pack(emb: Column | str) -> Column:
     """struct(packed_code, recon_err_e6): the 32-bit packed code and the
     total squared reconstruction error in micros.
 
     Double lambda binding: the widened vector feeds M×K folds once, and
     the 8-element enc array feeds the 16 pack/err references once.
     enc % K is the code; enc >> 4 recovers micros(dist) exactly (enc is
-    nonnegative and K is a power of two).
+    nonnegative and K is a power of two). A string input (column name)
+    takes the one-parse F.expr path.
     """
+    if isinstance(emb, str):
+        return F.expr(ss_pq_pack(emb))
 
     def pack(e: Column) -> Column:
         packed = F.lit(0).cast("long")
@@ -157,11 +259,13 @@ def pq_pack(emb: Column) -> Column:
     return F.element_at(F.transform(F.array(enc_arr), pack), 1)
 
 
-def pq_code_array(emb: Column) -> Column:
+def pq_code_array(emb: Column | str) -> Column:
     """array<int> of the M per-subspace PQ codes for one embedding —
     the map-only encoding kernel, kept as one compact column for
     symmetric (all-pairs) consumers like the knn_label_noise
-    prefilter."""
+    prefilter. A string input takes the one-parse F.expr path."""
+    if isinstance(emb, str):
+        return F.expr(ss_pq_code_array(emb))
     return F.element_at(
         F.transform(
             F.array(to_double(emb)),
@@ -188,7 +292,7 @@ def pq_codes_exploded(emb_df: DataFrame) -> DataFrame:
     embedding)."""
     return emb_df.select(
         "vec_id",
-        F.posexplode(pq_code_array(F.col("embedding"))).alias("j", "code"),
+        F.posexplode(pq_code_array("embedding")).alias("j", "code"),
     )
 
 
@@ -209,12 +313,15 @@ DOT_TABS: tuple[tuple[float, ...], ...] = tuple(
 )
 
 
-def recon_dot(codes_a: Column, codes_b: Column) -> Column:
+def recon_dot(codes_a: Column | str, codes_b: Column | str) -> Column:
     """Reconstructed dot product of two PQ-coded vectors:
     Σ_j DOT_TABS[j][code_a[j]·K + code_b[j]]. Left-associated addition
     of table literals — bit-exact cross-engine because both engines
     only LOOK UP doubles that were computed once in Python (the SQL
-    twin parses the same shortest-repr decimal strings)."""
+    twin parses the same shortest-repr decimal strings). String inputs
+    (column names) take the one-parse F.expr path."""
+    if isinstance(codes_a, str) and isinstance(codes_b, str):
+        return F.expr(ss_recon_dot(codes_a, codes_b))
     out: Column | None = None
     for j in range(M_SUB):
         idx = (
@@ -263,7 +370,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # two-step select: CollapseProject keeps the (expensive, twice-
     # referenced) pack struct in its own project instead of inlining it
-    return emb.select("vec_id", pq_pack(F.col("embedding")).alias("s")).select(
+    return emb.select("vec_id", pq_pack("embedding").alias("s")).select(
         "vec_id", "s.packed_code", "s.recon_err_e6"
     )
 
@@ -320,9 +427,7 @@ def _sql_codes_rows() -> str:
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     codes = pq_codes_exploded(emb.select("vec_id", "embedding"))
-    d2 = F.element_at(
-        F.transform(F.array(to_double(F.col("embedding"))), _dists_2d), 1
-    )
+    d2 = F.expr(ss_d2("embedding"))
     qtab = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.posexplode(d2).alias("j", "dj"))
@@ -396,7 +501,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            micros(l2sq(F.col("q_emb"), F.col("embedding"))).alias("l2_e6"),
+            micros(l2sq("q_emb", "embedding")).alias("l2_e6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.asc("l2_e6"), F.asc("neighbor_id"))
@@ -477,7 +582,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _ivf_cells(spark, sf_dir).select("vec_id", "cell")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
-        F.explode(_ivf_probe_cells_col(F.col("embedding"))).alias("cell"),
+        F.explode(_ivf_probe_cells_col("embedding")).alias("cell"),
     )
     cand = (
         b.join(F.broadcast(q), "cell")
@@ -485,9 +590,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     codes = pq_codes_exploded(emb.select("vec_id", "embedding"))
-    d2 = F.element_at(
-        F.transform(F.array(to_double(F.col("embedding"))), _dists_2d), 1
-    )
+    d2 = F.expr(ss_d2("embedding"))
     qtab = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.posexplode(d2).alias("j", "dj"))

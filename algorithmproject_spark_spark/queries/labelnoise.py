@@ -149,10 +149,10 @@ def _prefiltered_exact_pairs(
     cn = emb.select(
         "vec_id",
         "label",
-        cell_col(F.col("embedding"), n_cells).alias("cell"),
-        to_double(F.col("embedding")).alias("we"),
-        pq_code_array(F.col("embedding")).alias("codes"),
-    ).withColumn("nrm", _norm_d(F.col("we")))
+        cell_col("embedding", n_cells).alias("cell"),
+        to_double("embedding").alias("we"),
+        pq_code_array("embedding").alias("codes"),
+    ).withColumn("nrm", _norm_d("we"))
     # Pin the coded relation: Catalyst does not dedupe identical
     # self-join subtrees, so without this both pair-join sides re-run
     # the 128-fold PQ encode and the cell argmin over the full corpus.
@@ -199,7 +199,7 @@ def _prefiltered_exact_pairs(
             "a_n",
             "b_n",
             micros(
-                recon_dot(F.col("a_cd"), F.col("b_cd"))
+                recon_dot("a_cd", "b_cd")
                 / (F.col("a_n") * F.col("b_n"))
             ).alias("approx_e6"),
         )
@@ -236,7 +236,7 @@ def _prefiltered_exact_pairs(
             "nlabel",
             "n_id",
             micros(
-                _dot_d(F.col("a_we"), F.col("b_we"))
+                _dot_d("a_we", "b_we")
                 / (F.col("a_n") * F.col("b_n"))
             ).alias("cos_e6"),
         )

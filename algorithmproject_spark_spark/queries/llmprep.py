@@ -575,12 +575,26 @@ def _residual_code(we, bits: int = _CODE_BITS):
     Engine-portable: IEEE double multiply + floor + % are bit-identical
     in Spark and DuckDB (both % truncate toward zero; the +2)%2 fold
     maps negative parities into {0,1})."""
+    if isinstance(we, str):
+        return F.expr(_ss_residual_code(we, bits))
     code = F.lit(0)
     for d in range(bits):
         q = F.floor(F.element_at(we, d + 1) * F.lit(_CODE_SCALE)).cast("long")
         bit = ((q % 2) + 2) % 2
         code = code + bit * F.lit(1 << d)
     return code.cast("long")
+
+
+def _ss_residual_code(we: str, bits: int = _CODE_BITS) -> str:
+    """Spark-SQL text twin of :func:`_residual_code` (one F.expr parse
+    instead of ~10 py4j calls per bit; same ops, same values — see
+    functions/vectors.py ss_* rationale)."""
+    terms = " + ".join(
+        f"(((CAST(floor(element_at({we}, {d + 1}) * {_CODE_SCALE}.0D) "
+        f"AS BIGINT) % 2) + 2) % 2) * {1 << d}"
+        for d in range(bits)
+    )
+    return f"CAST(0 + {terms} AS BIGINT)"
 
 
 def _sql_residual_code(we: str, bits: int = _CODE_BITS) -> str:
@@ -609,7 +623,7 @@ def semdedup_subcells(
     k2 = floordiv(F.col("__c") + F.lit(cell_cap - 1), F.lit(cell_cap))
     return (
         cn.join(F.broadcast(sizes), "cell")
-        .withColumn("subcell", _residual_code(F.col("we"), code_bits) % k2)
+        .withColumn("subcell", _residual_code("we", code_bits) % k2)
         .drop("__c")
     )
 
@@ -713,10 +727,10 @@ def embedding_semantic_dedup(
     cn = (
         emb.select(
             "vec_id",
-            cell_col(F.col("embedding"), k).alias("cell"),
-            to_double(F.col("embedding")).alias("we"),
+            cell_col("embedding", k).alias("cell"),
+            to_double("embedding").alias("we"),
         )
-        .withColumn("nrm", _norm_d(F.col("we")))
+        .withColumn("nrm", _norm_d("we"))
     )
     cn = tracked_cache(cn)  # encode+norm once: the group input and the output
     cs = semdedup_subcells(cn, cell_cap)

@@ -100,7 +100,7 @@ FRAC = 20
 def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cn = emb.select(
-        "vec_id", "label", to_double(F.col("embedding")).alias("we")
+        "vec_id", "label", to_double("embedding").alias("we")
     )
     x = cn.select(
         "vec_id",

@@ -70,7 +70,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias("cosine_e6"),
+            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
@@ -193,7 +193,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            micros(cosine(F.col("q_emb"), F.col("embedding"))).alias(
+            micros(cosine("q_emb", "embedding")).alias(
                 "cosine_e6"
             ),
         )
