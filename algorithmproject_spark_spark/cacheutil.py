@@ -65,12 +65,9 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return df
 
 
-def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
-    """``df.localCheckpoint(eager=True)`` + record the checkpoint blocks
-    for :func:`release_caches`. Always eager: a LAZY checkpoint would
-    persist its blocks only at the first later action — after the
-    before/after diff window below has closed — so the blocks would
-    silently leak, the exact defect this function exists to plug.
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + record the checkpoint blocks
+    for :func:`release_caches`.
 
     ``localCheckpoint`` persists the materialized partitions as RDD
     blocks that ``DataFrame.unpersist`` never reaches — a 256-query
@@ -81,22 +78,37 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     truncated), so the returned DataFrame is dead after
     ``release_caches`` — fine for the query-build pattern, where each
     build constructs a fresh plan; never hand it to a long-lived
-    consumer."""
-    out, handles = _checkpoint_with_handles(df)
+    consumer.
+
+    ``eager=False`` (r12) truncates the logical plan identically but
+    defers materialization to the first downstream action — inside a
+    fixed-round loop with no per-round action this collapses k eager
+    jobs into one final DAG (guide §1.2: fewer passes). The ledger
+    still tracks it: ``RDD.persist`` REGISTERS the RDD in
+    ``getPersistentRDDs`` at call time (verified empirically), even
+    though its blocks appear at first compute, so the diff window
+    captures lazy checkpoints exactly like eager ones."""
+    out, handles = _checkpoint_with_handles(df, eager=eager)
     sc = df.sparkSession.sparkContext
     _TRACKED_CP[:] = [(r, c) for r, c in _TRACKED_CP if c._jsc is not None]
     _TRACKED_CP.extend((h, sc) for h in handles)
     return out
 
 
-def _checkpoint_with_handles(df: DataFrame):
-    """Eager localCheckpoint + the JavaRDD handles of the blocks it
+def tracked_lazy_local_checkpoint(df: DataFrame) -> DataFrame:
+    """:func:`tracked_local_checkpoint` with ``eager=False`` — a
+    ``DataFrame.transform``-friendly alias for loop bodies."""
+    return tracked_local_checkpoint(df, eager=False)
+
+
+def _checkpoint_with_handles(df: DataFrame, eager: bool = True):
+    """localCheckpoint + the JavaRDD handles of the blocks it
     persisted (the shared diff idiom — one implementation for the
     session ledger and for scoped callers)."""
     sc = df.sparkSession.sparkContext
     with _CP_LOCK:
         before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=eager)
         live = sc._jsc.getPersistentRDDs()
         handles = [
             live.get(rdd_id)

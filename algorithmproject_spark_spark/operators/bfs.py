@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+from algorithmproject_spark_spark.cacheutil import tracked_lazy_local_checkpoint
 
 MAX_LEVEL = 4
 
@@ -31,10 +31,10 @@ def bfs_levels(edges: DataFrame, max_level: int = MAX_LEVEL) -> DataFrame:
     sym = (
         edges.select("a", "b")
         .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .transform(tracked_local_checkpoint)
+        .transform(tracked_lazy_local_checkpoint)
     )
     src = sym.agg(F.min("a").alias("v"))
-    visited = src.withColumn("level", F.lit(0)).transform(tracked_local_checkpoint)
+    visited = src.withColumn("level", F.lit(0)).transform(tracked_lazy_local_checkpoint)
     frontier = visited.select("v")
     for lvl in range(1, max_level + 1):
         nxt = (
@@ -42,11 +42,14 @@ def bfs_levels(edges: DataFrame, max_level: int = MAX_LEVEL) -> DataFrame:
             .select(F.col("b").alias("v"))
             .distinct()
             .join(visited.select("v"), "v", "left_anti")
-            .transform(tracked_local_checkpoint)
+            .transform(tracked_lazy_local_checkpoint)
         )
-        visited = visited.unionAll(
-            nxt.withColumn("level", F.lit(lvl))
-        ).transform(tracked_local_checkpoint)
+        # visited stays a LAZY union of the already-checkpointed
+        # frontiers (r12): every leaf below it is materialized, so the
+        # plan is a flat ≤max_level-way union — checkpointing the union
+        # itself only added one eager job per round (guide §1.2: fewer
+        # passes; values unchanged).
+        visited = visited.unionAll(nxt.withColumn("level", F.lit(lvl)))
         frontier = nxt
     return visited
 

@@ -34,7 +34,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+from algorithmproject_spark_spark.cacheutil import (
+    tracked_lazy_local_checkpoint,
+    tracked_local_checkpoint,
+)
 
 CC_ITERS = 5
 
@@ -56,25 +59,33 @@ def connected_components_min_label(
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .unionAll(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
-        .transform(tracked_local_checkpoint)
+        .transform(tracked_lazy_local_checkpoint)
     )
     labels = (
         edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
     for _ in range(iterations):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("v", "s"), "s")
-            .groupBy("d")
-            .agg(F.min("lbl").alias("m"))
-            .withColumnRenamed("d", "v")
+        # One join + ONE aggregation per round (r12): the neighbor
+        # labels pushed along edges are unioned with each vertex's own
+        # label and min-reduced in a single groupBy —
+        # min({own} ∪ {neighbors}) ≡ least(own, coalesce(nbr_min, own)),
+        # exactly (BIGINT min is associative/commutative), so this
+        # replaces the former groupBy + left-join round body (3
+        # exchanges of the label relation) with 2 exchanges and one
+        # fewer join stage. Vertex set is preserved: the union always
+        # contains every `labels` row. Guide §2.4 (remove shuffles).
+        pushed = edges.join(labels.withColumnRenamed("v", "s"), "s").select(
+            F.col("d").alias("v"), "lbl"
         )
+        # LAZY checkpoint (r12): the loop has no per-round action, so
+        # deferring materialization collapses k eager jobs into the
+        # consumer's one final DAG; plan truncation (the reason to
+        # checkpoint at all) is identical either way.
         labels = (
-            labels.join(nbr_min, "v", "left")
-            .select(
-                "v",
-                F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl"),
-            )
-            .transform(tracked_local_checkpoint)
+            pushed.unionAll(labels)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .transform(tracked_lazy_local_checkpoint)
         )
     return labels
 
@@ -105,14 +116,12 @@ def connected_components(
         .transform(tracked_local_checkpoint)
     )
     for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("v", "s"), "s")
-            .groupBy("d")
-            .agg(F.min("lbl").alias("m"))
-            .withColumnRenamed("d", "v")
+        # same union-agg round body as the fixed-count variant (r12)
+        pushed = edges.join(labels.withColumnRenamed("v", "s"), "s").select(
+            F.col("d").alias("v"), "lbl"
         )
-        stepped = labels.join(nbr_min, "v", "left").select(
-            "v", F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl")
+        stepped = (
+            pushed.unionAll(labels).groupBy("v").agg(F.min("lbl").alias("lbl"))
         )
         jumped = (
             stepped.alias("x")

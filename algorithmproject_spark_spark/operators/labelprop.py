@@ -21,9 +21,8 @@ one (v, lbl) partial-agg count + one per-vertex top-1 window.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window as W
 
-from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
+from algorithmproject_spark_spark.cacheutil import tracked_lazy_local_checkpoint
 
 LPA_ITERS = 3
 
@@ -50,27 +49,37 @@ def label_propagation(
         .unionAll(
             pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
         )
-        .transform(tracked_local_checkpoint)
+        .transform(tracked_lazy_local_checkpoint)
     )
     labels = (
         edges.select(F.col("s").alias("v"))
         .distinct()
         .withColumn("lbl", F.col("v"))
     )
-    top1 = W.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
     for i in range(iterations):
         neighbor_labels = edges.join(
             labels.withColumnRenamed("v", "d"), "d"
         ).select(F.col("s").alias("v"), "lbl")
+        # top-1 by (count DESC, lbl ASC) as ONE aggregation (r12):
+        # argmin of the struct (-c, lbl) — struct ordering is
+        # field-by-field, counts are BIGINT, so min((-c, lbl)).lbl is
+        # exactly the row_number()-over-window winner, without the
+        # window's full-partition sort and with map-side partial
+        # aggregation on (v, lbl) and v (guide §2.3 "aggregate before
+        # you shuffle"; §2.4 — drops the window's extra exchange).
         labels = (
             neighbor_labels.groupBy("v", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(top1))
-            .filter(F.col("rn") == 1)
-            .select("v", "lbl")
+            .groupBy("v")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias(
+                    "t"
+                )
+            )
+            .select("v", F.col("t.lbl").alias("lbl"))
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            labels = labels.transform(tracked_local_checkpoint)
+            labels = labels.transform(tracked_lazy_local_checkpoint)
     return labels.select("v", F.col("lbl").alias("community"))
 
 

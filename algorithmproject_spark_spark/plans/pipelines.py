@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 
 from algorithmproject_spark_spark.cacheutil import (
     tracked_cache,
+    tracked_lazy_local_checkpoint,
     tracked_local_checkpoint,
 )
 from algorithmproject_spark_spark.functions.text import (
@@ -235,25 +236,30 @@ def corpus_pagerank(
         )
     base = (scale * 3 // 20) // n
     ranks = nodes.select("word", F.lit(scale // n).cast("long").alias("rank"))
+    zero_nodes = nodes.select("word", F.lit(0).cast("long").alias("c"))
     for _ in range(iterations):
-        contrib = (
-            edges_n.join(ranks, edges_n.src == ranks.word)
-            .select("dst", F.expr("rank * w DIV out_w").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("c"))
+        # One join + ONE aggregation per iteration (r12): per-edge
+        # contributions are unioned with a zero row per node and
+        # sum-reduced in a single groupBy. BIGINT sum over
+        # {0} ∪ contribs ≡ coalesce(Σ contribs, 0) exactly, so this
+        # replaces the former groupBy(dst) + nodes-left-join iteration
+        # body (two shuffles + a join of the rank-sized relation) with
+        # one shuffle, while still keeping base rank mass for isolated
+        # vocabulary (guide §2.4).
+        contrib_rows = edges_n.join(ranks, edges_n.src == ranks.word).select(
+            F.col("dst").alias("word"), F.expr("rank * w DIV out_w").alias("c")
         )
-        # symmetric graph → no dangling nodes, but keep rank mass for
-        # isolated vocabulary via the left join + coalesce.
         ranks = (
-            nodes.join(contrib, nodes.word == contrib.dst, "left")
+            contrib_rows.unionAll(zero_nodes)
+            .groupBy("word")
+            .agg(F.sum("c").alias("c"))
             .select(
                 "word",
-                (
-                    F.lit(base)
-                    + F.expr("coalesce(c, CAST(0 AS BIGINT)) * 17 DIV 20")
-                ).cast("long").alias("rank"),
+                (F.lit(base) + F.expr("c * 17 DIV 20")).cast("long").alias("rank"),
             )
-            .transform(tracked_local_checkpoint)
+            # LAZY checkpoint (r12): no per-iteration action in the
+            # fixed-count loop -> one final DAG instead of k eager jobs
+            .transform(tracked_lazy_local_checkpoint)
         )
     return ranks
 
@@ -361,21 +367,19 @@ def corpus_pagerank_tol(
         nodes.select("word", F.lit(scale // n).cast("long").alias("rank"))
     )
     iters = 0
+    zero_nodes = nodes.select("word", F.lit(0).cast("long").alias("c"))
     for _ in range(max_iters):
-        contrib = (
-            edges_n.join(ranks, edges_n.src == ranks.word)
-            .select("dst", F.expr("rank * w DIV out_w").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("c"))
+        # same union-agg iteration body as the fixed-count form (r12)
+        contrib_rows = edges_n.join(ranks, edges_n.src == ranks.word).select(
+            F.col("dst").alias("word"), F.expr("rank * w DIV out_w").alias("c")
         )
         new_ranks = (
-            nodes.join(contrib, nodes.word == contrib.dst, "left")
+            contrib_rows.unionAll(zero_nodes)
+            .groupBy("word")
+            .agg(F.sum("c").alias("c"))
             .select(
                 "word",
-                (
-                    F.lit(base)
-                    + F.expr("coalesce(c, CAST(0 AS BIGINT)) * 17 DIV 20")
-                ).cast("long").alias("rank"),
+                (F.lit(base) + F.expr("c * 17 DIV 20")).cast("long").alias("rank"),
             )
             .transform(tracked_local_checkpoint)
         )

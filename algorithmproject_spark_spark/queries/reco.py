@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from algorithmproject_spark_spark.cacheutil import (
     tracked_cache,
+    tracked_lazy_local_checkpoint,
     tracked_local_checkpoint,
 )
 from algorithmproject_spark_spark.functions.numeric import floordiv
@@ -257,7 +258,7 @@ def orders_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path (Catalyst folds the constant into the partial agg)
     h = edges.select("c").distinct().withColumn("h", F.lit(1_000_000))
     a = None
-    for _ in range(HITS_ITERS):
+    for it in range(HITS_ITERS):
         # pin each raw score relation BEFORE normalizing: the
         # max-aggregate branch and the next iteration's join both
         # consume it, and without pinning the join/agg tree re-executes
@@ -265,23 +266,32 @@ def orders_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1.9 s warm at sf0.1). localCheckpoint also truncates lineage
         # so the loop's plan stays O(1) per iteration (kcore/pagerank
         # discipline).
+        # LAZY checkpoints (r12): the loop has no per-round action —
+        # the normalize branch's broadcast max and the next half-step
+        # share the persisted blocks at final execution, without one
+        # eager job per half-step.
         a_raw = (
             edges.join(h, "c")
             .groupBy("p")
             .agg(F.sum("h").alias("a"))
-            .transform(tracked_local_checkpoint)
+            .transform(tracked_lazy_local_checkpoint)
         )
         a = _hits_normalize(a_raw, "p", "a")
+        if it == HITS_ITERS - 1:
+            # the FINAL authorities are this a; the h half-step after
+            # it was never consumed but its tracked_local_checkpoint
+            # EAGERLY ran the join+agg anyway — skipping it drops one
+            # full unused half-step (r12, guide §1.2: don't compute
+            # things you throw away). Values unchanged: a is built
+            # before h would have been.
+            break
         h_raw = (
             edges.join(a, "p")
             .groupBy("c")
             .agg(F.sum("a").alias("h"))
-            .transform(tracked_local_checkpoint)
+            .transform(tracked_lazy_local_checkpoint)
         )
         h = _hits_normalize(h_raw, "c", "h")
-    # the loop computes one a-step beyond HITS_ITERS-1 h-steps; the
-    # FINAL authorities are the last a (h after it is unused output-
-    # side but keeps the loop body uniform)
     return (
         a.orderBy(F.desc("a"), F.asc("p"))
         .limit(TOPK_AUTH)
