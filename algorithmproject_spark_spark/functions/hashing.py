@@ -57,6 +57,58 @@ def token_hash_array(tokens: Column, mult: int = MULT, mod: int = MOD) -> Column
     return F.transform(tokens, lambda t: char_fold_hash(t, mult, mod))
 
 
+# --------------------------------------------------------------------------
+# Spark-SQL TEXT twins (ss_*) of the Column builders above — same
+# rationale as functions/vectors.py's ss_* family: the Column API costs
+# one py4j round-trip per nested F.* call, which for the text-hash
+# pipelines means seconds of DRIVER time per query build; one F.expr()
+# parse of the identical expression is milliseconds. The parsed trees
+# resolve to the same Catalyst operators with the same fold order and
+# integer ops, so results are bit-identical (oracle-gated on every
+# consumer).
+# --------------------------------------------------------------------------
+
+
+def ss_bind(expr: str, var: str, body: str) -> str:
+    """Text twin of :func:`bind_once`: evaluate ``expr`` once, bind it
+    to lambda variable ``var`` inside ``body``."""
+    return f"element_at(transform(array({expr}), {var} -> {body}), 1)"
+
+
+def ss_char_fold_hash(expr: str, mult: int = MULT, mod: int = MOD) -> str:
+    """Spark-SQL text twin of :func:`char_fold_hash` (same sequential
+    fold; ``ascii('')`` is 0 in Spark so no empty-token CASE needed —
+    that guard is DuckDB-side only)."""
+    return (
+        f"aggregate(transform(split({expr}, ''), "
+        f"c_ -> CAST(ascii(c_) AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(acc_, c_) -> (acc_ * {mult} + c_) % {mod})"
+    )
+
+
+def ss_token_hash_array(tokens: str, mult: int = MULT, mod: int = MOD) -> str:
+    """Text twin of :func:`token_hash_array`."""
+    return f"transform({tokens}, t_ -> {ss_char_fold_hash('t_', mult, mod)})"
+
+
+def ss_gram_hash_array(
+    th: str, n: int, mult: int = GRAM_MULT, mod: int = MOD
+) -> str:
+    """Text twin of :func:`gram_hash_array` over an already-bound
+    token-hash array variable ``th`` — identical n-1 zip_with passes
+    over shifted slices (same fold math). The count/slice expressions
+    are textually repeated; they are O(1) array-length reads, not the
+    upstream fold the Column form's bind protects."""
+    count = f"greatest(size({th}) - {n - 1}, 0)"
+    acc = f"slice({th}, 1, {count})"
+    for k in range(1, n):
+        acc = (
+            f"zip_with({acc}, slice({th}, {k + 1}, {count}), "
+            f"(ga_, gb_) -> (ga_ * {mult} + gb_) % {mod})"
+        )
+    return acc
+
+
 def sql_token_hash_array(tokens_expr: str, mult: int = MULT, mod: int = MOD) -> str:
     return f"list_transform({tokens_expr}, t_ -> {sql_char_fold_hash('t_', mult, mod)})"
 

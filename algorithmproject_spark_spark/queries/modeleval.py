@@ -93,17 +93,45 @@ def _label_from_toks(toks: F.Column) -> F.Column:
     return F.when(keep, 1).otherwise(0).cast("long")
 
 
+def ss_label_from_toks(toks: str) -> str:
+    """Spark-SQL text twin of :func:`_label_from_toks` over a bound
+    token-array variable (one F.expr parse — functions/hashing.py ss_*
+    rationale; same ops, bit-identical)."""
+    from algorithmproject_spark_spark.functions.numeric import ss_micros
+    from algorithmproject_spark_spark.functions.text import (
+        ss_stopword_array,
+    )
+
+    n_tokens = f"size({toks})"
+    sw = (
+        f"size(filter({toks}, swt_ -> "
+        f"array_contains({ss_stopword_array()}, swt_)))"
+    )
+    sw_ratio = ss_micros(f"CAST({sw} AS DOUBLE) / {n_tokens}")
+    rep_ratio = ss_micros(
+        f"CAST(size(array_distinct({toks})) AS DOUBLE) / {n_tokens}"
+    )
+    return (
+        f"CAST(CASE WHEN ({n_tokens} BETWEEN 20 AND 200) "
+        f"AND ({sw_ratio} < 500000) AND ({rep_ratio} > 300000) "
+        f"THEN 1 ELSE 0 END AS BIGINT)"
+    )
+
+
 def _label_col() -> F.Column:
-    """:func:`_label_from_toks` over ``text``, tokenized ONCE per row:
-    without the bind, CollapseProject inlines ``tokenize`` into all
-    four references (r12 — the trained-head scans spent most of their
-    time re-splitting text)."""
-    return bind_once(tokenize("text"), _label_from_toks)
+    """:func:`_label_from_toks` over ``text``, tokenized ONCE per row —
+    as ONE F.expr parse (r12): the Column-API build of the stopword
+    literal + HOF chain cost ~0.5 s of driver time per reference."""
+    from algorithmproject_spark_spark.functions.hashing import ss_bind
+
+    return F.expr(
+        ss_bind("split(text, ' ')", "lt_", ss_label_from_toks("lt_"))
+    )
 
 
 def scored_labeled(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, score_ppm, label) in ONE map-only pass."""
-    score_ppm = quality_logit_cols(F.col("text"))[2]  # aliased score_ppm
+    score_ppm = quality_logit_cols("text")[2]  # aliased score_ppm
     return docs.select(
         "doc_id", "lang", score_ppm, _label_col().alias("label")
     )

@@ -88,7 +88,58 @@ def _sql_w_lit() -> str:
     return "[" + ", ".join(str(w) for w in QM_W_PPM) + "]"
 
 
-def quality_struct(text: Column) -> Column:
+#: Spark-SQL text of the frozen weight vector (constant-folds to the
+#: same one Literal `_w_lookup`'s F.lit ships)
+_SS_W_LIT = "array(" + ", ".join(str(w) for w in QM_W_PPM) + ")"
+
+
+def ss_quality_struct_from_th(th: str) -> str:
+    """Spark-SQL text twin of :func:`quality_struct_from_th` over an
+    already-bound token-hash array variable — one F.expr parse instead
+    of ~3·D py4j calls (see functions/hashing.py ss_* rationale). Same
+    fold order, same integer ops, same named fields; results are
+    bit-identical (oracle-gated on every consumer)."""
+    from algorithmproject_spark_spark.functions.hashing import (
+        ss_bind,
+        ss_gram_hash_array,
+    )
+
+    lookup = (
+        f"(acc_, h_) -> acc_ + element_at({_SS_W_LIT}, "
+        f"CAST(h_ % {QM_DIM} + 1 AS INT))"
+    )
+    uni = f"aggregate({th}, CAST(0 AS BIGINT), {lookup})"
+    bi = (
+        f"aggregate({ss_gram_hash_array(th, 2)}, CAST(0 AS BIGINT), {lookup})"
+    )
+    n_feats = f"CAST(size({th}) + greatest(size({th}) - 1, 0) AS BIGINT)"
+    score = f"(sw_ div {n_feats}) + {QM_BIAS_PPM}"
+    body = (
+        f"named_struct("
+        f"'n_feats', {n_feats}, "
+        f"'sum_w_ppm', sw_, "
+        f"'score_ppm', {score}, "
+        f"'keep', CAST(CASE WHEN {score} >= {QM_KEEP_PPM} THEN 1 ELSE 0 END "
+        f"AS BIGINT))"
+    )
+    return ss_bind(f"({uni}) + ({bi})", "sw_", body)
+
+
+def ss_quality_struct(text: str) -> str:
+    """Full text twin of :func:`quality_struct` for a COLUMN NAME."""
+    from algorithmproject_spark_spark.functions.hashing import (
+        ss_bind,
+        ss_token_hash_array,
+    )
+
+    return ss_bind(
+        ss_token_hash_array(f"split({text}, ' ')"),
+        "qth_",
+        ss_quality_struct_from_th("qth_"),
+    )
+
+
+def quality_struct(text: Column | str) -> Column:
     """``struct(n_feats, sum_w_ppm, score_ppm, keep)`` for a text
     column, with every field derived INSIDE the bound lambda so one
     evaluation of the struct runs the hashed logit map exactly once.
@@ -98,8 +149,23 @@ def quality_struct(text: Column) -> Column:
     projecting struct fields: generator outputs are real attributes,
     while CollapseProject inlines a projected struct's subtree into
     every field reference and re-runs the weight-lookup aggregates per
-    column (r12 — scored_docs paid the map 4× per row that way)."""
+    column (r12 — scored_docs paid the map 4× per row that way).
+
+    A string input (column name) takes the one-parse F.expr path
+    (r12 — the Column build cost ~2 s of driver time per query)."""
+    if isinstance(text, str):
+        return F.expr(ss_quality_struct(text))
     toks = tokenize(text)
+    return bind_once(token_hash_array(toks), quality_struct_from_th)
+
+
+def quality_struct_from_th(th: Column) -> Column:
+    """:func:`quality_struct` from an ALREADY-BOUND token-hash array —
+    the fused-scan entry point (r12): a caller that has ``th`` bound
+    for other features (trainedhead's evaluation rows) scores the
+    frozen head from the same binding instead of re-hashing the text.
+    Identical expression tree to the bound body quality_struct always
+    built."""
 
     def score(th: Column) -> Column:
         uni = F.aggregate(
@@ -137,10 +203,10 @@ def quality_struct(text: Column) -> Column:
 
         return bind_once(uni + bi, with_sum)
 
-    return bind_once(token_hash_array(toks), score)
+    return score(th)
 
 
-def quality_logit_cols(text: Column) -> list[Column]:
+def quality_logit_cols(text: Column | str) -> list[Column]:
     """(n_feats, sum_w_ppm, score_ppm, keep) columns for a text column —
     shared by the batch query and the streaming twin. Each returned
     column carries its own copy of the scoring subtree: fine for
@@ -248,7 +314,7 @@ def scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             # inline-through-generator: ONE evaluation of the scoring
             # struct per row emits all four columns (see quality_struct)
-            F.inline(F.array(quality_struct(F.col("text")))),
+            F.inline(F.array(quality_struct("text"))),
         )
     )
 
@@ -415,7 +481,7 @@ def quality_bands(docs: DataFrame) -> DataFrame:
     """(lang, band, n_docs, n_keep) — ONE definition feeding the batch
     twin query, its oracle, and streaming/qualitystream.py."""
     scored = docs.select(
-        "lang", F.inline(F.array(quality_struct(F.col("text"))))
+        "lang", F.inline(F.array(quality_struct("text")))
     )
     band = F.least(
         F.greatest(

@@ -64,19 +64,24 @@ from algorithmproject_spark_spark.functions.hashing import (
     gram_hash_array,
     sql_char_fold_hash,
     sql_gram_hash_array,
+    ss_bind,
+    ss_gram_hash_array,
+    ss_token_hash_array,
     token_hash_array,
 )
-from algorithmproject_spark_spark.functions.numeric import micros
-from algorithmproject_spark_spark.functions.text import stopword_array, tokenize
+from algorithmproject_spark_spark.functions.numeric import micros, ss_micros
+from algorithmproject_spark_spark.functions.text import (
+    ss_stopword_array,
+    stopword_array,
+    tokenize,
+)
 from algorithmproject_spark_spark.queries.modeleval import (
-    _label_col,
     _label_from_toks,
     _LBL_SQL,
 )
 from algorithmproject_spark_spark.queries.qualitymodel import (
     QMB_DIM,
     _sql_quality_prefix,
-    quality_logit_cols,
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -167,39 +172,178 @@ def _feature_rows(with_label: bool) -> Column:
     The label is itself bound before being fanned into the array —
     inside a ``transform`` lambda it would re-run the stopword filter
     per element; ``n_feats`` is O(1) from the bound token array and
-    needs no extra bind."""
+    needs no extra bind.
 
-    def from_toks(toks: Column) -> Column:
-        bands = _band_array(toks)
-        buckets = bind_once(
-            token_hash_array(toks),
-            lambda th: F.concat(
-                F.transform(th, lambda h: h % F.lit(QMB_DIM)),
-                F.transform(
-                    gram_hash_array(th, 2), lambda h: h % F.lit(QMB_DIM)
-                ),
-                bands,
-            ),
-        )
-        if with_label:
-            return bind_once(
-                _label_from_toks(toks),
-                lambda lab: F.transform(
-                    buckets,
-                    lambda b: F.struct(
-                        b.alias("b"), lab.alias("label")
-                    ),
-                ),
-            )
-        n_feats = (
-            F.size(toks) + F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-        ).cast("long")
-        return F.transform(
-            buckets,
-            lambda b: F.struct(b.alias("b"), n_feats.alias("n_feats")),
-        )
+    Emitted as ONE F.expr parse (r12): the Column-API build of this
+    tree cost ~2 s of driver time per reference (guide §4 — cross the
+    Python boundary once); the parsed tree is the identical expression,
+    oracle-gated on every consumer."""
+    from algorithmproject_spark_spark.queries.modeleval import (
+        ss_label_from_toks,
+    )
 
-    return bind_once(tokenize("text"), from_toks)
+    if with_label:
+        body = ss_bind(
+            ss_label_from_toks("toks_"),
+            "lab_",
+            f"transform({_ss_buckets('th_', 'toks_')}, "
+            f"bk_ -> named_struct('b', bk_, 'label', lab_))",
+        )
+    else:
+        n_feats = _SS_N_FEATS.format(t="toks_")
+        body = (
+            f"transform({_ss_buckets('th_', 'toks_')}, "
+            f"bk_ -> named_struct('b', bk_, 'n_feats', {n_feats}))"
+        )
+    return F.expr(
+        ss_bind(
+            "split(text, ' ')",
+            "toks_",
+            ss_bind(ss_token_hash_array("toks_"), "th_", body),
+        )
+    )
+
+
+def _ss_band_array(toks: str) -> str:
+    """Spark-SQL text twin of :func:`_band_array` over a bound token
+    variable (see functions/hashing.py ss_* rationale)."""
+    n_tokens = f"size({toks})"
+    sw = (
+        f"size(filter({toks}, swt_ -> "
+        f"array_contains({ss_stopword_array()}, swt_)))"
+    )
+    sw_e6 = ss_micros(f"CAST({sw} AS DOUBLE) / {n_tokens}")
+    rep_e6 = ss_micros(
+        f"CAST(size(array_distinct({toks})) AS DOUBLE) / {n_tokens}"
+    )
+    return (
+        f"array("
+        f"{B_LEN} + least(CAST({n_tokens} AS BIGINT) div 20, "
+        f"CAST(19 AS BIGINT)), "
+        f"{B_REP} + least({rep_e6} div 100000, CAST(9 AS BIGINT)), "
+        f"{B_SW} + least({sw_e6} div 100000, CAST(9 AS BIGINT)))"
+    )
+
+
+def _ss_buckets(th: str, toks: str) -> str:
+    """Token + bigram + band bucket ids as one array — text twin of the
+    ``buckets`` concat in :func:`_feature_rows`."""
+    return (
+        f"concat("
+        f"transform({th}, bh_ -> bh_ % {QMB_DIM}), "
+        f"transform({ss_gram_hash_array(th, 2)}, bh_ -> bh_ % {QMB_DIM}), "
+        f"{_ss_band_array(toks)})"
+    )
+
+
+_SS_N_FEATS = "CAST(size({t}) + greatest(size({t}) - 1, 0) AS BIGINT)"
+
+
+def _eval_rows_array() -> Column:
+    """``array<struct<b, n_feats, label, fr_score_ppm, fr_keep>>`` —
+    the FUSED held-out evaluation array (r12): one bound token array
+    yields the trained head's feature buckets AND the per-doc scalars
+    the evaluation queries previously re-scanned the corpus for (the
+    heuristic label, the frozen head's score — same ``th`` binding,
+    same expression trees, so every value is bit-identical to the
+    separate scans). Scalars are bound once per doc and ride each
+    element as O(1) lambda-variable lookups; consumers aggregate them
+    back with ``max`` per doc_id (constant per doc — exact).
+
+    Built as ONE F.expr parse: the Column-API build of this tree cost
+    ~2 s of driver time per query (guide §4 — cross the Python
+    boundary once). Before the fusion,
+    ``quality_trained_vs_frozen_auc`` and ``quality_head_disagreement``
+    each tokenized the held-out split three times (score rows, frozen
+    logits, label) on top of the training scan — guide §1.2."""
+    from algorithmproject_spark_spark.queries.modeleval import (
+        ss_label_from_toks,
+    )
+    from algorithmproject_spark_spark.queries.qualitymodel import (
+        ss_quality_struct_from_th,
+    )
+
+    n_feats = _SS_N_FEATS.format(t="toks_")
+    elem = (
+        f"named_struct("
+        f"'b', bk_, "
+        f"'n_feats', {n_feats}, "
+        f"'label', lab_, "
+        f"'fr_score_ppm', fr_.score_ppm, "
+        f"'fr_keep', fr_.keep)"
+    )
+    body = ss_bind(
+        ss_label_from_toks("toks_"),
+        "lab_",
+        ss_bind(
+            ss_quality_struct_from_th("th_"),
+            "fr_",
+            f"transform({_ss_buckets('th_', 'toks_')}, bk_ -> {elem})",
+        ),
+    )
+    return F.expr(
+        ss_bind(
+            "split(text, ' ')",
+            "toks_",
+            ss_bind(ss_token_hash_array("toks_"), "th_", body),
+        )
+    )
+
+
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, sum_w_ppm, band_w_ppm, score_ppm, keep, label,
+    fr_score_ppm, fr_keep): the held-out split scored by the trained
+    head, with the heuristic label and the frozen head's verdict from
+    the SAME single scan — tracked-cached because both AUC branches
+    (and the disagreement filter) read it. The trained-score columns
+    reproduce :func:`score_with_weights` exactly: same explode, same
+    broadcast-left weight join, same aggregates and div/band/bias
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    rows = docs.select(
+        "doc_id", F.explode(_eval_rows_array()).alias("x")
+    ).select(
+        "doc_id", "x.b", "x.n_feats", "x.label", "x.fr_score_ppm", "x.fr_keep"
+    )
+    weights = trained_weight_rel(spark, sf_dir)
+    is_tok = F.col("b") < F.lit(QMB_DIM)
+    scored = (
+        rows.join(F.broadcast(weights), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_feats").cast("long").alias("n_feats"),
+            F.coalesce(F.sum(F.when(is_tok, F.col("wt"))), F.lit(0))
+            .cast("long")
+            .alias("sum_w_ppm"),
+            F.coalesce(F.sum(F.when(~is_tok, F.col("wt"))), F.lit(0))
+            .cast("long")
+            .alias("band_w_ppm"),
+            F.max("label").cast("long").alias("label"),
+            F.max("fr_score_ppm").cast("long").alias("fr_score_ppm"),
+            F.max("fr_keep").cast("long").alias("fr_keep"),
+        )
+    )
+    score_ppm = F.call_function(
+        "div", F.col("sum_w_ppm"), F.col("n_feats")
+    ) + F.col("band_w_ppm")
+    return tracked_cache(
+        scored.select(
+            "doc_id",
+            "n_feats",
+            "sum_w_ppm",
+            "band_w_ppm",
+            score_ppm.alias("score_ppm"),
+            F.when(score_ppm >= F.lit(0), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+            "label",
+            "fr_score_ppm",
+            "fr_keep",
+        )
+    )
 
 
 def trained_weight_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,21 +710,15 @@ def quality_trained_head_score(
 def quality_trained_vs_frozen_auc(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 1
-    )
-    trained = quality_trained_head_score(spark, sf_dir).select(
-        "doc_id", "score_ppm"
-    )
-    frozen = docs.select(
-        "doc_id", quality_logit_cols(F.col("text"))[2]
-    )
-    lbl = docs.select("doc_id", _label_col().alias("label"))
+    # ONE scan of the held-out split (r12): trained score, frozen
+    # score and label all come from the fused cached relation
+    # (:func:`_eval_scored`) instead of three separate tokenizing
+    # passes + per-branch joins. Same integers, same AUC.
+    scored = _eval_scored(spark, sf_dir)
 
-    def auc_e6(scores: DataFrame) -> DataFrame:
+    def auc_e6(score_col: str) -> DataFrame:
         by_s = (
-            scores.join(lbl, "doc_id")
-            .groupBy("score_ppm")
+            scored.groupBy(F.col(score_col).alias("score_ppm"))
             .agg(
                 F.sum("label").cast("long").alias("n_pos"),
                 (F.count(F.lit(1)) - F.sum("label"))
@@ -614,10 +752,10 @@ def quality_trained_vs_frozen_auc(
             .alias("auc_e6"),
         )
 
-    t = auc_e6(trained).select(
+    t = auc_e6("score_ppm").select(
         "n_pos", "n_neg", F.col("auc_e6").alias("auc_trained_e6")
     )
-    f_ = auc_e6(frozen).select(F.col("auc_e6").alias("auc_frozen_e6"))
+    f_ = auc_e6("fr_score_ppm").select(F.col("auc_e6").alias("auc_frozen_e6"))
     return t.crossJoin(F.broadcast(f_))
 
 
@@ -661,32 +799,22 @@ def quality_trained_vs_frozen_auc(
 def quality_head_disagreement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from algorithmproject_spark_spark.queries.qualitymodel import scored_docs
-
-    trained = quality_trained_head_score(spark, sf_dir).select(
-        "doc_id",
-        F.col("score_ppm").alias("trained_score_ppm"),
-        F.col("keep").alias("trained_keep"),
-    )
-    frozen = scored_docs(spark, sf_dir).select(
-        "doc_id",
-        F.col("score_ppm").alias("frozen_score_ppm"),
-        F.col("keep").alias("frozen_keep"),
-    )
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 1
-    )
-    lbl = docs.select("doc_id", _label_col().alias("label"))
+    # ONE scan of the held-out split (r12): both heads' verdicts and
+    # the label ride the fused cached relation — the old form paid the
+    # trained pass (train + score scans) PLUS the frozen full-corpus
+    # scored_docs pass PLUS a third label scan, then two doc_id joins.
+    # The frozen struct here is the same expression tree scored_docs
+    # inlines, so scores/keeps are bit-identical; the join disappears
+    # because everything is already on one row.
+    scored = _eval_scored(spark, sf_dir)
     return (
-        trained.join(frozen, "doc_id")
-        .join(lbl, "doc_id")
-        .filter(F.col("trained_keep") != F.col("frozen_keep"))
+        scored.filter(F.col("keep") != F.col("fr_keep"))
         .select(
             "doc_id",
-            "trained_score_ppm",
-            "frozen_score_ppm",
-            "trained_keep",
-            "frozen_keep",
+            F.col("score_ppm").alias("trained_score_ppm"),
+            F.col("fr_score_ppm").alias("frozen_score_ppm"),
+            F.col("keep").alias("trained_keep"),
+            F.col("fr_keep").alias("frozen_keep"),
             "label",
         )
         .orderBy(F.abs(F.col("trained_score_ppm")).desc(), F.asc("doc_id"))
