@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.numeric import floordiv, micros
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -185,9 +186,22 @@ def events_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     v = ev.select("event_type", (raw_v + guard).alias("v"))
-    hist = v.select("event_type", hdr_bucket(F.col("v")).alias("idx")).groupBy(
-        "event_type", "idx"
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # r12 (guide §2.3, VERDICT's vocab_coverage_curve discipline):
+    # compact to per-(type, value) counts FIRST — the exact-quantile
+    # rank window then runs over the value-distribution relation
+    # (distinct values per type), not one row per event, so the
+    # single-partition-per-type sort is bounded by value cardinality
+    # at any corpus size; the bucket histogram re-aggregates the same
+    # compacted relation instead of re-scanning raw events (one scan,
+    # two consumers — cached).
+    vc = tracked_cache(
+        v.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = (
+        vc.select("event_type", hdr_bucket(F.col("v")).alias("idx"), "c")
+        .groupBy("event_type", "idx")
+        .agg(F.sum("c").alias("c"))
+    )
     wc = W.partitionBy("event_type").orderBy("idx")
     wn = W.partitionBy("event_type")
     cum = hist.select(
@@ -212,16 +226,23 @@ def events_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in PCTS
         ],
     )
+    # exact rank threshold over the compacted counts: the rank-t row's
+    # value (t = ceil(n·p/100), row_number dense 1..n) is the smallest
+    # v whose cumulative count reaches t — cum ≥ n·p/100 ⟺ cum·100 ≥
+    # n·p for integer cum, so this is bit-identical to the per-row
+    # row_number form it replaces (r12)
     wr = W.partitionBy("event_type").orderBy("v")
-    rk = v.select(
+    rk = vc.select(
         "event_type",
         "v",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("c").over(wr).alias("cum"),
+        F.sum("c")
+        .over(wn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n"),
     )
     exact = rk.groupBy("event_type").agg(
         *[
-            F.min(F.when(F.col("rn") * 100 >= F.col("n") * p, F.col("v")))
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("v")))
             .cast("long")
             .alias(f"exact_p{p}_e6")
             for p in PCTS

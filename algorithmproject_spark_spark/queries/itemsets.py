@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -135,6 +136,7 @@ def frequent_token_pairs(
     docs: DataFrame,
     minsup_permille: int = MINSUP_PERMILLE,
     dtok: DataFrame | None = None,
+    freq: DataFrame | None = None,
 ) -> DataFrame:
     """Token pairs co-occurring in ≥ minsup_permille‰ of docs:
     ``(tok_a, tok_b, support)`` with ``tok_a < tok_b``.
@@ -142,11 +144,18 @@ def frequent_token_pairs(
     Pass a (cached) ``dtok`` to share the doc-token explode with other
     consumers in the same plan family; the default path caches its own
     copy (the explode feeds the singleton-df aggregate AND the
-    semi-join back — uncached it would recompute per consumer)."""
+    semi-join back — uncached it would recompute per consumer).
+    Pass ``freq`` (a ``(tok,)`` frame) to reuse an already-derived
+    frequent-singleton relation instead of re-aggregating dtok (r12:
+    rules/lift consumers need the singleton df anyway — sharing it
+    removes a duplicate full groupBy over the doc-token relation)."""
     if dtok is None:
         dtok = _doc_tokens(docs).cache()
     n = _n_docs(docs)
-    freq = _frequent_singletons(dtok, n, minsup_permille).select("tok")
+    if freq is None:
+        freq = _frequent_singletons(dtok, n, minsup_permille).select("tok")
+    else:
+        freq = freq.select("tok")
     ft = dtok.join(F.broadcast(freq), "tok", "left_semi")
     bags = ft.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks")
@@ -183,7 +192,19 @@ def association_rules(
     The default path caches its doc-token relation (three consumers)."""
     if dtok is None:
         dtok = _doc_tokens(docs).cache()
-    pairs = frequent_token_pairs(docs, minsup_permille, dtok=dtok)
+    # one singleton-df aggregation serves the pair prune AND the
+    # confidence denominator; the pair relation is support-cut tiny and
+    # read twice by the direction union, so pin it — unpinned, Catalyst
+    # duplicates the whole bags+HOF+agg subtree per union branch
+    # (measured 40 Exchanges → 17, r12)
+    sing = tracked_cache(
+        _frequent_singletons(dtok, _n_docs(docs), minsup_permille)
+    )
+    pairs = tracked_cache(
+        frequent_token_pairs(
+            docs, minsup_permille, dtok=dtok, freq=sing
+        )
+    )
     both = pairs.select(
         F.col("tok_a").alias("antecedent"),
         F.col("tok_b").alias("consequent"),
@@ -198,9 +219,7 @@ def association_rules(
     # antecedents are necessarily frequent (support(pair) ≤ df(tok)),
     # so the join only needs the BOUNDED frequent-singleton df — never
     # broadcast the full-vocabulary relation
-    sup1 = _frequent_singletons(dtok, _n_docs(docs), minsup_permille).select(
-        F.col("tok").alias("antecedent"), "df"
-    )
+    sup1 = sing.select(F.col("tok").alias("antecedent"), "df")
     return (
         both.join(F.broadcast(sup1), "antecedent")
         .withColumn(
@@ -302,9 +321,12 @@ def token_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, dtok = _corpus_relations(spark, sf_dir)
-    pairs = frequent_token_pairs(docs, dtok=dtok)
     n = _n_docs(docs)
-    freq = _frequent_singletons(dtok, n, MINSUP_PERMILLE)
+    # one singleton-df aggregation feeds the pair prune and BOTH lift
+    # denominators (df_a, df_b) — cached so the groupBy over dtok runs
+    # once instead of three times (r12)
+    freq = tracked_cache(_frequent_singletons(dtok, n, MINSUP_PERMILLE))
+    pairs = frequent_token_pairs(docs, dtok=dtok, freq=freq)
     return (
         pairs.join(
             F.broadcast(

@@ -456,8 +456,15 @@ def customer_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by. No step is quadratic in customers, parts, or baskets; the only
     data-scale shuffle is the profile distinct every CF variant pays.
     """
-    sims = copurchase_cosine_topk(spark, sf_dir).select(
-        "part_i", "part_j", "cos2_e6"
+    # pin the top-30 similarity relation: the sym union reads it twice,
+    # and unpinned Catalyst duplicates the ENTIRE copurchase subtree
+    # (baskets cache + two aggs + joins + global top-k) once per union
+    # branch — measured 41 Exchanges in the unpinned plan (r12). The
+    # checkpoint is TOPK_PAIRS rows, so the pin is O(1).
+    sims = tracked_lazy_local_checkpoint(
+        copurchase_cosine_topk(spark, sf_dir).select(
+            "part_i", "part_j", "cos2_e6"
+        )
     )
     sym = sims.select(
         F.col("part_i").alias("src"),
@@ -474,7 +481,10 @@ def customer_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    owned = (
+    # cache: the scoring join AND the already-owned anti-join both read
+    # the profile relation — uncached, the orders⨝lineitem+distinct
+    # derivation executes twice (r12; guide §2.4)
+    owned = tracked_cache(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             F.col("o_custkey").alias("cust"),

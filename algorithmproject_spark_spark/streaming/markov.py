@@ -100,17 +100,49 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
 
 def transition_counts_batch(events: DataFrame) -> DataFrame:
     """Batch-degenerate twin: each user's whole history is one
-    "micro-batch", so the stateful fold collapses to one ordered pass —
-    the SAME pair-counting code via ``applyInPandas``, partitioned by
-    the key exactly as the state store would be."""
+    "micro-batch", so the stateful fold collapses to one ordered pass.
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        ordered = pdf.sort_values(["ts", "event_id"])
-        return _batch_transitions(
-            int(ordered["user_id"].iloc[0]),
-            ordered["event_type"].astype(str).tolist(),
+    r12 (guide §4): vectorized — rows are hash-partitioned by user and
+    (user_id, ts, event_id)-sorted within partitions, then ONE pandas
+    pass per partition counts every user's adjacent pairs (pair i is
+    counted iff row i and i+1 belong to the same user, exactly the
+    per-user ordered zip ``_batch_transitions`` folds). The per-key
+    ``applyInPandas`` form paid a Python call + DataFrame construction
+    per user (data-scale overhead: billions of keys at 100 TB, and AQE
+    coalesces the small local shuffle to few partitions so the
+    sequential per-group loop dominated — measured 6.5 s → vectorized
+    sub-second at sf0.1 for the same result). Per-partition memory is
+    bounded by the shuffle partition size."""
+
+    def fold_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # concat: adjacency crosses Arrow batch boundaries within the
+        # sorted partition, so the pass must see the whole slice
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        u = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].astype(str).to_numpy()
+        same = u[:-1] == u[1:]
+        adj = pd.DataFrame(
+            {
+                "user_id": u[:-1][same],
+                "src": et[:-1][same],
+                "dst": et[1:][same],
+            }
         )
+        counts = (
+            adj.groupby(["user_id", "src", "dst"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        counts["cnt"] = counts["cnt"].astype("int64")
+        yield counts
 
-    return events.groupBy("user_id").applyInPandas(
-        fold, schema=TRANSITION_OUTPUT_SCHEMA
+    return (
+        events.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(fold_partition, schema=TRANSITION_OUTPUT_SCHEMA)
     )

@@ -103,19 +103,19 @@ def _verified_hits(
 ) -> DataFrame:
     """doc_ids of ``probe`` with a band collision against ``store``
     whose signatures agree in ≥ min_agree positions."""
-    cand = (
-        probe.join(
-            store.select(
-                "band_idx",
-                "band_key",
-                F.col("doc_id").alias("hit_id"),
-                F.col("sig").alias("hit_sig"),
-            ),
-            ["band_idx", "band_key"],
-        )
-        .select("doc_id", "sig", "hit_id", "hit_sig")
-        .distinct()
-    )
+    # verify BEFORE deduplicating: the agree fold is a per-row array op,
+    # far cheaper than exchanging (doc_id, 2×signature) rows through a
+    # distinct — the final narrow doc_id distinct collapses multi-band
+    # duplicates of the same pair (r12, guide §2.3/2.4)
+    cand = probe.join(
+        store.select(
+            "band_idx",
+            "band_key",
+            F.col("doc_id").alias("hit_id"),
+            F.col("sig").alias("hit_sig"),
+        ),
+        ["band_idx", "band_key"],
+    ).select("doc_id", "sig", "hit_id", "hit_sig")
     agree = F.aggregate(
         F.zip_with(
             F.col("sig"),
@@ -141,6 +141,9 @@ def within_batch_drop_ids(bands: DataFrame, min_agree: int = MIN_AGREE) -> DataF
         F.col("doc_id").alias("e_id"),
         F.col("sig").alias("e_sig"),
     )
+    # no pre-verify distinct: see _verified_hits — multi-band duplicate
+    # pairs re-verify map-side instead of paying a wide-row Exchange;
+    # the final doc_id distinct collapses them (r12)
     within = (
         bands.join(earlier, ["band_idx", "band_key"])
         .filter(F.col("e_id") < F.col("doc_id"))
@@ -150,7 +153,6 @@ def within_batch_drop_ids(bands: DataFrame, min_agree: int = MIN_AGREE) -> DataF
             F.col("e_id").alias("hit_id"),
             F.col("e_sig").alias("hit_sig"),
         )
-        .distinct()
     )
     agree = F.aggregate(
         F.zip_with(

@@ -60,25 +60,26 @@ def _hamming_hits(pairs: DataFrame) -> DataFrame:
 def _verified_hits(probe: DataFrame, store: DataFrame) -> DataFrame:
     """doc_ids of ``probe`` with a band collision against ``store``
     within Hamming SIMHASH_K."""
-    cand = (
-        probe.select(
-            "doc_id",
-            F.col("fp_lo").alias("lo_a"),
-            F.col("fp_hi").alias("hi_a"),
+    # verify BEFORE deduplicating: the Hamming check is two integer
+    # bit_counts per candidate, far cheaper than exchanging the wide
+    # (doc_id, 4×fp) rows through a distinct — dropping the pre-verify
+    # distinct removes one full wide-row Exchange; multi-band
+    # collisions of the same pair just re-verify map-side and collapse
+    # in _hamming_hits' narrow doc_id distinct (r12, guide §2.3/2.4)
+    cand = probe.select(
+        "doc_id",
+        F.col("fp_lo").alias("lo_a"),
+        F.col("fp_hi").alias("hi_a"),
+        "band_idx",
+        "band_key",
+    ).join(
+        store.select(
             "band_idx",
             "band_key",
-        )
-        .join(
-            store.select(
-                "band_idx",
-                "band_key",
-                F.col("fp_lo").alias("lo_b"),
-                F.col("fp_hi").alias("hi_b"),
-            ),
-            ["band_idx", "band_key"],
-        )
-        .select("doc_id", "lo_a", "hi_a", "lo_b", "hi_b")
-        .distinct()
+            F.col("fp_lo").alias("lo_b"),
+            F.col("fp_hi").alias("hi_b"),
+        ),
+        ["band_idx", "band_key"],
     )
     return _hamming_hits(cand)
 
@@ -95,6 +96,9 @@ def within_batch_drop_ids(bands: DataFrame) -> DataFrame:
         F.col("fp_lo").alias("lo_b"),
         F.col("fp_hi").alias("hi_b"),
     )
+    # no pre-verify distinct: see _verified_hits — the bit_count verify
+    # is cheaper than a wide-row Exchange, and the final doc_id distinct
+    # already collapses multi-band duplicates (r12)
     within = (
         bands.select(
             "doc_id",
@@ -106,7 +110,6 @@ def within_batch_drop_ids(bands: DataFrame) -> DataFrame:
         .join(earlier, ["band_idx", "band_key"])
         .filter(F.col("e_id") < F.col("doc_id"))
         .select("doc_id", "lo_a", "hi_a", "lo_b", "hi_b")
-        .distinct()
     )
     return _hamming_hits(within)
 

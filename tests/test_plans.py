@@ -143,7 +143,9 @@ def test_stream_batch_twins_shuffle_posture(spark):
 
     p = plan_of(REGISTRY["stream_user_profile_batch_twin"].fn(spark, SF))
     assert p.count("Exchange (") == 1
-    assert "FlatMapGroupsInPandas" in p  # the declared Arrow kernel
+    # r12: the per-key FlatMapGroupsInPandas fold is vectorized into a
+    # partition-level MapInPandas over the same user-hash partitioning
+    assert "MapInPandas" in p  # the declared Arrow kernel
 
 
 def test_lloyd_assignment_is_map_only_plus_broadcast_probe(spark):
