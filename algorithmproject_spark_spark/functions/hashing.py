@@ -109,6 +109,11 @@ def ss_gram_hash_array(
     return acc
 
 
+def ss_minhash_value(hashes: str, a: int, b: int, mod: int = MOD) -> str:
+    """Text twin of :func:`minhash_value` — same affine map + array_min."""
+    return f"array_min(transform({hashes}, h_ -> ({a} * h_ + {b}) % {mod}))"
+
+
 def sql_token_hash_array(tokens_expr: str, mult: int = MULT, mod: int = MOD) -> str:
     return f"list_transform({tokens_expr}, t_ -> {sql_char_fold_hash('t_', mult, mod)})"
 

@@ -22,12 +22,12 @@ from algorithmproject_spark_spark.cacheutil import (
 )
 from algorithmproject_spark_spark.functions.hashing import (
     MINHASH_PARAMS,
-    gram_hash_array,
-    minhash_value,
     sql_gram_hash_array,
     sql_minhash_value,
     sql_token_hash_array,
-    token_hash_array,
+    ss_gram_hash_array,
+    ss_minhash_value,
+    ss_token_hash_array,
 )
 from algorithmproject_spark_spark.functions.numeric import sql_hash_mod
 from algorithmproject_spark_spark.registry import register
@@ -54,7 +54,10 @@ def _token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicts.
     """
     docs = load_table(spark, sf_dir, "documents")
-    th = token_hash_array(F.split(F.col("text"), " "))
+    # one-parse text twin (r12): the nested fold tower cost hundreds of
+    # py4j round-trips per consumer query build; F.expr parses the
+    # identical expression in one trip (same fold order, bit-identical)
+    th = F.expr(ss_token_hash_array("split(text, ' ')"))
     return tracked_cache(docs.select("doc_id", th.alias("th")))
 
 
@@ -67,9 +70,15 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(chars × shingle_width) per doc.
     """
     tok = _token_hashes(spark, sf_dir)
+    # one-parse text twin (r12); `th` is a bare column reference so the
+    # textual repetition inside the gram composition is O(1) reads, not
+    # upstream fold re-evaluation (the bind_once concern of the Column
+    # form does not apply to a materialized column)
     sh = tok.select(
         "doc_id",
-        F.array_distinct(gram_hash_array(F.col("th"), SHINGLE_N)).alias("sh"),
+        F.expr(
+            f"array_distinct({ss_gram_hash_array('th', SHINGLE_N)})"
+        ).alias("sh"),
     )
     # The shingle table is the compact derived representation every
     # near-dup query builds on (~8 B × shingles per doc, far smaller
@@ -99,11 +108,15 @@ def _sql_shingle_hashes() -> str:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_hashes(spark, sf_dir)
-    cols = [
-        minhash_value(F.col("sh"), a, b).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES])
-    ]
-    return sh.select("doc_id", *cols)
+    # one selectExpr parse per permutation (r12) — 8 strings instead of
+    # ~8×10 py4j Column round-trips; same affine map + array_min
+    return sh.selectExpr(
+        "doc_id",
+        *[
+            f"{ss_minhash_value('sh', a, b)} AS mh{i}"
+            for i, (a, b) in enumerate(MINHASH_PARAMS[:N_HASHES])
+        ],
+    )
 
 
 def _band_key_sql(band: int) -> str:
@@ -135,11 +148,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One pass: posexplode an array of band keys instead of unioning
     # n_bands re-reads of the signature relation (a union would
     # recompute the whole signature lineage per band).
-    band_keys = F.array(
-        *[
-            (F.col(f"mh{b * BAND_ROWS}") * F.lit(2147483659) + F.col(f"mh{b * BAND_ROWS + 1}"))
+    # one-parse text (r12): 2147483659 is out of INT range so the SQL
+    # literal parses as BIGINT, matching F.lit's LongType exactly
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            f"mh{b * BAND_ROWS} * 2147483659 + mh{b * BAND_ROWS + 1}"
             for b in range(n_bands)
-        ]
+        )
+        + ")"
     )
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
@@ -210,20 +227,25 @@ def jaccard_pairs_above(
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(x, "doc_a").join(y, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.floor(inter.cast("double") / union * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    out = (
-        joined.select(
-            "doc_a",
-            "doc_b",
-            inter.alias("n_common"),
-            union.alias("n_union"),
-            jac.alias("jaccard_e6"),
-        )
-        .filter(
-            F.col("n_common").cast("long") * F.lit(1_000_000)
-            >= F.col("n_union").cast("long") * F.lit(threshold_e6)
+    # one-parse text twins of the Column exprs (r12): same coercions —
+    # int/double division, D-suffixed double literals matching F.lit's
+    # bits, floor(double)→BIGINT — so results are bit-identical
+    inter_s = "size(array_intersect(sh_a, sh_b))"
+    union_s = f"(size(sh_a) + size(sh_b) - {inter_s})"
+    jac_s = (
+        f"CAST(floor(CAST({inter_s} AS DOUBLE) / {union_s} "
+        f"* 1000000.0D + 0.5D) AS BIGINT)"
+    )
+    out = joined.selectExpr(
+        "doc_a",
+        "doc_b",
+        f"{inter_s} AS n_common",
+        f"{union_s} AS n_union",
+        f"{jac_s} AS jaccard_e6",
+    ).filter(
+        F.expr(
+            "CAST(n_common AS BIGINT) * 1000000 "
+            f">= CAST(n_union AS BIGINT) * {threshold_e6}"
         )
     )
     if threshold_e6 == JACCARD_THRESHOLD_E6:
@@ -314,7 +336,6 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable is evaluated once by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     fp = F.expr(
         "element_at(transform(array(th0), th -> "
         "aggregate(sequence(0, 30), cast(0 as bigint), (acc, bit) -> acc + "
@@ -322,9 +343,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(a, h) -> a + if((shiftright(h, bit) & 1) = 1, 1, -1)) > 0, "
         "shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))), 1)"
     )
-    return docs.select("doc_id", token_hash_array(toks).alias("th0")).select(
-        "doc_id", fp.alias("simhash")
-    )
+    return docs.select(
+        "doc_id",
+        F.expr(ss_token_hash_array("split(text, ' ')")).alias("th0"),
+    ).select("doc_id", fp.alias("simhash"))
 
 
 # --------------------------------------------------------------------------

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
     sql_token_hash_array,
-    token_hash_array,
+    ss_token_hash_array,
 )
 from algorithmproject_spark_spark.functions.numeric import floordiv
 from algorithmproject_spark_spark.functions.text import tokenize
@@ -54,7 +54,10 @@ def token_buckets(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.explode(token_hash_array(tokenize("text"))).alias("h"),
+        # one-parse text twin of the token-hash fold (r12)
+        F.explode(
+            F.expr(ss_token_hash_array("split(text, ' ')"))
+        ).alias("h"),
     ).select("doc_id", "lang", (F.col("h") % N_BUCKETS).alias("b"))
 
 

@@ -290,13 +290,19 @@ def contamination_hits(
     """(id, n_contaminated_grams) for corpus docs sharing any n-gram
     with the benchmark set."""
     from algorithmproject_spark_spark.functions.hashing import (
-        gram_hash_array,
-        token_hash_array,
+        ss_bind,
+        ss_gram_hash_array,
+        ss_token_hash_array,
     )
 
     def grams(df: DataFrame) -> DataFrame:
-        g = F.array_distinct(
-            gram_hash_array(token_hash_array(tokenize(text_col)), n)
+        # one-parse text twin (r12): token fold bound once, same grams
+        g = F.expr(
+            ss_bind(
+                ss_token_hash_array(f"split({text_col}, ' ')"),
+                "th_",
+                f"array_distinct({ss_gram_hash_array('th_', n)})",
+            )
         )
         return df.select(id_col, F.explode(g).alias("gh"))
 

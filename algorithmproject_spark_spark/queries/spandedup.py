@@ -40,10 +40,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
-    gram_hash_array,
     sql_gram_hash_array,
     sql_token_hash_array,
-    token_hash_array,
+    ss_bind,
+    ss_gram_hash_array,
+    ss_token_hash_array,
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -111,8 +112,15 @@ def dup_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     # sorts the full relation by gh and cannot AQE-split a hot gram.
     grams = docs.select(
         "doc_id",
+        # one-parse text twin (r12): token fold bound once, same grams
         F.posexplode(
-            gram_hash_array(token_hash_array(F.split(F.col("text"), " ")), k)
+            F.expr(
+                ss_bind(
+                    ss_token_hash_array("split(text, ' ')"),
+                    "th_",
+                    ss_gram_hash_array("th_", k),
+                )
+            )
         ).alias("pos", "gh"),
     )
     grams = tracked_cache(grams)

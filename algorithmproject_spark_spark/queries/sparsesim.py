@@ -38,10 +38,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from algorithmproject_spark_spark.cacheutil import tracked_cache
 from algorithmproject_spark_spark.functions.hashing import (
-    gram_hash_array,
     sql_gram_hash_array,
     sql_token_hash_array,
-    token_hash_array,
+    ss_bind,
+    ss_gram_hash_array,
+    ss_token_hash_array,
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -58,8 +59,15 @@ def sparse_topk_pairs(
     directions, so every doc gets its own ranked neighbor list)."""
     terms = docs.select(
         "doc_id",
+        # one-parse text twin (r12): token fold bound once, same grams
         F.explode(
-            gram_hash_array(token_hash_array(F.split(F.col("text"), " ")), 2)
+            F.expr(
+                ss_bind(
+                    ss_token_hash_array("split(text, ' ')"),
+                    "th_",
+                    ss_gram_hash_array("th_", 2),
+                )
+            )
         ).alias("g"),
     ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (

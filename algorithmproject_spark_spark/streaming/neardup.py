@@ -44,9 +44,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from algorithmproject_spark_spark.functions.hashing import (
     MINHASH_PARAMS,
-    gram_hash_array,
-    minhash_value,
-    token_hash_array,
+    ss_bind,
+    ss_gram_hash_array,
+    ss_minhash_value,
+    ss_token_hash_array,
 )
 
 # Mirrors queries/dedup.py (N_HASHES/BAND_ROWS/SHINGLE_N) so stream and
@@ -65,32 +66,42 @@ def doc_band_state(docs: DataFrame) -> DataFrame:
     Signature AND band keys are produced inside one bound lambda
     (struct of both), so the shingle fold and the 8 minhash folds run
     once per row — a naive two-select form lets CollapseProject inline
-    the signature expression into every band-key reference."""
-    th = token_hash_array(F.split(F.col("text"), " "))
-    sh = F.array_distinct(gram_hash_array(th, SHINGLE_N))
-
-    def pack(s: Column) -> Column:
-        sig = F.array(
-            *[minhash_value(s, a, b) for (a, b) in MINHASH_PARAMS[:N_HASHES]]
+    the signature expression into every band-key reference. Built as
+    one-parse SQL text (r12): the nested Column tower cost hundreds of
+    py4j round-trips per build; the parsed tree has the same binds,
+    folds and field names, so results are bit-identical."""
+    sig_arr = (
+        "array("
+        + ", ".join(
+            ss_minhash_value("sh_", a, b)
+            for (a, b) in MINHASH_PARAMS[:N_HASHES]
         )
-        return F.element_at(
-            F.transform(
-                F.array(sig),
-                lambda g: F.struct(
-                    g.alias("sig"),
-                    F.array(
-                        *[
-                            F.element_at(g, b * BAND_ROWS + 1) * F.lit(_BAND_P)
-                            + F.element_at(g, b * BAND_ROWS + 2)
-                            for b in range(N_HASHES // BAND_ROWS)
-                        ]
-                    ).alias("bands"),
+        + ")"
+    )
+    bands_arr = (
+        "array("
+        + ", ".join(
+            f"element_at(sig_, {b * BAND_ROWS + 1}) * {_BAND_P} "
+            f"+ element_at(sig_, {b * BAND_ROWS + 2})"
+            for b in range(N_HASHES // BAND_ROWS)
+        )
+        + ")"
+    )
+    packed = F.expr(
+        ss_bind(
+            ss_token_hash_array("split(text, ' ')"),
+            "th_",
+            ss_bind(
+                f"array_distinct({ss_gram_hash_array('th_', SHINGLE_N)})",
+                "sh_",
+                ss_bind(
+                    sig_arr,
+                    "sig_",
+                    f"named_struct('sig', sig_, 'bands', {bands_arr})",
                 ),
             ),
-            1,
         )
-
-    packed = F.element_at(F.transform(F.array(sh), pack), 1)
+    )
     return docs.select("doc_id", packed.alias("p")).select(
         "doc_id",
         F.col("p.sig").alias("sig"),

@@ -28,7 +28,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from algorithmproject_spark_spark.functions.hashing import token_hash_array
+from algorithmproject_spark_spark.functions.hashing import (
+    ss_token_hash_array,
+)
 from algorithmproject_spark_spark.queries.dedup import (
     SIMHASH_K,
     _fp124_batches,
@@ -43,7 +45,8 @@ def simhash_band_state(docs: DataFrame) -> DataFrame:
     the join-ready store representation; fingerprints from the SAME
     Arrow kernel as the batch pair query, so batch and stream agree
     bit-for-bit."""
-    th = token_hash_array(F.split(F.col("text"), " "))
+    # one-parse text twin of the token-hash fold (r12)
+    th = F.expr(ss_token_hash_array("split(text, ' ')"))
     fps = docs.select("doc_id", th.alias("th")).mapInPandas(
         _fp124_batches, schema="doc_id long, fp_lo long, fp_hi long"
     )
