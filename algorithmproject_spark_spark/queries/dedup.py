@@ -1166,7 +1166,12 @@ def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= MAX_POSTING_DF))
         .select("g")
     )
-    rare_posts = posts.join(rare, "g")
+    # pin the df-capped posting subset: the candidate self-join reads it
+    # on BOTH sides and Catalyst does not dedupe the identical explode +
+    # rare-df subtrees — same fix ngram_jaccard_index_pairs carries
+    # (r12; cache instead of eager checkpoint so materialization folds
+    # into the one final job)
+    rare_posts = tracked_cache(posts.join(rare, "g"))
     cand = (
         rare_posts.alias("a")
         .join(

@@ -52,9 +52,14 @@ def edit1_pairs(strings: DataFrame, col: str) -> DataFrame:
     # rename first: aliasing "w" and referencing the source column of
     # the same name in one select trips lateral-column-alias resolution
     src = strings.select(F.col(col).alias("__fz_w"))
-    keyed = src.select(
-        F.col("__fz_w").alias("w"),
-        F.explode(deletion_keys(F.col("__fz_w"))).alias("k"),
+    # cache: the self-join reads the exploded deletion-key relation on
+    # BOTH sides — uncached, the distinct + key generation runs twice
+    # (r12, the ngram_jaccard/excerpt posting-pin discipline)
+    keyed = tracked_cache(
+        src.select(
+            F.col("__fz_w").alias("w"),
+            F.explode(deletion_keys(F.col("__fz_w"))).alias("k"),
+        )
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
