@@ -13,6 +13,15 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Driver-heap default: 8g, env-overridable. Round 12 investigated
+# raising it (the long-session bench degradation looked GC-shaped and a
+# 24g A/B appeared to fix it), but GC MXBean instrumentation refuted
+# the hypothesis: the slow reps spend ~0 ms in GC at 8g, 16g, and 24g
+# alike — the stalls are host-level CPU contention, invisible to the
+# JVM, and a machine-sized heap measurably hurt one fresh-session query
+# (dedup_triangle_counts 2.7 -> 4.1 s median-of-6 at 31g). Kept at 8g;
+# see OPTIMIZATION_r12.md "What was tried and reverted".
+
 
 def get_spark(
     app_name: str = "algorithmproject-spark",
