@@ -57,8 +57,12 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     existing owner keeps sole release responsibility."""
     sc = df.sparkSession.sparkContext
     _TRACKED[:] = [(d, c) for d, c in _TRACKED if c._jsc is not None]
-    lvl = df.storageLevel
-    if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+    # ONE py4j trip instead of the 5 property getters behind
+    # df.storageLevel (r13): the toString is "StorageLevel(...)" with
+    # the active flags spelled out — "StorageLevel(1 replicas)" means
+    # NONE. Format pinned by tests/test_cacheutil.py.
+    lvl = df._jdf.storageLevel().toString()
+    if "memory" in lvl or "disk" in lvl or "offheap" in lvl:
         return df
     df.cache()
     _TRACKED.append((df, sc))
@@ -101,20 +105,33 @@ def tracked_lazy_local_checkpoint(df: DataFrame) -> DataFrame:
     return tracked_local_checkpoint(df, eager=False)
 
 
+def _persistent_ids(sc) -> tuple:
+    """(java Map handle, set of live persistent RDD ids) in TWO py4j
+    round-trips: iterating ``keySet().toArray()`` costs one trip PER
+    ELEMENT, which a k-round loop over a growing session ledger turns
+    into O(rounds × live RDDs) driver chatter (r13). The java.util.Set
+    toString — "[1, 12, 3]" — carries every id in one reply; format is
+    the JDK's AbstractCollection.toString contract."""
+    live = sc._jsc.getPersistentRDDs()
+    txt = live.keySet().toString()
+    ids = {
+        int(tok)
+        for tok in txt.strip("[]").replace(" ", "").split(",")
+        if tok
+    }
+    return live, ids
+
+
 def _checkpoint_with_handles(df: DataFrame, eager: bool = True):
     """localCheckpoint + the JavaRDD handles of the blocks it
     persisted (the shared diff idiom — one implementation for the
     session ledger and for scoped callers)."""
     sc = df.sparkSession.sparkContext
     with _CP_LOCK:
-        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        _, before = _persistent_ids(sc)
         out = df.localCheckpoint(eager=eager)
-        live = sc._jsc.getPersistentRDDs()
-        handles = [
-            live.get(rdd_id)
-            for rdd_id in live.keySet().toArray()
-            if rdd_id not in before
-        ]
+        live, after = _persistent_ids(sc)
+        handles = [live.get(rdd_id) for rdd_id in sorted(after - before)]
     return out, handles
 
 

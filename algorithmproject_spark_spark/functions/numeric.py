@@ -94,6 +94,57 @@ def ss_micros(expr: str) -> str:
     return f"CAST(floor(({expr}) * 1000000.0D + 0.5D) AS BIGINT)"
 
 
+def ss_scaled_long(expr: str, scale: int = 100) -> str:
+    """Spark-SQL TEXT twin of :func:`scaled_long` (r13 one-parse
+    builds): same IEEE multiply/add/floor, D-suffixed double literals
+    matching F.lit(float(scale)) bit-for-bit."""
+    return f"CAST(floor(({expr}) * {float(scale)!r}D + 0.5D) AS BIGINT)"
+
+
+def ss_hash_mod(expr: str, mod: int) -> str:
+    """Spark-SQL TEXT twin of :func:`hash_mod`. The multiplier exceeds
+    INT32, so the SQL literal parses as BIGINT — the same LongType
+    F.lit ships."""
+    return f"(((({expr}) % {HASH_REDUCE}) * {HASH_MULT}) % {mod})"
+
+
+def ss_floordiv(num: str, den: str) -> str:
+    """Spark-SQL TEXT twin of :func:`floordiv` — SQL's exact
+    IntegralDivide, the same function call_function('div', ...)
+    reaches."""
+    return f"(({num}) div ({den}))"
+
+
+def ss_ppm(count_expr: str, total_expr: str) -> str:
+    """Spark-SQL TEXT twin of :func:`ppm` (same 1000×1000 split, same
+    precondition count <= total)."""
+    c1k, t = f"(({count_expr}) * 1000)", f"({total_expr})"
+    return f"(({c1k} div {t}) * 1000 + (({c1k} % {t}) * 1000) div {t})"
+
+
+def ss_ratio_e6(num_expr: str, den_expr: str) -> str:
+    """Spark-SQL TEXT twin of :func:`ratio_e6` (same q/r split)."""
+    n, d = f"({num_expr})", f"({den_expr})"
+    r1k = f"(({n} % {d}) * 1000)"
+    return (
+        f"(({n} div {d}) * 1000000 + ({r1k} div {d}) * 1000 "
+        f"+ (({r1k} % {d}) * 1000) div {d})"
+    )
+
+
+def ss_ppm_wide(count_expr: str, total_expr: str) -> str:
+    """Spark-SQL TEXT twin of :func:`ppm_wide` (same six ×10 long-
+    division steps; the accumulator nests textually exactly like the
+    Column fold)."""
+    t = f"({total_expr})"
+    r = f"({count_expr})"
+    acc = "CAST(0 AS BIGINT)"
+    for _ in range(6):
+        acc = f"(({acc}) * 10 + ((({r}) * 10) div {t}))"
+        r = f"((({r}) * 10) % {t})"
+    return acc
+
+
 def floordiv(num: Column, den: Column) -> Column:
     """BIGINT floor division of non-negative Columns — SQL's exact
     ``div`` (IntegralDivide), reached via ``call_function`` since

@@ -39,6 +39,7 @@ from algorithmproject_spark_spark.functions.vectors import (
     cosine,
     sql_cosine,
     ss_arr,
+    ss_cosine,
     ss_to_double,
     to_double,
 )
@@ -341,27 +342,26 @@ def ann_ivf_topk(
     k = n_cells or K_CELLS
     b = cells(spark, sf_dir, n_cells)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.explode(probe_cells_col("embedding", k)).alias("cell"),
-        )
+    # one-parse glue (r13): selectExpr/filter text instead of ~60 py4j
+    # Column calls per body; identical expressions.
+    q = emb.filter(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS q_id",
+        "embedding AS q_emb",
+        f"explode({ss_probe_cells('embedding', k)}) AS cell",
     )
     scored = (
         b.join(F.broadcast(q), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
+        .filter("vec_id != q_id")
+        .selectExpr(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
+            "vec_id AS neighbor_id",
+            f"{ss_micros(ss_cosine('q_emb', 'embedding'))} AS cosine_e6",
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(f"rk <= {TOP_K}")
         .select("q_id", "neighbor_id", "cosine_e6", "rk")
     )
 
@@ -488,12 +488,14 @@ def lloyd_kmeans(
     try:
         for _ in range(iters):
             cell = F.expr(f"CAST({_ss_bound_enc('e6', cents)} % {k} AS INT)")
+            # one-parse agg list (r13): the per-dim F.sum/element_at
+            # tower cost ~320 py4j round-trips per iteration
             partials = (
                 fit.groupBy(cell.alias("cell"))
                 .agg(
-                    F.count(F.lit(1)).alias("n"),
+                    F.expr("count(1) AS n"),
                     *[
-                        F.sum(F.element_at("e6", d + 1)).alias(f"s{d}")
+                        F.expr(f"sum(element_at(e6, {d + 1})) AS s{d}")
                         for d in range(dim)
                     ],
                 )
@@ -628,24 +630,24 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ")), 1)"
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(F.expr(probe_txt)).alias("cell"),
+    q = emb.filter(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS q_id",
+        "embedding AS q_emb",
+        f"explode({probe_txt}) AS cell",
     )
     scored = (
         assigned.join(F.broadcast(q), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
+        .filter("vec_id != q_id")
+        .selectExpr(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
+            "vec_id AS neighbor_id",
+            f"{ss_micros(ss_cosine('q_emb', 'embedding'))} AS cosine_e6",
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(f"rk <= {TOP_K}")
         .select("q_id", "neighbor_id", "cosine_e6", "rk")
     )
 
@@ -749,24 +751,24 @@ def ann_ivf_ml_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"element_at(transform(array({bound}), s -> array({probes})), 1)"
         )
 
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    q = emb.filter(f"vec_id < {N_QUERIES}").select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.explode(probe_cells("embedding")).alias("cell"),
     )
     scored = (
         assigned.join(F.broadcast(q), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
+        .filter("vec_id != q_id")
+        .selectExpr(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
+            "vec_id AS neighbor_id",
+            f"{ss_micros(ss_cosine('q_emb', 'embedding'))} AS cosine_e6",
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(f"rk <= {TOP_K}")
         .select("q_id", "neighbor_id", "cosine_e6", "rk")
     )
 
@@ -906,26 +908,32 @@ def ann_ivf_export_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         "embedding",
         cell_col_from("embedding", EXPORTED_CENTROIDS).alias("cell"),
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(
-            probe_cells_col_from("embedding", EXPORTED_CENTROIDS)
-        ).alias("cell"),
+    probe_txt = (
+        f"array_sort({_ss_enc_array_from('embedding', EXPORTED_CENTROIDS)})"
+    )
+    probe_parts = ", ".join(
+        f"CAST(element_at(s, {i + 1}) % {len(EXPORTED_CENTROIDS)} AS INT)"
+        for i in range(NPROBE)
+    )
+    q = emb.filter(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS q_id",
+        "embedding AS q_emb",
+        f"explode(element_at(transform(array({probe_txt}), "
+        f"s -> array({probe_parts})), 1)) AS cell",
     )
     scored = (
         b.join(F.broadcast(q), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
+        .filter("vec_id != q_id")
+        .selectExpr(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            micros(cosine("q_emb", "embedding")).alias("cosine_e6"),
+            "vec_id AS neighbor_id",
+            f"{ss_micros(ss_cosine('q_emb', 'embedding'))} AS cosine_e6",
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine_e6"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(f"rk <= {TOP_K}")
         .select("q_id", "neighbor_id", "cosine_e6", "rk")
     )
 

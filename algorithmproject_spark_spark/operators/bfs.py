@@ -30,16 +30,16 @@ def bfs_levels(edges: DataFrame, max_level: int = MAX_LEVEL) -> DataFrame:
     # upstream edge derivation per round (kcore.py:57 discipline)
     sym = (
         edges.select("a", "b")
-        .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .unionAll(edges.selectExpr("b AS a", "a AS b"))
         .transform(tracked_lazy_local_checkpoint)
     )
-    src = sym.agg(F.min("a").alias("v"))
+    src = sym.agg(F.expr("min(a) AS v"))
     visited = src.withColumn("level", F.lit(0)).transform(tracked_lazy_local_checkpoint)
     frontier = visited.select("v")
     for lvl in range(1, max_level + 1):
         nxt = (
             frontier.join(sym, frontier["v"] == sym["a"])
-            .select(F.col("b").alias("v"))
+            .selectExpr("b AS v")
             .distinct()
             .join(visited.select("v"), "v", "left_anti")
             .transform(tracked_lazy_local_checkpoint)
@@ -98,17 +98,17 @@ def _register() -> None:
             jaccard_pairs_above,
         )
 
-        edges = jaccard_pairs_above(spark, sf_dir).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        edges = jaccard_pairs_above(spark, sf_dir).selectExpr(
+            "doc_a AS a", "doc_b AS b"
         )
         lv = bfs_levels(edges)
         return (
             lv.groupBy("level")
             .agg(
-                F.count(F.lit(1)).alias("n_nodes"),
-                F.min("v").alias("min_node"),
+                F.expr("count(1) AS n_nodes"),
+                F.expr("min(v) AS min_node"),
             )
-            .select(F.col("level").cast("long"), "n_nodes", "min_node")
+            .selectExpr("CAST(level AS BIGINT) AS level", "n_nodes", "min_node")
         )
 
     from algorithmproject_spark_spark.queries.dedup import sql_dup_pairs_cte

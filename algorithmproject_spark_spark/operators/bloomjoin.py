@@ -51,28 +51,26 @@ WORD_BITS = 62  # masks stay strictly positive BIGINTs
 M_BITS = 1024  # bitmap size; sized small so the fp accounting is visible
 K_HASHES = 3
 
-def _pow2() -> Column:
-    """Powers-of-two lookup array: Spark's F.shiftleft only takes a
-    LITERAL shift amount; a column-indexed lookup is the exact
-    portable substitute. Built lazily — Column construction needs an
-    active SparkContext, which doesn't exist at import time."""
-    return F.array(*[F.lit(1 << i).cast("long") for i in range(WORD_BITS)])
+#: Powers-of-two lookup TEXT: Spark's F.shiftleft only takes a LITERAL
+#: shift amount; a column-indexed lookup is the exact portable
+#: substitute. L-suffixed literals are the same LongType values
+#: F.lit(1 << i).cast('long') shipped (r13 one-parse conversion — the
+#: Column tower cost ~190 py4j round-trips per reference).
+_POW2_TXT = "array(" + ", ".join(f"{1 << i}L" for i in range(WORD_BITS)) + ")"
 
 
-def _bit_mask(p: Column) -> Column:
+def _ss_bit_mask(p: str) -> str:
     """2^(p % WORD_BITS) via array lookup (column-valued shifts)."""
-    return F.element_at(_pow2(), (p % WORD_BITS).cast("int") + F.lit(1))
+    return f"element_at({_POW2_TXT}, CAST(({p}) % {WORD_BITS} AS INT) + 1)"
 
 
-def _word_idx(p: Column) -> Column:
+def _ss_word_idx(p: str) -> str:
     """p div WORD_BITS — the shared exact integer division (never
     double `/` + cast, which goes inexact past 2^53)."""
-    from algorithmproject_spark_spark.functions.numeric import floordiv
-
-    return floordiv(p, F.lit(WORD_BITS))
+    return f"(({p}) div {WORD_BITS})"
 
 
-def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+def ss_positions(key_expr: str, m_bits: int, k: int) -> list[str]:
     """k deterministic bit positions of a BIGINT key: affine hashes
     with the fixed MinHash constants over the overflow-reduced key
     ((key % HASH_REDUCE) * a + b stays < 2^62).
@@ -81,9 +79,8 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     both engines' % follows the dividend's sign, so a negative key
     would yield a negative bit position. Map signed keys through
     pmod/abs before filtering."""
-    kr = key % F.lit(HASH_REDUCE)
     return [
-        ((kr * F.lit(a) + F.lit(b)) % F.lit(MOD)) % F.lit(m_bits)
+        f"((((({key_expr}) % {HASH_REDUCE}) * {a} + {b}) % {MOD}) % {m_bits})"
         for (a, b) in MINHASH_PARAMS[:k]
     ]
 
@@ -105,33 +102,38 @@ def bloom_bitmap(
     never a driver-side collect; the single row broadcasts into the
     probe expression like any scalar."""
     n_words = (m_bits + WORD_BITS - 1) // WORD_BITS
-    pos = keys.select(
-        F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("p")
-    )
-    words = pos.groupBy(_word_idx(F.col("p")).alias("w")).agg(
-        F.bit_or(_bit_mask(F.col("p"))).alias("mask")
+    pos_arr = "array(" + ", ".join(ss_positions(key_col, m_bits, k)) + ")"
+    pos = keys.select(F.explode(F.expr(pos_arr)).alias("p"))
+    words = pos.groupBy(F.expr(_ss_word_idx("p")).alias("w")).agg(
+        F.expr(f"bit_or({_ss_bit_mask('p')})").alias("mask")
     )
     # dense array: position w+1 holds word w, absent words are 0
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-            lambda w: F.coalesce(F.element_at("m", w), F.lit(0).cast("long")),
-        ).alias("bm")
+        F.expr("map_from_entries(collect_list(struct(w, mask)))").alias("m")
+    ).selectExpr(
+        f"transform(sequence(CAST(0 AS BIGINT), CAST({n_words - 1} AS BIGINT)), "
+        f"w -> coalesce(element_at(m, w), CAST(0 AS BIGINT))) AS bm"
     )
 
 
-def bloom_might_contain(
-    key: Column, bm: Column, m_bits: int = M_BITS, k: int = K_HASHES
-) -> Column:
+def ss_bloom_might_contain(
+    key: str, bm: str, m_bits: int = M_BITS, k: int = K_HASHES
+) -> str:
     """True iff every one of the key's k bits is set in the bitmap —
     pure expressions, evaluated map-side on the big relation."""
-    cond = F.lit(True)
-    for p in _positions(key, m_bits, k):
-        word = F.element_at(bm, (_word_idx(p) + F.lit(1)).cast("int"))
-        cond = cond & (word.bitwiseAND(_bit_mask(p)) != F.lit(0))
+    cond = "true"
+    for p in ss_positions(key, m_bits, k):
+        word = f"element_at({bm}, CAST({_ss_word_idx(p)} + 1 AS INT))"
+        cond = f"({cond} AND (({word} & {_ss_bit_mask(p)}) != 0))"
     return cond
+
+
+def bloom_might_contain(
+    key: str, bm: str, m_bits: int = M_BITS, k: int = K_HASHES
+) -> Column:
+    """Column wrapper over :func:`ss_bloom_might_contain` — takes the
+    column NAMES so the whole probe predicate is one F.expr parse."""
+    return F.expr(ss_bloom_might_contain(key, bm, m_bits, k))
 
 
 def bloom_prefilter(
@@ -148,7 +150,7 @@ def bloom_prefilter(
     bm = bloom_bitmap(small_keys, small_key, m_bits, k)
     return (
         big.crossJoin(F.broadcast(bm))
-        .filter(bloom_might_contain(F.col(big_key), F.col("bm"), m_bits, k))
+        .filter(bloom_might_contain(big_key, "bm", m_bits, k))
         .drop("bm")
     )
 
@@ -206,9 +208,13 @@ def _register() -> None:
     def bloom_prefilter_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust = load_table(spark, sf_dir, "customer")
         orders = load_table(spark, sf_dir, "orders")
-        small = cust.filter(
-            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000.0)
-        ).select("c_custkey").distinct()
+        small = (
+            cust.filter(
+                "c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0D"
+            )
+            .select("c_custkey")
+            .distinct()
+        )
         passed = tracked_cache(
             bloom_prefilter(orders, small, "o_custkey", "c_custkey")
         )
@@ -216,16 +222,20 @@ def _register() -> None:
             F.broadcast(small), passed["o_custkey"] == small["c_custkey"], "left_semi"
         )
         return (
-            orders.agg(F.count(F.lit(1)).alias("n_big"))
-            .crossJoin(F.broadcast(small.agg(F.count(F.lit(1)).alias("n_keys"))))
-            .crossJoin(F.broadcast(passed.agg(F.count(F.lit(1)).alias("n_pass_bloom"))))
-            .crossJoin(F.broadcast(true_m.agg(F.count(F.lit(1)).alias("n_true_match"))))
-            .select(
+            orders.agg(F.expr("count(1) AS n_big"))
+            .crossJoin(F.broadcast(small.agg(F.expr("count(1) AS n_keys"))))
+            .crossJoin(
+                F.broadcast(passed.agg(F.expr("count(1) AS n_pass_bloom")))
+            )
+            .crossJoin(
+                F.broadcast(true_m.agg(F.expr("count(1) AS n_true_match")))
+            )
+            .selectExpr(
                 "n_big",
                 "n_keys",
                 "n_pass_bloom",
                 "n_true_match",
-                (F.col("n_pass_bloom") - F.col("n_true_match")).alias("n_false_pos"),
+                "n_pass_bloom - n_true_match AS n_false_pos",
             )
         )
 

@@ -57,13 +57,11 @@ def connected_components_min_label(
     the tower every loop.
     """
     edges = (
-        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-        .unionAll(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        pairs.selectExpr(f"{a_col} AS s", f"{b_col} AS d")
+        .unionAll(pairs.selectExpr(f"{b_col} AS s", f"{a_col} AS d"))
         .transform(tracked_lazy_local_checkpoint)
     )
-    labels = (
-        edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
-    )
+    labels = edges.selectExpr("s AS v").distinct().selectExpr("v", "v AS lbl")
     for _ in range(iterations):
         # One join + ONE aggregation per round (r12): the neighbor
         # labels pushed along edges are unioned with each vertex's own
@@ -74,8 +72,9 @@ def connected_components_min_label(
         # exchanges of the label relation) with 2 exchanges and one
         # fewer join stage. Vertex set is preserved: the union always
         # contains every `labels` row. Guide §2.4 (remove shuffles).
-        pushed = edges.join(labels.withColumnRenamed("v", "s"), "s").select(
-            F.col("d").alias("v"), "lbl"
+        # One-parse glue (r13): text forms of the same expressions.
+        pushed = edges.join(labels.withColumnRenamed("v", "s"), "s").selectExpr(
+            "d AS v", "lbl"
         )
         # LAZY checkpoint (r12): the loop has no per-round action, so
         # deferring materialization collapses k eager jobs into the
@@ -84,7 +83,7 @@ def connected_components_min_label(
         labels = (
             pushed.unionAll(labels)
             .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.expr("min(lbl) AS lbl"))
             .transform(tracked_lazy_local_checkpoint)
         )
     return labels

@@ -61,10 +61,10 @@ def kcore_vertices(
     returning a non-k-core as a dense-cluster certificate."""
     e = edges.select("a", "b").transform(tracked_lazy_local_checkpoint)
     for i in range(rounds):
-        keep = _degrees(e).filter(F.col("deg") >= k).select("v")
+        keep = _degrees(e).filter(f"deg >= {k}").select("v")
         e = e.join(
-            keep.select(F.col("v").alias("a")), "a", "left_semi"
-        ).join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+            keep.selectExpr("v AS a"), "a", "left_semi"
+        ).join(keep.selectExpr("v AS b"), "b", "left_semi")
         # cadence knob (VERDICT r10 #7): lineage management only —
         # values identical at any cadence; final round always truncates
         if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
@@ -73,7 +73,7 @@ def kcore_vertices(
     # min-degree invariant: every vertex of a true k-core has deg >= k
     # in the surviving subgraph; a deg < k survivor means one more peel
     # round would still remove vertices, i.e. rounds was too shallow
-    if deg.filter(F.col("deg") < k).limit(1).count() > 0:
+    if deg.filter(f"deg < {k}").limit(1).count() > 0:
         raise ValueError(
             f"k-core peel did not converge in {rounds} rounds "
             f"(a surviving vertex still has degree < {k}); "
@@ -126,12 +126,10 @@ def _register() -> None:
             jaccard_pairs_above,
         )
 
-        edges = jaccard_pairs_above(spark, sf_dir).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        edges = jaccard_pairs_above(spark, sf_dir).selectExpr(
+            "doc_a AS a", "doc_b AS b"
         )
-        return kcore_vertices(edges).select(
-            F.col("v").alias("doc_id"), "deg"
-        )
+        return kcore_vertices(edges).selectExpr("v AS doc_id", "deg")
 
     from algorithmproject_spark_spark.queries.dedup import sql_dup_pairs_cte
 

@@ -45,21 +45,15 @@ def label_propagation(
     and the final round always checkpoints so callers never receive an
     unbounded plan."""
     edges = (
-        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-        .unionAll(
-            pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
-        )
+        pairs.selectExpr(f"{a_col} AS s", f"{b_col} AS d")
+        .unionAll(pairs.selectExpr(f"{b_col} AS s", f"{a_col} AS d"))
         .transform(tracked_lazy_local_checkpoint)
     )
-    labels = (
-        edges.select(F.col("s").alias("v"))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
-    )
+    labels = edges.selectExpr("s AS v").distinct().selectExpr("v", "v AS lbl")
     for i in range(iterations):
         neighbor_labels = edges.join(
             labels.withColumnRenamed("v", "d"), "d"
-        ).select(F.col("s").alias("v"), "lbl")
+        ).selectExpr("s AS v", "lbl")
         # top-1 by (count DESC, lbl ASC) as ONE aggregation (r12):
         # argmin of the struct (-c, lbl) — struct ordering is
         # field-by-field, counts are BIGINT, so min((-c, lbl)).lbl is
@@ -67,20 +61,19 @@ def label_propagation(
         # window's full-partition sort and with map-side partial
         # aggregation on (v, lbl) and v (guide §2.3 "aggregate before
         # you shuffle"; §2.4 — drops the window's extra exchange).
+        # One-parse glue (r13): each round's towers cost ~190 py4j
+        # round-trips through the Column API; the text forms parse the
+        # identical expressions in 4 trips.
         labels = (
             neighbor_labels.groupBy("v", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.expr("count(1) AS c"))
             .groupBy("v")
-            .agg(
-                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias(
-                    "t"
-                )
-            )
-            .select("v", F.col("t.lbl").alias("lbl"))
+            .agg(F.expr("min(struct(-c AS nc, lbl)) AS t"))
+            .selectExpr("v", "t.lbl AS lbl")
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             labels = labels.transform(tracked_lazy_local_checkpoint)
-    return labels.select("v", F.col("lbl").alias("community"))
+    return labels.selectExpr("v", "lbl AS community")
 
 
 def sql_label_propagation(

@@ -79,6 +79,27 @@ def quant_col(emb: Column) -> Column:
     )
 
 
+def ss_quant(emb: str) -> str:
+    """Spark-SQL text twin of :func:`quant_col` (r13 one-parse)."""
+    from algorithmproject_spark_spark.functions.vectors import ss_to_double
+
+    return (
+        f"transform({ss_to_double(emb)}, "
+        f"x -> CAST(floor(x * {float(Q_SCALE)!r}D + 0.5D) AS BIGINT))"
+    )
+
+
+def ss_proj(emb: str, xs: list[int]) -> str:
+    """Spark-SQL text twin of the projection fold onto an integer
+    direction: one F.expr parse instead of ~260 py4j round-trips for
+    the 64-literal array + zip_with/aggregate tower (r13)."""
+    arr = "array(" + ", ".join(f"{int(v)}L" for v in xs) + ")"
+    return (
+        f"aggregate(zip_with({ss_quant(emb)}, {arr}, (a, b) -> a * b), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
 def sql_quant(emb: str) -> str:
     return (
         f"list_transform({emb}, x_ -> CAST(floor(CAST(x_ AS DOUBLE) "
@@ -385,26 +406,16 @@ def embedding_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    xs = F.array(*[F.lit(v).cast("long") for v in x])
-    proj = F.aggregate(
-        F.zip_with(quant_col(F.col("embedding")), xs, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    pj = emb.select("vec_id", proj.alias("p"))
-    mean_p = pj.agg(
-        F.call_function(
-            "div", F.sum("p"), F.count(F.lit(1))
-        ).alias("mean_p")
-    )
+    pj = emb.selectExpr("vec_id", f"{ss_proj('embedding', x)} AS p")
+    mean_p = pj.agg(F.expr("sum(p) div count(1) AS mean_p"))
     return (
         pj.crossJoin(F.broadcast(mean_p))
-        .select(
+        .selectExpr(
             "vec_id",
-            F.col("p").alias("proj"),
-            (F.col("p") - F.col("mean_p")).cast("long").alias("dev"),
+            "p AS proj",
+            "CAST(p - mean_p AS BIGINT) AS dev",
         )
-        .orderBy(F.abs(F.col("dev")).desc(), F.asc("vec_id"))
+        .orderBy(F.expr("abs(dev)").desc(), F.asc("vec_id"))
         .limit(20)
     )
 
@@ -486,32 +497,24 @@ def embedding_pca_outliers2d(
         "vec_id", "embedding"
     )
 
-    def proj(xs: list[int]) -> Column:
-        arr = F.array(*[F.lit(v).cast("long") for v in xs])
-        return F.aggregate(
-            F.zip_with(
-                quant_col(F.col("embedding")), arr, lambda a, b: a * b
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    pj = emb.select(
-        "vec_id", proj(x1).alias("p1"), proj(x2).alias("p2")
+    pj = emb.selectExpr(
+        "vec_id",
+        f"{ss_proj('embedding', x1)} AS p1",
+        f"{ss_proj('embedding', x2)} AS p2",
     )
     means = pj.agg(
-        F.call_function("div", F.sum("p1"), F.count(F.lit(1))).alias("m1"),
-        F.call_function("div", F.sum("p2"), F.count(F.lit(1))).alias("m2"),
+        F.expr("sum(p1) div count(1) AS m1"),
+        F.expr("sum(p2) div count(1) AS m2"),
     )
     return (
         pj.crossJoin(F.broadcast(means))
-        .select(
+        .selectExpr(
             "vec_id",
-            (F.col("p1") - F.col("m1")).cast("long").alias("dev1"),
-            (F.col("p2") - F.col("m2")).cast("long").alias("dev2"),
+            "CAST(p1 - m1 AS BIGINT) AS dev1",
+            "CAST(p2 - m2 AS BIGINT) AS dev2",
         )
         .orderBy(
-            F.greatest(F.abs(F.col("dev1")), F.abs(F.col("dev2"))).desc(),
+            F.expr("greatest(abs(dev1), abs(dev2))").desc(),
             F.asc("vec_id"),
         )
         .limit(20)

@@ -42,13 +42,14 @@ def vertex_degrees(edges: DataFrame) -> DataFrame:
     """``(v, deg)`` over distinct undirected ``edges(a, b)`` — the
     shared degree primitive of the graph family (orientation here,
     peel threshold in operators/kcore.py)."""
-    e = edges.select(F.col(edges.columns[0]).alias("a"),
-                     F.col(edges.columns[1]).alias("b"))
+    e = edges.selectExpr(
+        f"{edges.columns[0]} AS a", f"{edges.columns[1]} AS b"
+    )
     return (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
+        e.selectExpr("a AS v")
+        .unionAll(e.selectExpr("b AS v"))
         .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.expr("count(1) AS deg"))
     )
 
 
@@ -67,18 +68,17 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     from lower (degree, id) to higher. Returns ``(src, dst, dd)`` with
     ``dd`` = the destination's degree (kept so downstream wedge joins
     can order destinations without another degree join)."""
-    e = edges.select(F.col(edges.columns[0]).alias("a"),
-                     F.col(edges.columns[1]).alias("b"))
-    deg = vertex_degrees(e)
-    ea = e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
-    eab = ea.join(
-        deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b"
+    e = edges.selectExpr(
+        f"{edges.columns[0]} AS a", f"{edges.columns[1]} AS b"
     )
-    fwd = _lt(F.col("da"), F.col("a"), F.col("db"), F.col("b"))
-    return eab.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    deg = vertex_degrees(e)
+    ea = e.join(deg.selectExpr("v AS a", "deg AS da"), "a")
+    eab = ea.join(deg.selectExpr("v AS b", "deg AS db"), "b")
+    fwd = "(da < db OR (da = db AND a < b))"
+    return eab.selectExpr(
+        f"CASE WHEN {fwd} THEN a ELSE b END AS src",
+        f"CASE WHEN {fwd} THEN b ELSE a END AS dst",
+        f"CASE WHEN {fwd} THEN db ELSE da END AS dd",
     )
 
 
@@ -95,18 +95,14 @@ def triangles(edges: DataFrame) -> DataFrame:
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedges = e1.join(
         e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & _lt(F.col("e1.dd"), F.col("e1.dst"), F.col("e2.dd"), F.col("e2.dst")),
-    ).select(
-        F.col("e1.src").alias("u"),
-        F.col("e1.dst").alias("v"),
-        F.col("e2.dst").alias("w"),
-    )
+        F.expr(
+            "e1.src = e2.src AND (e1.dd < e2.dd"
+            " OR (e1.dd = e2.dd AND e1.dst < e2.dst))"
+        ),
+    ).selectExpr("e1.src AS u", "e1.dst AS v", "e2.dst AS w")
     e3 = o.alias("e3")
     return wedges.join(
-        e3,
-        (F.col("v") == F.col("e3.src")) & (F.col("w") == F.col("e3.dst")),
-        "left_semi",
+        e3, F.expr("v = e3.src AND w = e3.dst"), "left_semi"
     )
 
 
@@ -115,9 +111,9 @@ def vertex_triangle_counts(edges: DataFrame) -> DataFrame:
     every vertex in at least one triangle."""
     tri = triangles(edges)
     return (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        tri.selectExpr("explode(array(u, v, w)) AS v")
         .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(F.expr("count(1) AS n_triangles"))
     )
 
 

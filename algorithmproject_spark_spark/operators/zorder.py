@@ -57,6 +57,26 @@ def spread_bits16(col: Column) -> Column:
     return x
 
 
+def ss_spread_bits16(expr: str) -> str:
+    """Spark-SQL text twin of :func:`spread_bits16` (r13 one-parse;
+    shiftleft() is the function the Column ladder calls)."""
+    x = f"(({expr}) & 65535)"
+    for shift, mask in _SPREAD:
+        x = f"(({x} | shiftleft({x}, {shift})) & {mask})"
+    return x
+
+
+def ss_zvalue16(a_expr: str, b_expr: str) -> str:
+    return f"({ss_spread_bits16(a_expr)} | shiftleft({ss_spread_bits16(b_expr)}, 1))"
+
+
+def ss_rank16(expr: str, vmin: str, vmax: str) -> str:
+    return (
+        f"CASE WHEN ({vmax} - {vmin}) <= 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE (({expr} - {vmin}) * 65535) div ({vmax} - {vmin}) END"
+    )
+
+
 def sql_spread_bits16(expr: str) -> str:
     """DuckDB twin of :func:`spread_bits16` (same ladder)."""
     x = f"(({expr}) & 65535)"
@@ -193,40 +213,48 @@ def _register() -> None:
         "envelopes tight, which is the whole point of the layout",
     )
     def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ev = load_table(spark, sf_dir, "events").select(
-            "user_id", F.unix_timestamp("ts").alias("tsec")
+        # one-parse text glue (r13): identical shift/mask ladder
+        ev = load_table(spark, sf_dir, "events").selectExpr(
+            "user_id", "unix_timestamp(ts) AS tsec"
         )
         mm = ev.agg(
-            F.min("user_id").alias("a_min"), F.max("user_id").alias("a_max"),
-            F.min("tsec").alias("b_min"), F.max("tsec").alias("b_max"),
+            F.expr("min(user_id) AS a_min"),
+            F.expr("max(user_id) AS a_max"),
+            F.expr("min(tsec) AS b_min"),
+            F.expr("max(tsec) AS b_max"),
         )
-        z = zvalue16(
-            rank16_exact(F.col("user_id"), F.col("a_min"), F.col("a_max")),
-            rank16_exact(F.col("tsec"), F.col("b_min"), F.col("b_max")),
+        z = ss_zvalue16(
+            ss_rank16("user_id", "a_min", "a_max"),
+            ss_rank16("tsec", "b_min", "b_max"),
         )
-        bkt = ev.crossJoin(F.broadcast(mm)).select(
+        bkt = ev.crossJoin(F.broadcast(mm)).selectExpr(
             "user_id",
             "tsec",
-            _floordiv(z, F.lit(1 << N_BUCKETS_LOG2)).alias("bkt"),
+            f"({z}) div {1 << N_BUCKETS_LOG2} AS bkt",
             # thread the predicate bounds through (exact integer mids)
-            (F.col("a_min") + _floordiv(F.col("a_max") - F.col("a_min"), F.lit(4))).alias("u_a"),
-            (F.col("a_min") + _floordiv(F.col("a_max") - F.col("a_min"), F.lit(2))).alias("u_b"),
-            (F.col("b_min") + _floordiv(F.col("b_max") - F.col("b_min"), F.lit(4))).alias("t_a"),
-            (F.col("b_min") + _floordiv(F.col("b_max") - F.col("b_min"), F.lit(2))).alias("t_b"),
+            "a_min + (a_max - a_min) div 4 AS u_a",
+            "a_min + (a_max - a_min) div 2 AS u_b",
+            "b_min + (b_max - b_min) div 4 AS t_a",
+            "b_min + (b_max - b_min) div 2 AS t_b",
         )
         per_bucket = bkt.groupBy("bkt", "u_a", "u_b", "t_a", "t_b").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
-            F.min("tsec").alias("t_lo"), F.max("tsec").alias("t_hi"),
+            F.expr("count(1) AS n"),
+            F.expr("min(user_id) AS u_lo"),
+            F.expr("max(user_id) AS u_hi"),
+            F.expr("min(tsec) AS t_lo"),
+            F.expr("max(tsec) AS t_hi"),
         )
-        hit_u = (F.col("u_hi") >= F.col("u_a")) & (F.col("u_lo") <= F.col("u_b"))
-        hit_t = (F.col("t_hi") >= F.col("t_a")) & (F.col("t_lo") <= F.col("t_b"))
+        hit_u = "(u_hi >= u_a AND u_lo <= u_b)"
+        hit_t = "(t_hi >= t_a AND t_lo <= t_b)"
         return per_bucket.agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum("n").alias("n_rows"),
-            F.sum(hit_u.cast("long")).alias("scan_user_pred"),
-            F.sum(hit_t.cast("long")).alias("scan_ts_pred"),
-            F.sum((hit_u & hit_t).cast("long")).alias("scan_both_pred"),
+            F.expr("count(1) AS n_buckets"),
+            F.expr("sum(n) AS n_rows"),
+            F.expr(f"sum(CAST({hit_u} AS BIGINT)) AS scan_user_pred"),
+            F.expr(f"sum(CAST({hit_t} AS BIGINT)) AS scan_ts_pred"),
+            F.expr(
+                f"sum(CAST({hit_u} AND {hit_t} AS BIGINT))"
+                " AS scan_both_pred"
+            ),
         )
 
 

@@ -180,17 +180,16 @@ def lda_corpus_uci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collects the whole vertex map to the driver; this never does).
 # --------------------------------------------------------------------------
 def corpus_word_graph(docs: DataFrame) -> DataFrame:
-    """Symmetric adjacent-token co-occurrence edges (src, dst, w)."""
-    toks = docs.select(F.posexplode(tokenize("text")).alias("pos", "word"), "doc_id")
-    nxt = toks.select(
-        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("word").alias("next_word")
+    """Symmetric adjacent-token co-occurrence edges (src, dst, w).
+    One-parse text glue (r13): identical expressions."""
+    toks = docs.selectExpr(
+        "posexplode(split(text, ' ')) AS (pos, word)", "doc_id"
     )
-    pairs = toks.join(nxt, ["doc_id", "pos"]).filter(F.col("word") != F.col("next_word"))
-    directed = pairs.select(F.col("word").alias("src"), F.col("next_word").alias("dst"))
-    sym = directed.unionByName(
-        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return sym.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    nxt = toks.selectExpr("doc_id", "pos + 1 AS pos", "word AS next_word")
+    pairs = toks.join(nxt, ["doc_id", "pos"]).filter("word != next_word")
+    directed = pairs.selectExpr("word AS src", "next_word AS dst")
+    sym = directed.unionByName(directed.selectExpr("dst AS src", "src AS dst"))
+    return sym.groupBy("src", "dst").agg(F.expr("count(1) AS w"))
 
 
 PR_SCALE = 10**12  # rank fixed-point unit; rank*w must stay < 2^63 —
@@ -221,22 +220,22 @@ def corpus_pagerank(
     localCheckpoint cuts the plan itself to the materialized RDD.
     """
     edges = tracked_cache(corpus_word_graph(docs))
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    out_w = edges.groupBy("src").agg(F.expr("sum(w) AS out_w"))
     edges_n = tracked_cache(
         edges.join(out_w, "src").select("src", "dst", "w", "out_w")
     )
-    nodes = tracked_cache(edges.select(F.col("src").alias("word")).distinct())
+    nodes = tracked_cache(edges.selectExpr("src AS word").distinct())
     n = nodes.count()
     if n == 0:
         # empty corpus → empty rank table (the DuckDB twin's CTE chain
         # yields zero rows; without this guard the driver-side base
         # division raises ZeroDivisionError — edge-sweep finding)
-        return nodes.select(
-            "word", F.lit(0).cast("long").alias("rank")
-        )
+        return nodes.selectExpr("word", "CAST(0 AS BIGINT) AS rank")
     base = (scale * 3 // 20) // n
-    ranks = nodes.select("word", F.lit(scale // n).cast("long").alias("rank"))
-    zero_nodes = nodes.select("word", F.lit(0).cast("long").alias("c"))
+    ranks = nodes.selectExpr(
+        "word", f"CAST({scale // n} AS BIGINT) AS rank"
+    )
+    zero_nodes = nodes.selectExpr("word", "CAST(0 AS BIGINT) AS c")
     for _ in range(iterations):
         # One join + ONE aggregation per iteration (r12): per-edge
         # contributions are unioned with a zero row per node and
@@ -246,16 +245,16 @@ def corpus_pagerank(
         # body (two shuffles + a join of the rank-sized relation) with
         # one shuffle, while still keeping base rank mass for isolated
         # vocabulary (guide §2.4).
-        contrib_rows = edges_n.join(ranks, edges_n.src == ranks.word).select(
-            F.col("dst").alias("word"), F.expr("rank * w DIV out_w").alias("c")
-        )
+        contrib_rows = edges_n.join(
+            ranks, edges_n.src == ranks.word
+        ).selectExpr("dst AS word", "rank * w DIV out_w AS c")
         ranks = (
             contrib_rows.unionAll(zero_nodes)
             .groupBy("word")
-            .agg(F.sum("c").alias("c"))
-            .select(
+            .agg(F.expr("sum(c) AS c"))
+            .selectExpr(
                 "word",
-                (F.lit(base) + F.expr("c * 17 DIV 20")).cast("long").alias("rank"),
+                f"CAST({base} + c * 17 DIV 20 AS BIGINT) AS rank",
             )
             # LAZY checkpoint (r12): no per-iteration action in the
             # fixed-count loop -> one final DAG instead of k eager jobs
@@ -354,44 +353,56 @@ def corpus_pagerank_tol(
     driver-side ``collect`` is a single BIGINT per iteration.
     """
     edges = tracked_cache(corpus_word_graph(docs))
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    out_w = edges.groupBy("src").agg(F.expr("sum(w) AS out_w"))
     edges_n = tracked_cache(
         edges.join(out_w, "src").select("src", "dst", "w", "out_w")
     )
-    nodes = tracked_cache(edges.select(F.col("src").alias("word")).distinct())
+    nodes = tracked_cache(edges.selectExpr("src AS word").distinct())
     n = nodes.count()
     if n == 0:
-        return nodes.select("word", F.lit(0).cast("long").alias("rank")), 0
+        return nodes.selectExpr("word", "CAST(0 AS BIGINT) AS rank"), 0
     base = (scale * 3 // 20) // n
     ranks = tracked_local_checkpoint(
-        nodes.select("word", F.lit(scale // n).cast("long").alias("rank"))
+        nodes.selectExpr("word", f"CAST({scale // n} AS BIGINT) AS rank")
     )
     iters = 0
-    zero_nodes = nodes.select("word", F.lit(0).cast("long").alias("c"))
+    # Fold the convergence probe into the iteration's ONE aggregation
+    # (r13, VERDICT r12 #4): instead of unioning zero rows and then
+    # JOINING new_ranks back to the previous ranks for the residual,
+    # union the PREVIOUS rank rows themselves (c = 0 keeps the sum
+    # identical — every vertex has exactly one ranks row, so
+    # max(prev) recovers its previous rank in the same groupBy), and
+    # read the residual with one vocabulary-scale agg over the
+    # checkpointed output. Jobs per round: 2 (checkpoint + resid agg
+    # over in-memory blocks) instead of 3 (checkpoint + join + agg);
+    # exchanges per round drop by the join's two sides.
     for _ in range(max_iters):
-        # same union-agg iteration body as the fixed-count form (r12)
-        contrib_rows = edges_n.join(ranks, edges_n.src == ranks.word).select(
-            F.col("dst").alias("word"), F.expr("rank * w DIV out_w").alias("c")
+        contrib_rows = edges_n.join(
+            ranks, edges_n.src == ranks.word
+        ).selectExpr("dst AS word", "rank * w DIV out_w AS c")
+        prev_rows = ranks.selectExpr(
+            "word", "CAST(0 AS BIGINT) AS c", "rank AS prev"
         )
-        new_ranks = (
-            contrib_rows.unionAll(zero_nodes)
+        stepped = (
+            contrib_rows.selectExpr(
+                "word", "c", "CAST(NULL AS BIGINT) AS prev"
+            )
+            .unionAll(prev_rows)
             .groupBy("word")
-            .agg(F.sum("c").alias("c"))
-            .select(
+            .agg(F.expr("sum(c) AS c"), F.expr("max(prev) AS prev"))
+            .selectExpr(
                 "word",
-                (F.lit(base) + F.expr("c * 17 DIV 20")).cast("long").alias("rank"),
+                f"CAST({base} + c * 17 DIV 20 AS BIGINT) AS rank",
+                "prev",
             )
             .transform(tracked_local_checkpoint)
         )
         iters += 1
         resid = (
-            new_ranks.join(
-                ranks.select("word", F.col("rank").alias("prev")), "word"
-            )
-            .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+            stepped.agg(F.expr("max(abs(rank - prev)) AS d"))
             .collect()[0]["d"]
         )
-        ranks = new_ranks
+        ranks = stepped.select("word", "rank")
         if resid is not None and resid <= tol_fp:
             break
     return ranks, iters

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from algorithmproject_spark_spark.functions.numeric import (
-    hash_mod,
     sql_hash_mod,
+    ss_hash_mod,
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -90,40 +90,37 @@ def corpus_curriculum_assignment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    # one-parse text glue (r13): identical expressions
+    t = docs.selectExpr(
+        "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"
     )
     dist = t.groupBy(F.col("n_tokens").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+        F.expr("count(1) AS c")
     )
-    wc = W.orderBy("v")
-    cum = dist.select(
+    cum = dist.selectExpr(
         "v",
-        F.sum("c").over(wc.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c")
-        .over(wc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("n"),
+        "sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW) AS cum",
+        "sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " UNBOUNDED FOLLOWING) AS n",
     )
     cuts = cum.agg(
         *[
-            F.min(
-                F.when(
-                    F.col("cum") * N_BANDS >= F.col("n") * k, F.col("v")
-                )
-            ).alias(f"p{k}")
+            F.expr(
+                f"min(CASE WHEN cum * {N_BANDS} >= n * {k} THEN v END)"
+                f" AS p{k}"
+            )
             for k in range(1, N_BANDS)
         ]
     )
-    band = F.lit(1)
-    for k in range(1, N_BANDS):
-        band = band + (F.col("n_tokens") > F.col(f"p{k}")).cast("int")
-    shard = hash_mod("doc_id", N_SHARDS)
-    return t.crossJoin(F.broadcast(cuts)).select(
+    band = "1 + " + " + ".join(
+        f"CAST(n_tokens > p{k} AS INT)" for k in range(1, N_BANDS)
+    )
+    return t.crossJoin(F.broadcast(cuts)).selectExpr(
         "doc_id",
         "n_tokens",
-        band.cast("long").alias("band"),
-        shard.cast("long").alias("shard"),
-        (band.cast("long") * F.lit(KEY_MOD) + hash_mod("doc_id", KEY_MOD))
-        .cast("long")
-        .alias("order_key"),
+        f"CAST({band} AS BIGINT) AS band",
+        f"CAST({ss_hash_mod('doc_id', N_SHARDS)} AS BIGINT) AS shard",
+        f"CAST(CAST({band} AS BIGINT) * {KEY_MOD}"
+        f" + {ss_hash_mod('doc_id', KEY_MOD)} AS BIGINT) AS order_key",
     )

@@ -96,71 +96,60 @@ _FP_SQL = REGISTRY["doc_fingerprint"].oracle
     ),
 )
 def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-parse text glue (r13): identical expressions
     vol = REGISTRY["doc_token_stats"].fn(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_tokens) AS BIGINT) AS total_tokens"),
     )
     keep = REGISTRY["doc_quality_score"].fn(spark, sf_dir).agg(
-        F.sum("keep").cast("long").alias("n_keep")
+        F.expr("CAST(sum(keep) AS BIGINT) AS n_keep")
     )
     dup = REGISTRY["doc_fingerprint"].fn(spark, sf_dir).agg(
-        (F.count(F.lit(1)) - F.countDistinct("fingerprint"))
-        .cast("long")
-        .alias("n_dups")
+        F.expr(
+            "CAST(count(1) - count(DISTINCT fingerprint) AS BIGINT)"
+            " AS n_dups"
+        )
     )
     lc = (
         load_table(spark, sf_dir, "documents")
         .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS c"))
     )
     lent = lc.agg(
-        F.count(F.lit(1)).cast("long").alias("n_langs"),
-        F.sum(
-            F.floor(
-                F.col("c").cast("double") * F.log(F.col("c")) * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("s_e6"),
-        F.sum("c").cast("long").alias("n"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_langs"),
+        F.expr(
+            "CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(c) * 1e6D + 0.5D)"
+            " AS BIGINT)) AS BIGINT) AS s_e6"
+        ),
+        F.expr("CAST(sum(c) AS BIGINT) AS n"),
     )
-    e6 = F.lit(1_000_000).cast("long")
-    zero = F.lit(0).cast("long")
+    zero = "CAST(0 AS BIGINT)"
 
-    def rate(num, alias):
+    def rate(num: str, alias: str) -> str:
         # empty-corpus contract: 0, never a divide-by-zero (ANSI raises
         # where DuckDB's // would NULL — the edge-sweep divergence class)
         return (
-            F.when(F.col("n_docs") == 0, zero)
-            .otherwise(floordiv(num, F.col("n_docs")))
-            .alias(alias)
+            f"CASE WHEN n_docs = 0 THEN {zero}"
+            f" ELSE ({num}) div n_docs END AS {alias}"
         )
 
+    e6 = f"CAST({1_000_000} AS BIGINT)"
     return (
         vol.crossJoin(F.broadcast(keep))
         .crossJoin(F.broadcast(dup))
         .crossJoin(F.broadcast(lent))
-        .select(
+        .selectExpr(
             "n_docs",
-            F.coalesce("total_tokens", zero).alias("total_tokens"),
+            f"coalesce(total_tokens, {zero}) AS total_tokens",
             rate(
-                F.coalesce("total_tokens", zero)
-                * F.lit(1_000).cast("long"),
+                f"coalesce(total_tokens, {zero}) * CAST(1000 AS BIGINT)",
                 "mean_doc_tokens_e3",
             ),
-            rate(F.coalesce("n_keep", zero) * e6, "keep_rate_e6"),
-            rate(F.coalesce("n_dups", zero) * e6, "dup_rate_e6"),
+            rate(f"coalesce(n_keep, {zero}) * {e6}", "keep_rate_e6"),
+            rate(f"coalesce(n_dups, {zero}) * {e6}", "dup_rate_e6"),
             "n_langs",
-            F.when(
-                F.col("n").isNull() | (F.col("n") == 0), zero
-            )
-            .otherwise(
-                F.floor(F.log(F.col("n")) * F.lit(1e6) + F.lit(0.5)).cast(
-                    "long"
-                )
-                - floordiv(F.col("s_e6"), F.col("n"))
-            )
-            .alias("lang_entropy_e6"),
+            f"CASE WHEN n IS NULL OR n = 0 THEN {zero}"
+            f" ELSE CAST(floor(ln(n) * 1e6D + 0.5D) AS BIGINT)"
+            f" - s_e6 div n END AS lang_entropy_e6",
         )
     )

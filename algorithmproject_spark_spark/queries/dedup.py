@@ -29,7 +29,10 @@ from algorithmproject_spark_spark.functions.hashing import (
     ss_minhash_value,
     ss_token_hash_array,
 )
-from algorithmproject_spark_spark.functions.numeric import sql_hash_mod
+from algorithmproject_spark_spark.functions.numeric import (
+    sql_hash_mod,
+    ss_micros,
+)
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -163,14 +166,17 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
+    # one-parse join condition + projection (r13): same expressions,
+    # ~180 fewer py4j trips per consumer build
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_idx = b.band_idx AND a.band_key = b.band_key"
+                " AND a.doc_id < b.doc_id"
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
         .distinct()
     )
 
@@ -224,8 +230,8 @@ def jaccard_pairs_above(
     """
     cand = minhash_lsh_candidates(spark, sf_dir)
     sh = _shingle_hashes(spark, sf_dir)
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    x = sh.selectExpr("doc_id AS doc_a", "sh AS sh_a")
+    y = sh.selectExpr("doc_id AS doc_b", "sh AS sh_b")
     joined = cand.join(x, "doc_a").join(y, "doc_b")
     # one-parse text twins of the Column exprs (r12): same coercions —
     # int/double division, D-suffixed double literals matching F.lit's
@@ -1272,51 +1278,50 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from algorithmproject_spark_spark.functions.numeric import micros, ppm
 
+    from algorithmproject_spark_spark.functions.numeric import ss_ppm
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     # cache(): the ratio relation feeds BOTH the cut-point aggregation
     # and the quartile assignment — uncached, the full-corpus tokenize
     # + array_distinct projection runs twice (the same recompute
     # diamond the shingle/doc-token caches close)
-    q = docs.select(
+    q = docs.selectExpr(
         "doc_id",
-        micros(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-        ).alias("rep_ratio_e6"),
+        ss_micros(
+            "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+            " / size(split(text, ' '))"
+        )
+        + " AS rep_ratio_e6",
     )
     q = tracked_cache(q)
     # exact quartile cut points over the compacted distribution: the
     # single-partition window covers DISTINCT ratio values (bounded by
     # the e6 value domain), never the doc relation
     dist = q.groupBy(F.col("rep_ratio_e6").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+        F.expr("count(1) AS c")
     )
-    w = Window.orderBy("v")
-    cum = dist.select(
+    cum = dist.selectExpr(
         "v",
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+        "sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW) AS cum",
+        "sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " UNBOUNDED FOLLOWING) AS n",
     )
     cuts = cum.agg(
-        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v"))).alias("p25"),
-        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("p50"),
-        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("v"))).alias("p75"),
+        F.expr("min(CASE WHEN cum * 4 >= n THEN v END) AS p25"),
+        F.expr("min(CASE WHEN cum * 2 >= n THEN v END) AS p50"),
+        F.expr("min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75"),
     )
-    tiled = q.crossJoin(F.broadcast(cuts)).select(
+    tiled = q.crossJoin(F.broadcast(cuts)).selectExpr(
         "doc_id",
         "rep_ratio_e6",
-        (
-            F.lit(1)
-            + (F.col("rep_ratio_e6") > F.col("p25")).cast("int")
-            + (F.col("rep_ratio_e6") > F.col("p50")).cast("int")
-            + (F.col("rep_ratio_e6") > F.col("p75")).cast("int")
-        ).alias("quartile"),
+        "1 + CAST(rep_ratio_e6 > p25 AS INT)"
+        " + CAST(rep_ratio_e6 > p50 AS INT)"
+        " + CAST(rep_ratio_e6 > p75 AS INT) AS quartile",
     )
     pairs = jaccard_verified_pairs(spark, sf_dir)
     members = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
+        pairs.selectExpr("doc_a AS doc_id")
         .union(pairs.select("doc_b"))
         .distinct()
         .withColumn("__m", F.lit(1))
@@ -1325,18 +1330,20 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiled.join(members, "doc_id", "left")
         .groupBy("quartile")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("rep_ratio_e6").alias("min_rep_e6"),
-            F.max("rep_ratio_e6").alias("max_rep_e6"),
-            F.sum(F.col("__m").isNotNull().cast("long")).alias("n_dup_members"),
+            F.expr("count(1) AS n_docs"),
+            F.expr("min(rep_ratio_e6) AS min_rep_e6"),
+            F.expr("max(rep_ratio_e6) AS max_rep_e6"),
+            F.expr(
+                "sum(CAST(__m IS NOT NULL AS BIGINT)) AS n_dup_members"
+            ),
         )
-        .select(
+        .selectExpr(
             "quartile",
             "n_docs",
             "min_rep_e6",
             "max_rep_e6",
             "n_dup_members",
-            ppm(F.col("n_dup_members"), F.col("n_docs")).alias("dup_rate_ppm"),
+            ss_ppm("n_dup_members", "n_docs") + " AS dup_rate_ppm",
         )
     )
 

@@ -43,26 +43,37 @@ def golden_records(
     n_chars)`` and ``labels(v, lbl)`` (component labels over the
     duplicate subgraph): ``(cluster, golden_doc, n_members,
     total_chars, max_chars, langs, sources)``."""
-    members = labels.select(
-        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster")
-    ).join(docs, "doc_id")
-    w = Window.partitionBy("cluster").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
+    from algorithmproject_spark_spark.cacheutil import (
+        tracked_lazy_local_checkpoint,
     )
-    ranked = members.withColumn("rk", F.row_number().over(w))
+
+    # Pin the member relation (r13): the survivor window and the
+    # attribute aggregation both consume it, and Catalyst does not
+    # dedupe the shared labels⋈docs subtree — unpinned, the join (and
+    # the component-label loop above it) executed once per consumer.
+    # Cluster-member rows only: dup-subset sized, never the corpus.
+    members = (
+        labels.selectExpr("v AS doc_id", "lbl AS cluster")
+        .join(docs, "doc_id")
+        .transform(tracked_lazy_local_checkpoint)
+    )
+    ranked = members.selectExpr(
+        "cluster",
+        "doc_id",
+        "row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC,"
+        " doc_id) AS rk",
+    )
     per_cluster = members.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum("n_chars").alias("total_chars"),
-        F.max("n_chars").alias("max_chars"),
-        F.concat_ws(
-            ",", F.array_sort(F.collect_set("lang"))
-        ).alias("langs"),
-        F.concat_ws(
-            ",", F.array_sort(F.collect_set("source"))
-        ).alias("sources"),
+        F.expr("count(1) AS n_members"),
+        F.expr("sum(n_chars) AS total_chars"),
+        F.expr("max(n_chars) AS max_chars"),
+        F.expr("concat_ws(',', array_sort(collect_set(lang))) AS langs"),
+        F.expr(
+            "concat_ws(',', array_sort(collect_set(source))) AS sources"
+        ),
     )
-    survivors = ranked.filter(F.col("rk") == 1).select(
-        "cluster", F.col("doc_id").alias("golden_doc")
+    survivors = ranked.filter("rk = 1").selectExpr(
+        "cluster", "doc_id AS golden_doc"
     )
     return survivors.join(per_cluster, "cluster").select(
         "cluster",

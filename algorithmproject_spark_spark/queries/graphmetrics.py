@@ -34,6 +34,7 @@ from algorithmproject_spark_spark.functions.numeric import (
     floordiv,
     ppm,
     sql_ppm,
+    ss_ppm,
 )
 from algorithmproject_spark_spark.queries.dedup import (
     jaccard_pairs_above,
@@ -71,47 +72,48 @@ def dedup_community_modularity(
     # LPA is the expensive iterative stage and its result feeds BOTH
     # the degree-sum and the intra-edge joins — pin it once
     comm = tracked_cache(label_propagation(pairs))
-    m1 = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    # one-parse text glue (r13): identical expressions
+    m1 = pairs.agg(F.expr("CAST(count(1) AS BIGINT) AS m"))
     deg = (
-        pairs.select(F.col("doc_a").alias("v"))
+        pairs.selectExpr("doc_a AS v")
         .union(pairs.select("doc_b"))
         .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS deg"))
     )
     per_node = deg.join(comm, "v").groupBy("community").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum("deg").cast("long").alias("d_sum"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_nodes"),
+        F.expr("CAST(sum(deg) AS BIGINT) AS d_sum"),
     )
-    ca = comm.select(F.col("v").alias("doc_a"), F.col("community").alias("cc_a"))
-    cb = comm.select(F.col("v").alias("doc_b"), F.col("community").alias("cc_b"))
+    ca = comm.selectExpr("v AS doc_a", "community AS cc_a")
+    cb = comm.selectExpr("v AS doc_b", "community AS cc_b")
     intra = (
         pairs.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .filter(F.col("cc_a") == F.col("cc_b"))
+        .filter("cc_a = cc_b")
         .groupBy(F.col("cc_a").alias("community"))
-        .agg(F.count(F.lit(1)).cast("long").alias("e_intra"))
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS e_intra"))
     )
     rows = (
         per_node.join(intra, "community", "left")
-        .select(
+        .selectExpr(
             "community",
             "n_nodes",
-            F.coalesce("e_intra", F.lit(0)).cast("long").alias("e_intra"),
+            "CAST(coalesce(e_intra, 0) AS BIGINT) AS e_intra",
             "d_sum",
         )
         .crossJoin(F.broadcast(m1))
     )
-    intra_ppm = ppm(F.col("e_intra"), F.col("m"))
-    deg_rate = ppm(F.col("d_sum"), F.lit(2) * F.col("m"))
-    expected_ppm = floordiv(deg_rate * deg_rate, F.lit(E6))
-    return rows.select(
+    intra_ppm = ss_ppm("e_intra", "m")
+    deg_rate = ss_ppm("d_sum", "2 * m")
+    expected_ppm = f"(({deg_rate}) * ({deg_rate})) div {E6}"
+    return rows.selectExpr(
         "community",
         "n_nodes",
         "e_intra",
         "d_sum",
-        intra_ppm.alias("intra_ppm"),
-        expected_ppm.alias("expected_ppm"),
-        (intra_ppm - expected_ppm).alias("q_ppm"),
+        f"{intra_ppm} AS intra_ppm",
+        f"{expected_ppm} AS expected_ppm",
+        f"({intra_ppm}) - ({expected_ppm}) AS q_ppm",
     )
 
 

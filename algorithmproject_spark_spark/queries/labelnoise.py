@@ -45,13 +45,18 @@ from pyspark.sql.window import Window as W
 
 from algorithmproject_spark_spark.cacheutil import tracked_local_checkpoint
 
-from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
+from algorithmproject_spark_spark.functions.numeric import (
+    micros,
+    sql_micros,
+    ss_micros,
+)
 from algorithmproject_spark_spark.functions.vectors import (
     _dot_d,
     _norm_d,
     sql_dot,
     sql_norm,
     sql_to_double,
+    ss_dot,
     to_double,
 )
 from algorithmproject_spark_spark.operators.annivf import (
@@ -64,6 +69,7 @@ from algorithmproject_spark_spark.operators.annpq import (
     recon_dot,
     sql_pq_code_array,
     sql_recon_dot,
+    ss_recon_dot,
 )
 from algorithmproject_spark_spark.queries.llmprep import (
     _sql_residual_code,
@@ -165,31 +171,27 @@ def _prefiltered_exact_pairs(
     # Stage 1 — proxy scoring: the pair join carries 8-int code arrays
     # and a scalar norm, never the 64-double widened vector, and scores
     # each pair with M literal-table lookups (recon_dot)
-    a = cs.select(
+    a = cs.selectExpr(
         "vec_id",
         "label",
-        F.col("codes").alias("a_cd"),
-        F.col("nrm").alias("a_n"),
+        "codes AS a_cd",
+        "nrm AS a_n",
         "cell",
         "subcell",
     )
-    b = cs.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("label").alias("nlabel"),
-        F.col("codes").alias("b_cd"),
-        F.col("nrm").alias("b_n"),
+    b = cs.selectExpr(
+        "vec_id AS n_id",
+        "label AS nlabel",
+        "codes AS b_cd",
+        "nrm AS b_n",
         "cell",
         "subcell",
     )
-    keep = (
-        F.col("label") != F.col("nlabel")
-        if diff_label_only
-        else F.col("vec_id") != F.col("n_id")
-    )
+    keep = "label != nlabel" if diff_label_only else "vec_id != n_id"
     cand = (
         a.join(b, ["cell", "subcell"])
         .filter(keep)
-        .select(
+        .selectExpr(
             "cell",
             "subcell",
             "vec_id",
@@ -198,10 +200,10 @@ def _prefiltered_exact_pairs(
             "nlabel",
             "a_n",
             "b_n",
-            micros(
-                recon_dot("a_cd", "b_cd")
-                / (F.col("a_n") * F.col("b_n"))
-            ).alias("approx_e6"),
+            ss_micros(
+                "(" + ss_recon_dot("a_cd", "b_cd") + ") / (a_n * b_n)"
+            )
+            + " AS approx_e6",
         )
     )
     # Partitioning trick: a vector lives in exactly ONE (cell, subcell)
@@ -223,22 +225,15 @@ def _prefiltered_exact_pairs(
     # per row travel through a C·n-row join, not the cap·n pair join)
     we_rel = cn.select("vec_id", "we")
     scored = (
-        pre.join(we_rel.select("vec_id", F.col("we").alias("a_we")), "vec_id")
-        .join(
-            we_rel.select(
-                F.col("vec_id").alias("n_id"), F.col("we").alias("b_we")
-            ),
-            "n_id",
-        )
-        .select(
+        pre.join(we_rel.selectExpr("vec_id", "we AS a_we"), "vec_id")
+        .join(we_rel.selectExpr("vec_id AS n_id", "we AS b_we"), "n_id")
+        .selectExpr(
             "vec_id",
             "label",
             "nlabel",
             "n_id",
-            micros(
-                _dot_d("a_we", "b_we")
-                / (F.col("a_n") * F.col("b_n"))
-            ).alias("cos_e6"),
+            ss_micros("(" + ss_dot("a_we", "b_we") + ") / (a_n * b_n)")
+            + " AS cos_e6",
         )
     )
     return cn, scored
@@ -302,27 +297,27 @@ def knn_label_noise(
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_e6"), F.asc("n_id"))
     votes = (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KNN_K)
+        .filter(f"rk <= {KNN_K}")
         .groupBy("vec_id")
         .agg(
-            F.sum(F.when(F.col("nlabel") == F.col("label"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_same"),
-            F.count(F.lit(1)).cast("long").alias("k_eff"),
+            F.expr(
+                "CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n_same"
+            ),
+            F.expr("CAST(count(1) AS BIGINT) AS k_eff"),
         )
     )
     spine = cn.select("vec_id", "label")
     j = spine.join(votes, "vec_id", "left")
-    n_same = F.coalesce("n_same", F.lit(0).cast("long"))
-    k_eff = F.coalesce("k_eff", F.lit(0).cast("long"))
-    return j.select(
+    ns = "coalesce(n_same, CAST(0 AS BIGINT))"
+    ke = "coalesce(k_eff, CAST(0 AS BIGINT))"
+    return j.selectExpr(
         "vec_id",
         "label",
-        n_same.alias("n_same"),
-        k_eff.alias("k_eff"),
-        F.when((k_eff > 0) & (2 * n_same < k_eff), 1)
-        .otherwise(0)
-        .alias("suspect"),
+        f"{ns} AS n_same",
+        f"{ke} AS k_eff",
+        f"CASE WHEN {ke} > 0 AND 2 * {ns} < {ke} THEN 1 ELSE 0 END"
+        " AS suspect",
     )
 
 
@@ -377,12 +372,12 @@ def hard_negative_mining_grouped(
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_e6"), F.asc("n_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= HN_K)
-        .select(
+        .filter(f"rk <= {HN_K}")
+        .selectExpr(
             "vec_id",
             "label",
-            F.col("n_id").alias("neg_id"),
-            F.col("nlabel").alias("neg_label"),
+            "n_id AS neg_id",
+            "nlabel AS neg_label",
             "cos_e6",
             "rk",
         )

@@ -105,48 +105,43 @@ _SQL_FS = f"""{sql_dup_pairs_cte(threshold_e6=0)},
     )"""
 
 
+def _ss_w(flag: str, field: str) -> str:
+    """Spark-SQL text twin of :func:`_w` (r13 one-parse glue)."""
+    wa, wd = FS_W[field]
+    return f"CAST(CASE WHEN {flag} = 1 THEN {wa} ELSE {wd} END AS BIGINT)"
+
+
 def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs_above(spark, sf_dir, threshold_e6=0).select(
         "doc_a", "doc_b", "jaccard_e6"
     )
-    attr = load_table(spark, sf_dir, "documents").select(
+    attr = load_table(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         "lang",
         "source",
-        F.call_function("div", F.col("n_chars"), F.lit(FS_LEN_BAND)).alias(
-            "len_band"
-        ),
+        f"n_chars div {FS_LEN_BAND} AS len_band",
     )
-    a = attr.select(*[F.col(c).alias(f"a_{c}") for c in attr.columns])
-    b = attr.select(*[F.col(c).alias(f"b_{c}") for c in attr.columns])
+    a = attr.selectExpr(*[f"{c} AS a_{c}" for c in attr.columns])
+    b = attr.selectExpr(*[f"{c} AS b_{c}" for c in attr.columns])
     vec = (
         pairs.join(a, pairs["doc_a"] == a["a_doc_id"])
         .join(b, pairs["doc_b"] == b["b_doc_id"])
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
             "jaccard_e6",
-            (F.col("a_lang") == F.col("b_lang"))
-            .cast("long")
-            .alias("lang_eq"),
-            (F.col("a_source") == F.col("b_source"))
-            .cast("long")
-            .alias("source_eq"),
-            (F.col("a_len_band") == F.col("b_len_band"))
-            .cast("long")
-            .alias("len_eq"),
-            (F.col("jaccard_e6") >= FS_JAC_HI_E6)
-            .cast("long")
-            .alias("jac_hi"),
+            "CAST(a_lang = b_lang AS BIGINT) AS lang_eq",
+            "CAST(a_source = b_source AS BIGINT) AS source_eq",
+            "CAST(a_len_band = b_len_band AS BIGINT) AS len_eq",
+            f"CAST(jaccard_e6 >= {FS_JAC_HI_E6} AS BIGINT) AS jac_hi",
         )
     )
     score = (
-        _w(F.col("lang_eq"), "lang_eq")
-        + _w(F.col("source_eq"), "source_eq")
-        + _w(F.col("len_eq"), "len_eq")
-        + _w(F.col("jac_hi"), "jac_hi")
-    ).alias("score_milli")
-    scored = vec.select(
+        f"{_ss_w('lang_eq', 'lang_eq')} + {_ss_w('source_eq', 'source_eq')}"
+        f" + {_ss_w('len_eq', 'len_eq')} + {_ss_w('jac_hi', 'jac_hi')}"
+        f" AS score_milli"
+    )
+    scored = vec.selectExpr(
         "doc_a",
         "doc_b",
         "jaccard_e6",
@@ -157,12 +152,11 @@ def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         score,
     )
     decision = (
-        F.when(F.col("score_milli") >= FS_T_LINK, "link")
-        .when(F.col("score_milli") < FS_T_NONLINK, "non_link")
-        .otherwise("possible")
-        .alias("decision")
+        f"CASE WHEN score_milli >= {FS_T_LINK} THEN 'link'"
+        f" WHEN score_milli < {FS_T_NONLINK} THEN 'non_link'"
+        f" ELSE 'possible' END AS decision"
     )
-    return scored.select("*", decision)
+    return scored.selectExpr("*", decision)
 
 
 @register(
@@ -208,12 +202,12 @@ def record_linkage_decision_summary(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     scored = _fs_scored(spark, sf_dir)
-    n = F.count(F.lit(1)).cast("long")
     return scored.groupBy("decision").agg(
-        n.alias("n_pairs"),
-        F.min("score_milli").cast("long").alias("min_score_milli"),
-        F.max("score_milli").cast("long").alias("max_score_milli"),
-        F.call_function("div", F.sum("jaccard_e6"), n).alias(
-            "mean_jaccard_e6"
+        F.expr("CAST(count(1) AS BIGINT) AS n_pairs"),
+        F.expr("CAST(min(score_milli) AS BIGINT) AS min_score_milli"),
+        F.expr("CAST(max(score_milli) AS BIGINT) AS max_score_milli"),
+        F.expr(
+            "sum(jaccard_e6) div CAST(count(1) AS BIGINT)"
+            " AS mean_jaccard_e6"
         ),
     )

@@ -625,11 +625,16 @@ def semdedup_subcells(
     cell_size / 2**code_bits instead of cell_cap. Callers whose
     cell_size/cell_cap ratio can exceed 256 (e.g. knn_label_noise's
     tight cap) pass a wider code; needs DIM >= code_bits."""
-    sizes = cn.groupBy("cell").agg(F.count(F.lit(1)).alias("__c"))
-    k2 = floordiv(F.col("__c") + F.lit(cell_cap - 1), F.lit(cell_cap))
+    sizes = cn.groupBy("cell").agg(F.expr("count(1) AS __c"))
     return (
         cn.join(F.broadcast(sizes), "cell")
-        .withColumn("subcell", _residual_code("we", code_bits) % k2)
+        .withColumn(
+            "subcell",
+            F.expr(
+                f"({_ss_residual_code('we', code_bits)})"
+                f" % ((__c + {cell_cap - 1}) div {cell_cap})"
+            ),
+        )
         .drop("__c")
     )
 

@@ -458,6 +458,13 @@ def _gini_ppm(x: F.Column, y: F.Column, n: F.Column) -> F.Column:
     )
 
 
+def _ss_gini(x: str, y: str, n: str) -> str:
+    """Spark-SQL text twin of :func:`_gini_ppm` (r13 one-parse)."""
+    px = f"(({x}) * {E6} div ({n}))"
+    py = f"(({y}) * {E6} div ({n}))"
+    return f"({E6} - ({px} * {px}) div {E6} - ({py} * {py}) div {E6})"
+
+
 @register(
     "token_label_gini_topk",
     plan=("scalar_cross",),
@@ -520,42 +527,37 @@ def token_label_gini_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tls = base.select("label", F.explode("dtoks").alias("token"))
     per_tok = tls.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("n1"),
-        F.sum("label").cast("long").alias("a"),
+        F.expr("CAST(count(1) AS BIGINT) AS n1"),
+        F.expr("CAST(sum(label) AS BIGINT) AS a"),
     )
     tot = docs.select(_label_col().alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum("label").cast("long").alias("p_all"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_all"),
+        F.expr("CAST(sum(label) AS BIGINT) AS p_all"),
     )
-    g = per_tok.crossJoin(F.broadcast(tot)).select(
+    g = per_tok.crossJoin(F.broadcast(tot)).selectExpr(
         "token",
         "n1",
         "a",
         "n_all",
         "p_all",
-        (F.col("n_all") - F.col("n1")).alias("n0"),
-        (F.col("n1") - F.col("a")).alias("b"),
-        (F.col("p_all") - F.col("a")).alias("c"),
-        ((F.col("n_all") - F.col("n1")) - (F.col("p_all") - F.col("a"))).alias(
-            "d"
-        ),
+        "n_all - n1 AS n0",
+        "n1 - a AS b",
+        "p_all - a AS c",
+        "(n_all - n1) - (p_all - a) AS d",
     )
-    g_parent = _gini_ppm(
-        F.col("p_all"), F.col("n_all") - F.col("p_all"), F.col("n_all")
+    g_parent = _ss_gini("p_all", "n_all - p_all", "n_all")
+    g1 = _ss_gini("a", "b", "n1")
+    g0 = (
+        f"CASE WHEN n0 > 0 THEN {_ss_gini('c', 'd', 'n0')}"
+        f" ELSE CAST(0 AS BIGINT) END"
     )
-    g1 = _gini_ppm(F.col("a"), F.col("b"), F.col("n1"))
-    g0 = F.when(
-        F.col("n0") > 0, _gini_ppm(F.col("c"), F.col("d"), F.col("n0"))
-    ).otherwise(F.lit(0).cast("long"))
-    gain = g_parent - floordiv(
-        F.col("n1") * g1 + F.col("n0") * g0, F.col("n_all")
-    )
+    gain = f"{g_parent} - (n1 * {g1} + n0 * ({g0})) div n_all"
     return (
-        g.select(
+        g.selectExpr(
             "token",
-            F.col("n1").alias("n_docs_with"),
-            F.col("a").alias("n_pos_with"),
-            gain.alias("gini_gain_e6"),
+            "n1 AS n_docs_with",
+            "a AS n_pos_with",
+            f"{gain} AS gini_gain_e6",
         )
         .orderBy(F.col("gini_gain_e6").desc(), "token")
         .limit(GINI_TOPK)

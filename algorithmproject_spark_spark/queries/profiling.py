@@ -32,10 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from algorithmproject_spark_spark.functions.numeric import (
-    floordiv,
-    scaled_long,
-)
+from algorithmproject_spark_spark.functions.numeric import ss_scaled_long
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
 
@@ -101,62 +98,57 @@ def lineitem_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
 
-    # three row-level checks ride ONE scan/aggregate
+    # three row-level checks ride ONE scan/aggregate (one-parse, r13)
     rowlevel = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)
-        ).alias("null_ship"),
-        F.sum(
-            F.when(
-                (F.col("l_quantity") < QTY_MIN)
-                | (F.col("l_quantity") > QTY_MAX),
-                1,
-            ).otherwise(0)
-        ).alias("bad_qty"),
-        F.sum(
-            F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)
-        ).alias("neg_price"),
+        F.expr("count(1) AS n"),
+        F.expr(
+            "sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)"
+            " AS null_ship"
+        ),
+        F.expr(
+            f"sum(CASE WHEN l_quantity < {QTY_MIN}"
+            f" OR l_quantity > {QTY_MAX} THEN 1 ELSE 0 END) AS bad_qty"
+        ),
+        F.expr(
+            "sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)"
+            " AS neg_price"
+        ),
     )
     uniq = (
         li.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("count(1) AS c"))
         .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
-                "dup_keys"
-            ),
+            F.expr("count(1) AS n_keys"),
+            F.expr("sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_keys"),
         )
     )
     fd = (
         li.groupBy("l_partkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .agg(F.expr("count(DISTINCT l_suppkey) AS ns"))
         .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias(
-                "fd_viol"
-            ),
+            F.expr("count(1) AS n_parts"),
+            F.expr("sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS fd_viol"),
         )
     )
     orphans = (
         li.select("l_orderkey")
         .join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
-        .agg(F.count(F.lit(1)).alias("orphans"))
+        .agg(F.expr("count(1) AS orphans"))
     )
 
     def row(name: str, src: DataFrame, checked: str, viol: str) -> DataFrame:
-        return src.select(
-            F.lit(name).alias("check_name"),
-            F.col(checked).cast("long").alias("n_checked"),
-            F.col(viol).cast("long").alias("n_violations"),
+        return src.selectExpr(
+            f"'{name}' AS check_name",
+            f"CAST({checked} AS BIGINT) AS n_checked",
+            f"CAST({viol} AS BIGINT) AS n_violations",
         )
 
     # the RI row reports violations out of total rows — carry n in
     # via the same broadcast-1-row pattern as every scalar elsewhere
-    ri_row = orphans.crossJoin(F.broadcast(rowlevel.select("n"))).select(
-        F.lit("ref_orderkey_in_orders").alias("check_name"),
-        F.col("n").cast("long").alias("n_checked"),
-        F.col("orphans").cast("long").alias("n_violations"),
+    ri_row = orphans.crossJoin(F.broadcast(rowlevel.select("n"))).selectExpr(
+        "'ref_orderkey_in_orders' AS check_name",
+        "CAST(n AS BIGINT) AS n_checked",
+        "CAST(orphans AS BIGINT) AS n_violations",
     )
     return (
         row("unique_orderkey_linenumber", uniq, "n_keys", "dup_keys")
@@ -229,51 +221,37 @@ def _sql_interp(p: int) -> str:
     ),
 )
 def events_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        scaled_long("value").alias("v_e2")
+    # one-parse text glue throughout (r13): same expressions, ~800
+    # fewer py4j round-trips per build
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        f"{ss_scaled_long('value')} AS v_e2"
     )
-    dist = ev.groupBy("v_e2").agg(F.count(F.lit(1)).alias("c"))
+    dist = ev.groupBy("v_e2").agg(F.expr("count(1) AS c"))
     # windows ride the compacted distinct-value relation (the
     # events_exact_global_quantiles shape), never data rows
-    cum = dist.select(
+    cum = dist.selectExpr(
         "v_e2",
-        F.sum("c")
-        .over(W.orderBy("v_e2").rowsBetween(W.unboundedPreceding, 0))
-        .alias("cum"),
-        F.sum("c")
-        .over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("n"),
+        "sum(c) OVER (ORDER BY v_e2 ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS cum",
+        "sum(c) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+        " FOLLOWING) AS n",
     )
 
-    def idx(p: int):
-        return floordiv((F.col("n") - 1) * F.lit(p), F.lit(100))
-
-    aggs = [F.max("n").alias("n")]
+    aggs = ["max(n) AS n"]
     for p in PCTS:
-        aggs.append(
-            F.min(
-                F.when(F.col("cum") >= idx(p) + 1, F.col("v_e2"))
-            ).alias(f"lo{p}")
-        )
-        aggs.append(
-            F.min(
-                F.when(F.col("cum") >= idx(p) + 2, F.col("v_e2"))
-            ).alias(f"hi{p}")
-        )
-    br = cum.agg(*aggs)
+        idx = f"(((n - 1) * {p}) div 100)"
+        aggs.append(f"min(CASE WHEN cum >= {idx} + 1 THEN v_e2 END) AS lo{p}")
+        aggs.append(f"min(CASE WHEN cum >= {idx} + 2 THEN v_e2 END) AS hi{p}")
+    br = cum.agg(*[F.expr(a) for a in aggs])
 
-    def interp(p: int):
-        rem = ((F.col("n") - 1) * F.lit(p)) % F.lit(100)
+    def interp(p: int) -> str:
+        rem = f"(((n - 1) * {p}) % 100)"
         return (
-            F.col(f"lo{p}") * (F.lit(100) - rem)
-            + F.coalesce(F.col(f"hi{p}"), F.col(f"lo{p}")) * rem
-        ).alias(f"p{p}_e4")
+            f"lo{p} * (100 - {rem})"
+            f" + coalesce(hi{p}, lo{p}) * {rem} AS p{p}_e4"
+        )
 
-    return br.select("n", *[interp(p) for p in PCTS])
+    return br.selectExpr("n", *[interp(p) for p in PCTS])
 
 
 N_BINS = 10
@@ -319,45 +297,37 @@ N_BINS = 10
     plan=("scalar_cross",),  # 1-row boundary vector ⨯ compacted dist
 )
 def events_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        scaled_long("value").alias("v_e2")
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        f"{ss_scaled_long('value')} AS v_e2"
     )
-    dist = ev.groupBy("v_e2").agg(F.count(F.lit(1)).alias("c"))
-    cum = dist.select(
+    dist = ev.groupBy("v_e2").agg(F.expr("count(1) AS c"))
+    cum = dist.selectExpr(
         "v_e2",
         "c",
-        F.sum("c")
-        .over(W.orderBy("v_e2").rowsBetween(W.unboundedPreceding, 0))
-        .alias("cum"),
-        F.sum("c")
-        .over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("n"),
+        "sum(c) OVER (ORDER BY v_e2 ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS cum",
+        "sum(c) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+        " FOLLOWING) AS n",
     )
     bounds = cum.agg(
         *[
-            F.min(
-                F.when(
-                    F.col("cum") * N_BINS >= F.col("n") * k, F.col("v_e2")
-                )
-            ).alias(f"b{k}")
+            F.expr(
+                f"min(CASE WHEN cum * {N_BINS} >= n * {k} THEN v_e2 END)"
+                f" AS b{k}"
+            )
             for k in range(1, N_BINS)
         ]
     )
-    bin_expr = F.lit(1)
-    for k in range(1, N_BINS):
-        bin_expr = bin_expr + F.when(
-            F.col("v_e2") > F.col(f"b{k}"), 1
-        ).otherwise(0)
+    bin_txt = "1 + " + " + ".join(
+        f"(CASE WHEN v_e2 > b{k} THEN 1 ELSE 0 END)"
+        for k in range(1, N_BINS)
+    )
     return (
         dist.crossJoin(F.broadcast(bounds))
-        .groupBy(bin_expr.alias("bin"))
+        .groupBy(F.expr(bin_txt).alias("bin"))
         .agg(
-            F.min("v_e2").alias("lo_e2"),
-            F.max("v_e2").alias("hi_e2"),
-            F.sum("c").alias("n_rows"),
+            F.expr("min(v_e2) AS lo_e2"),
+            F.expr("max(v_e2) AS hi_e2"),
+            F.expr("sum(c) AS n_rows"),
         )
     )

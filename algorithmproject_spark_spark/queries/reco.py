@@ -151,15 +151,15 @@ def copurchase_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the one shuffle instead of rebuilding the collect_set twice
     baskets = tracked_cache(capped_baskets(li))
     ci = (
-        baskets.select(F.explode("items").alias("p"))
+        baskets.selectExpr("explode(items) AS p")
         .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("count(1) AS c"))
     )
     pairs = (
         basket_pairs(baskets)
         .groupBy("pi", "pj")
-        .agg(F.count(F.lit(1)).alias("cij"))
-        .filter(F.col("cij") >= MIN_PAIR_SUPPORT)
+        .agg(F.expr("count(1) AS cij"))
+        .filter(f"cij >= {MIN_PAIR_SUPPORT}")
     )
     # after the support cut the pair side is small; the item-count side
     # is part-dimension sized — plain equi-joins, AQE picks broadcast
@@ -167,14 +167,11 @@ def copurchase_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the 100 TB-safe default; no hand-forced broadcast of an
     # unbounded dimension)
     scored = (
-        pairs.join(ci.withColumnRenamed("p", "pi").withColumnRenamed("c", "cnt_i"), "pi")
-        .join(ci.withColumnRenamed("p", "pj").withColumnRenamed("c", "cnt_j"), "pj")
+        pairs.join(ci.selectExpr("p AS pi", "c AS cnt_i"), "pi")
+        .join(ci.selectExpr("p AS pj", "c AS cnt_j"), "pj")
         .withColumn(
             "cos2_e6",
-            floordiv(
-                F.col("cij") * F.col("cij") * F.lit(1_000_000),
-                F.col("cnt_i") * F.col("cnt_j"),
-            ),
+            F.expr("cij * cij * 1000000 div (cnt_i * cnt_j)"),
         )
     )
     return (
@@ -182,10 +179,10 @@ def copurchase_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("cos2_e6"), F.asc("pi"), F.asc("pj")
         )
         .limit(TOPK_PAIRS)
-        .select(
-            F.col("pi").alias("part_i"),
-            F.col("pj").alias("part_j"),
-            F.col("cij").alias("pair_cnt"),
+        .selectExpr(
+            "pi AS part_i",
+            "pj AS part_j",
+            "cij AS pair_cnt",
             "cnt_i",
             "cnt_j",
             "cos2_e6",
@@ -197,15 +194,10 @@ def _hits_normalize(raw: DataFrame, key: str, val: str) -> DataFrame:
     """x·10⁶ // max(x) — max as a broadcast 1-row aggregate, never a
     driver-side action (keeps the whole computation one Catalyst
     plan)."""
-    mx = raw.agg(F.max(val).alias("__mx"))
+    mx = raw.agg(F.expr(f"max({val}) AS __mx"))
     return (
         raw.crossJoin(F.broadcast(mx))
-        .select(
-            key,
-            floordiv(
-                F.col(val) * F.lit(1_000_000), F.col("__mx")
-            ).alias(val),
-        )
+        .selectExpr(key, f"{val} * 1000000 div __mx AS {val}")
     )
 
 
@@ -250,7 +242,7 @@ def orders_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = tracked_cache(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .selectExpr("o_custkey AS c", "l_partkey AS p")
         .distinct()
     )
     # h0 ≡ 1e6: the first authority half-step degenerates to
@@ -273,7 +265,7 @@ def orders_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_raw = (
             edges.join(h, "c")
             .groupBy("p")
-            .agg(F.sum("h").alias("a"))
+            .agg(F.expr("sum(h) AS a"))
             .transform(tracked_lazy_local_checkpoint)
         )
         a = _hits_normalize(a_raw, "p", "a")
@@ -288,14 +280,14 @@ def orders_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         h_raw = (
             edges.join(a, "p")
             .groupBy("c")
-            .agg(F.sum("a").alias("h"))
+            .agg(F.expr("sum(a) AS h"))
             .transform(tracked_lazy_local_checkpoint)
         )
         h = _hits_normalize(h_raw, "c", "h")
     return (
         a.orderBy(F.desc("a"), F.asc("p"))
         .limit(TOPK_AUTH)
-        .select(F.col("p").alias("part"), F.col("a").alias("auth_e6"))
+        .selectExpr("p AS part", "a AS auth_e6")
     )
 
 
@@ -466,17 +458,9 @@ def customer_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_i", "part_j", "cos2_e6"
         )
     )
-    sym = sims.select(
-        F.col("part_i").alias("src"),
-        F.col("part_j").alias("dst"),
-        "cos2_e6",
-    ).unionAll(
-        sims.select(
-            F.col("part_j").alias("src"),
-            F.col("part_i").alias("dst"),
-            "cos2_e6",
-        )
-    )
+    sym = sims.selectExpr(
+        "part_i AS src", "part_j AS dst", "cos2_e6"
+    ).unionAll(sims.selectExpr("part_j AS src", "part_i AS dst", "cos2_e6"))
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -486,22 +470,19 @@ def customer_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation executes twice (r12; guide §2.4)
     owned = tracked_cache(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.col("o_custkey").alias("cust"),
-            F.col("l_partkey").alias("part"),
-        )
+        .selectExpr("o_custkey AS cust", "l_partkey AS part")
         .distinct()
     )
     cand = (
         owned.join(F.broadcast(sym), owned["part"] == sym["src"])
         .groupBy("cust", F.col("dst").alias("rec"))
         .agg(
-            F.sum("cos2_e6").cast("long").alias("score_e6"),
-            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.expr("CAST(sum(cos2_e6) AS BIGINT) AS score_e6"),
+            F.expr("CAST(count(1) AS BIGINT) AS n_paths"),
         )
     )
     fresh = cand.join(
-        owned.select("cust", F.col("part").alias("rec")),
+        owned.selectExpr("cust", "part AS rec"),
         ["cust", "rec"],
         "left_anti",
     )
@@ -510,10 +491,10 @@ def customer_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _W.partitionBy("cust").orderBy(F.desc("score_e6"), F.asc("rec"))
     return (
         fresh.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOPK_RECS)
-        .select(
-            F.col("cust").alias("c_custkey"),
-            F.col("rec").alias("rec_part"),
+        .filter(f"rk <= {TOPK_RECS}")
+        .selectExpr(
+            "cust AS c_custkey",
+            "rec AS rec_part",
             "score_e6",
             "n_paths",
         )

@@ -32,20 +32,21 @@ from algorithmproject_spark_spark.sources.catalog import load_table
 
 def quartile_cuts(df: DataFrame, col: str) -> DataFrame:
     """1-row (p25, p50, p75) exact order statistics of a BIGINT column
-    via the compacted-distribution window — reusable banding helper."""
-    dist = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("v")
-    cum = dist.select(
+    via the compacted-distribution window — reusable banding helper.
+    One-parse text glue (r13): identical window/agg expressions, ~25
+    py4j trips fewer per call (3 calls per RFM build)."""
+    dist = df.groupBy(F.col(col).alias("v")).agg(F.expr("count(1) AS c"))
+    cum = dist.selectExpr(
         "v",
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+        "sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW) AS cum",
+        "sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " UNBOUNDED FOLLOWING) AS n",
     )
     return cum.agg(
-        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v"))).alias("p25"),
-        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("p50"),
-        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("v"))).alias("p75"),
+        F.expr("min(CASE WHEN cum * 4 >= n THEN v END) AS p25"),
+        F.expr("min(CASE WHEN cum * 2 >= n THEN v END) AS p50"),
+        F.expr("min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75"),
     )
 
 
@@ -123,49 +124,55 @@ def _register() -> None:
     )
     def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_table(spark, sf_dir, "orders")
-        anchor = orders.agg(
-            F.max(F.to_date("o_orderdate")).alias("anchor")
-        )
+        anchor = orders.agg(F.expr("max(to_date(o_orderdate)) AS anchor"))
         per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-            F.max(F.to_date("o_orderdate")).alias("last_order"),
-            F.count(F.lit(1)).alias("frequency"),
+            F.expr("max(to_date(o_orderdate)) AS last_order"),
+            F.expr("count(1) AS frequency"),
             sum_money("o_totalprice").alias("monetary_e2"),
         )
         rfm = (
             per_cust.crossJoin(F.broadcast(anchor))
-            .select(
+            .selectExpr(
                 "custkey",
-                F.datediff("anchor", "last_order").cast("long").alias("recency_d"),
+                "CAST(datediff(anchor, last_order) AS BIGINT) AS recency_d",
                 "frequency",
                 "monetary_e2",
             )
         )
         rfm = tracked_cache(rfm)  # feeds three cut aggregations + the banding pass
-        rc = quartile_cuts(rfm, "recency_d").select(
-            F.col("p25").alias("r25"), F.col("p50").alias("r50"), F.col("p75").alias("r75")
+        rc = quartile_cuts(rfm, "recency_d").selectExpr(
+            "p25 AS r25", "p50 AS r50", "p75 AS r75"
         )
-        fc = quartile_cuts(rfm, "frequency").select(
-            F.col("p25").alias("f25"), F.col("p50").alias("f50"), F.col("p75").alias("f75")
+        fc = quartile_cuts(rfm, "frequency").selectExpr(
+            "p25 AS f25", "p50 AS f50", "p75 AS f75"
         )
-        mc = quartile_cuts(rfm, "monetary_e2").select(
-            F.col("p25").alias("m25"), F.col("p50").alias("m50"), F.col("p75").alias("m75")
+        mc = quartile_cuts(rfm, "monetary_e2").selectExpr(
+            "p25 AS m25", "p50 AS m50", "p75 AS m75"
         )
+
+        def ss_band(col: str, pfx: str) -> str:
+            return (
+                f"1 + CAST({col} > {pfx}25 AS INT)"
+                f" + CAST({col} > {pfx}50 AS INT)"
+                f" + CAST({col} > {pfx}75 AS INT) AS {pfx}_band"
+            )
+
         banded = (
             rfm.crossJoin(F.broadcast(rc))
             .crossJoin(F.broadcast(fc))
             .crossJoin(F.broadcast(mc))
-            .select(
+            .selectExpr(
                 "monetary_e2",
                 "recency_d",
-                band(F.col("recency_d"), F.col("r25"), F.col("r50"), F.col("r75")).alias("r_band"),
-                band(F.col("frequency"), F.col("f25"), F.col("f50"), F.col("f75")).alias("f_band"),
-                band(F.col("monetary_e2"), F.col("m25"), F.col("m50"), F.col("m75")).alias("m_band"),
+                ss_band("recency_d", "r"),
+                ss_band("frequency", "f"),
+                ss_band("monetary_e2", "m"),
             )
         )
         return banded.groupBy("r_band", "f_band", "m_band").agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum("monetary_e2").alias("segment_value_e2"),
-            F.min("recency_d").alias("min_recency_d"),
+            F.expr("count(1) AS n_customers"),
+            F.expr("sum(monetary_e2) AS segment_value_e2"),
+            F.expr("min(recency_d) AS min_recency_d"),
         )
 
 

@@ -85,59 +85,61 @@ def grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spatial adjacency relation (closest-pairs query + message-passing
     graph both consume it)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
+    # one-parse text glue (r13): identical expressions, ~180 fewer
+    # py4j trips per consumer build
+    def ss_fixed(expr: str) -> str:
+        return (
+            f"CAST(floor(CAST({expr} AS DOUBLE)"
+            f" * {float(1 << SCALE_BITS)!r}D + 0.5D) AS BIGINT)"
+            f" + {COORD_OFFSET}"
+        )
+
+    pts = emb.selectExpr(
         "vec_id",
-        _fixed(F.element_at("embedding", 1)).alias("x"),
-        _fixed(F.element_at("embedding", 2)).alias("y"),
+        f"{ss_fixed('element_at(embedding, 1)')} AS x",
+        f"{ss_fixed('element_at(embedding, 2)')} AS y",
     )
-    cells = pts.select(
+    cells = pts.selectExpr(
         "vec_id",
         "x",
         "y",
-        floordiv(F.col("x"), F.lit(CELL_W)).alias("cx"),
-        floordiv(F.col("y"), F.lit(CELL_W)).alias("cy"),
+        f"x div {CELL_W} AS cx",
+        f"y div {CELL_W} AS cy",
     )
-    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
     expanded = (
-        cells.select(
-            F.col("vec_id").alias("vec_i"),
-            F.col("x").alias("xa"),
-            F.col("y").alias("ya"),
+        cells.selectExpr(
+            "vec_id AS vec_i",
+            "x AS xa",
+            "y AS ya",
             "cx",
             "cy",
-            F.explode(offs).alias("dx"),
+            "explode(array(-1, 0, 1)) AS dx",
         )
-        .select(
+        .selectExpr(
             "vec_i",
             "xa",
             "ya",
-            (F.col("cx") + F.col("dx")).alias("ex"),
+            "cx + dx AS ex",
             "cy",
-            F.explode(offs).alias("dy"),
+            "explode(array(-1, 0, 1)) AS dy",
         )
-        .select(
-            "vec_i", "xa", "ya", "ex", (F.col("cy") + F.col("dy")).alias("ey")
-        )
+        .selectExpr("vec_i", "xa", "ya", "ex", "cy + dy AS ey")
     )
-    b = cells.select(
-        F.col("vec_id").alias("vec_j"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        F.col("cx").alias("cbx"),
-        F.col("cy").alias("cby"),
+    b = cells.selectExpr(
+        "vec_id AS vec_j",
+        "x AS xb",
+        "y AS yb",
+        "cx AS cbx",
+        "cy AS cby",
     )
     cand = expanded.join(
-        b,
-        (F.col("ex") == F.col("cbx"))
-        & (F.col("ey") == F.col("cby"))
-        & (F.col("vec_i") < F.col("vec_j")),
+        b, F.expr("ex = cbx AND ey = cby AND vec_i < vec_j")
     )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    return cand.select("vec_i", "vec_j", d2.alias("d2")).filter(
-        F.col("d2") <= F.lit(CELL_W * CELL_W)
-    )
+    return cand.selectExpr(
+        "vec_i",
+        "vec_j",
+        "(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS d2",
+    ).filter(f"d2 <= {CELL_W * CELL_W}")
 
 
 @register(
@@ -221,49 +223,38 @@ def graph_message_passing_2hop(
     # the 3x3 grid join would execute once per branch
     pairs = grid_neighbor_pairs(spark, sf_dir).transform(tracked_local_checkpoint)
     sym = (
-        pairs.select(F.col("vec_i").alias("s"), F.col("vec_j").alias("d"))
-        .unionAll(
-            pairs.select(
-                F.col("vec_j").alias("s"), F.col("vec_i").alias("d")
-            )
-        )
+        pairs.selectExpr("vec_i AS s", "vec_j AS d")
+        .unionAll(pairs.selectExpr("vec_j AS s", "vec_i AS d"))
         .transform(tracked_local_checkpoint)
     )
-    raw_h = F.floor(
-        F.element_at("embedding", 4).cast("double")
-        * F.lit(float(1 << 20))
-        + F.lit(0.5)
-    ).cast("long")
+    raw_h = (
+        f"CAST(floor(CAST(element_at(embedding, 4) AS DOUBLE)"
+        f" * {float(1 << 20)!r}D + 0.5D) AS BIGINT)"
+    )
     # loud precondition: the affine shift only removes the truncate-
     # vs-floor division divergence while h + FEAT_OFFSET >= 0 — an
     # out-of-range feature must FAIL the job, never silently diverge
     # (adversarial-review finding; same discipline as the argmax
     # composite guard)
-    guard = F.coalesce(
-        F.assert_true(
-            F.abs(raw_h) <= F.lit(FEAT_OFFSET),
-            F.lit("feature exceeds affine-shift bound 2^21"),
-        ).cast("long"),
-        F.lit(0),
+    guard = (
+        f"coalesce(CAST(assert_true(abs({raw_h}) <= {FEAT_OFFSET},"
+        f" 'feature exceeds affine-shift bound 2^21') AS BIGINT), 0)"
     )
-    h = emb.select("vec_id", (raw_h + guard).alias("h"))
+    h = emb.selectExpr("vec_id", f"{raw_h} + {guard} AS h")
     for _ in range(MSG_ROUNDS):
         h = (
             sym.join(h, sym["d"] == h["vec_id"])
             .groupBy(F.col("s").alias("v"))
             .agg(
-                (
-                    floordiv(
-                        F.sum(F.col("h") + F.lit(FEAT_OFFSET)),
-                        F.count(F.lit(1)),
-                    )
-                    - F.lit(FEAT_OFFSET)
-                ).alias("h")
+                F.expr(
+                    f"sum(h + {FEAT_OFFSET}) div count(1)"
+                    f" - {FEAT_OFFSET} AS h"
+                )
             )
-            .select(F.col("v").alias("vec_id"), "h")
+            .selectExpr("v AS vec_id", "h")
         )
     return (
         h.orderBy(F.desc("h"), F.asc("vec_id"))
         .limit(TOPK_NODES)
-        .select("vec_id", F.col("h").alias("h2_q20"))
+        .selectExpr("vec_id", "h AS h2_q20")
     )

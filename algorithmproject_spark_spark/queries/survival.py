@@ -44,12 +44,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from algorithmproject_spark_spark.functions.numeric import (
-    floordiv,
-    hash_mod,
-    micros,
-    ppm,
     sql_hash_mod,
     sql_ppm,
+    ss_hash_mod,
+    ss_micros,
+    ss_ppm,
 )
 from algorithmproject_spark_spark.registry import register
 from algorithmproject_spark_spark.sources.catalog import load_table
@@ -67,39 +66,36 @@ def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(arm, dur_h, d, c): per experiment arm and duration hour, the
     event (first-purchase) and right-censoring counts. Compacted —
     bounded by |arms| x |hours of corpus span|."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    # one-parse text glue (r13): same expressions, fewer py4j trips
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS us"
     )
     su = (
-        ev.filter(F.col("event_type") == SIGNUP)
+        ev.filter(f"event_type = '{SIGNUP}'")
         .groupBy("user_id")
-        .agg(F.min("us").alias("s_us"))
+        .agg(F.expr("min(us) AS s_us"))
     )
     pu = (
-        ev.filter(F.col("event_type") == PURCHASE)
+        ev.filter(f"event_type = '{PURCHASE}'")
         .join(su, "user_id")
-        .filter(F.col("us") >= F.col("s_us"))
+        .filter("us >= s_us")
         .groupBy("user_id")
-        .agg(F.min("us").alias("p_us"))
+        .agg(F.expr("min(us) AS p_us"))
     )
-    mx = ev.agg(F.max("us").alias("mx_us"))
+    mx = ev.agg(F.expr("max(us) AS mx_us"))
     coh = (
         su.join(pu, "user_id", "left")
         .crossJoin(F.broadcast(mx))
-        .select(
-            hash_mod("user_id", N_ARMS).alias("arm"),
-            floordiv(
-                F.coalesce("p_us", "mx_us") - F.col("s_us"), F.lit(HOUR_US)
-            ).alias("dur_h"),
-            F.when(F.col("p_us").isNotNull(), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("ev"),
+        .selectExpr(
+            f"{ss_hash_mod('user_id', N_ARMS)} AS arm",
+            f"(coalesce(p_us, mx_us) - s_us) div {HOUR_US} AS dur_h",
+            "CAST(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END"
+            " AS BIGINT) AS ev",
         )
     )
     return coh.groupBy("arm", "dur_h").agg(
-        F.sum("ev").cast("long").alias("d"),
-        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c"),
+        F.expr("CAST(sum(ev) AS BIGINT) AS d"),
+        F.expr("CAST(count(1) - sum(ev) AS BIGINT) AS c"),
     )
 
 
@@ -295,62 +291,56 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = _life_table(spark, sf_dir)
     durs = lt.select("dur_h").distinct()
-    arms = F.explode(F.array(*[F.lit(a) for a in range(N_ARMS)])).alias("arm")
+    arm_arr = "array(" + ", ".join(str(a) for a in range(N_ARMS)) + ")"
     grid = (
-        durs.select("dur_h", arms)
+        durs.selectExpr("dur_h", f"explode({arm_arr}) AS arm")
         .join(lt, ["dur_h", "arm"], "left")
-        .select(
+        .selectExpr(
             "dur_h",
             "arm",
-            F.coalesce("d", F.lit(0)).alias("d"),
-            F.coalesce("c", F.lit(0)).alias("c"),
+            "coalesce(d, 0) AS d",
+            "coalesce(c, 0) AS c",
         )
     )
-    w = (
-        Window.partitionBy("arm")
-        .orderBy("dur_h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    rt = grid.select(
-        "dur_h", "arm", "d", F.sum(F.col("d") + F.col("c")).over(w).alias("n_risk")
+    rt = grid.selectExpr(
+        "dur_h",
+        "arm",
+        "d",
+        "sum(d + c) OVER (PARTITION BY arm ORDER BY dur_h ROWS BETWEEN"
+        " CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk",
     )
     pv = rt.groupBy("dur_h").agg(
-        F.sum(F.when(F.col("arm") == 0, F.col("d")).otherwise(0))
-        .cast("long")
-        .alias("d1"),
-        F.sum("d").cast("long").alias("d"),
-        F.sum(F.when(F.col("arm") == 0, F.col("n_risk")).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum("n_risk").cast("long").alias("n"),
-    )
-    e1 = ppm(F.col("d") * F.col("n1"), F.col("n"))
-    v = F.when(
-        F.col("n") > 1,
-        floordiv(
-            floordiv(e1 * (F.col("n") - F.col("n1")), F.col("n"))
-            * (F.col("n") - F.col("d")),
-            F.col("n") - 1,
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT)"
+            " AS d1"
         ),
-    ).otherwise(F.lit(0).cast("long"))
-    terms = pv.filter((F.col("d") > 0) & (F.col("n") > 0)).select(
-        "d1", e1.alias("e1_e6"), v.alias("v_e6")
+        F.expr("CAST(sum(d) AS BIGINT) AS d"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN n_risk ELSE 0 END)"
+            " AS BIGINT) AS n1"
+        ),
+        F.expr("CAST(sum(n_risk) AS BIGINT) AS n"),
     )
-    o1, e1s, vs = F.sum("d1"), F.sum("e1_e6"), F.sum("v_e6")
+    e1 = ss_ppm("d * n1", "n")
+    v = (
+        f"CASE WHEN n > 1 THEN ((({e1} * (n - n1)) div n) * (n - d))"
+        f" div (n - 1) ELSE CAST(0 AS BIGINT) END"
+    )
+    terms = pv.filter("d > 0 AND n > 0").selectExpr(
+        "d1", f"{e1} AS e1_e6", f"{v} AS v_e6"
+    )
+    z_num = "CAST(sum(d1) * 1000000 - sum(e1_e6) AS DOUBLE)"
+    z_den = "(1000.0D * sqrt(CAST(sum(v_e6) AS DOUBLE)))"
     return terms.agg(
-        F.count(F.lit(1)).cast("long").alias("n_timepoints"),
-        o1.cast("long").alias("o1"),
-        e1s.cast("long").alias("e1_e6"),
-        vs.cast("long").alias("v_e6"),
-        F.when(
-            vs > 0,
-            micros(
-                (o1 * E6 - e1s).cast("double")
-                / (F.lit(1000.0) * F.sqrt(vs.cast("double")))
-            ),
-        )
-        .otherwise(F.lit(None).cast("long"))
-        .alias("z_micros"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_timepoints"),
+        F.expr("CAST(sum(d1) AS BIGINT) AS o1"),
+        F.expr("CAST(sum(e1_e6) AS BIGINT) AS e1_e6"),
+        F.expr("CAST(sum(v_e6) AS BIGINT) AS v_e6"),
+        F.expr(
+            f"CASE WHEN sum(v_e6) > 0 THEN"
+            f" {ss_micros(f'{z_num} / {z_den}')}"
+            f" ELSE CAST(NULL AS BIGINT) END AS z_micros"
+        ),
     )
 
 
@@ -389,21 +379,17 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rmst_per_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = _km_curve(spark, sf_dir)
-    tau = km.agg(F.max("dur_h").alias("tau_h"))
-    w = Window.partitionBy("arm").orderBy("dur_h")
-    seg = km.select(
+    tau = km.agg(F.expr("max(dur_h) AS tau_h"))
+    seg = km.selectExpr(
         "arm",
         "dur_h",
         "s_e6",
-        F.lead("dur_h").over(w).alias("nxt"),
+        "lead(dur_h) OVER (PARTITION BY arm ORDER BY dur_h) AS nxt",
     ).crossJoin(F.broadcast(tau))
     return seg.groupBy("arm", "tau_h").agg(
-        (
-            F.min("dur_h") * F.lit(E6)
-            + F.sum(
-                F.col("s_e6") * (F.coalesce("nxt", "tau_h") - F.col("dur_h"))
-            )
+        F.expr(
+            f"CAST(min(dur_h) * {E6}"
+            " + sum(s_e6 * (coalesce(nxt, tau_h) - dur_h))"
+            " AS BIGINT) AS rmst_e6h"
         )
-        .cast("long")
-        .alias("rmst_e6h")
     )

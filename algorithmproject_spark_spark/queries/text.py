@@ -17,8 +17,13 @@ from algorithmproject_spark_spark.functions.hashing import (
     char_fold_hash,
     sql_char_fold_hash,
 )
-from algorithmproject_spark_spark.functions.numeric import micros, sql_micros
+from algorithmproject_spark_spark.functions.numeric import (
+    micros,
+    sql_micros,
+    ss_micros,
+)
 from algorithmproject_spark_spark.functions.text import (
+    ss_stopword_array,
     ngrams,
     sql_ngrams,
     sql_stopword_list,
@@ -108,14 +113,17 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    ratio = F.length("text").cast("double") / F.size(toks)
-    return docs.select(
+    # one-parse text glue (r13): identical expressions (the Column
+    # form also re-embedded the split() subtree per reference)
+    return docs.selectExpr(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.length("text").alias("n_chars_actual"),
-        micros(ratio).alias("chars_per_token_e6"),
+        "size(split(text, ' ')) AS n_tokens",
+        "size(array_distinct(split(text, ' '))) AS n_distinct",
+        "length(text) AS n_chars_actual",
+        ss_micros(
+            "CAST(length(text) AS DOUBLE) / size(split(text, ' '))"
+        )
+        + " AS chars_per_token_e6",
     )
 
 
@@ -150,23 +158,29 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    n_tokens = F.size(toks)
-    sw = F.size(F.filter(toks, lambda t: F.array_contains(stopword_array(), t)))
-    sw_ratio = micros(sw.cast("double") / n_tokens)
-    rep_ratio = micros(F.size(F.array_distinct(toks)).cast("double") / n_tokens)
-    out = docs.select(
+    toks = "split(text, ' ')"
+    sw = (
+        f"size(filter({toks}, t -> array_contains("
+        f"{ss_stopword_array()}, t)))"
+    )
+    out = docs.selectExpr(
         "doc_id",
-        sw_ratio.alias("sw_ratio_e6"),
-        rep_ratio.alias("rep_ratio_e6"),
-        n_tokens.alias("n_tokens"),
+        ss_micros(f"CAST({sw} AS DOUBLE) / size({toks})")
+        + " AS sw_ratio_e6",
+        ss_micros(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"
+        )
+        + " AS rep_ratio_e6",
+        f"size({toks}) AS n_tokens",
     )
-    keep = (
-        F.col("n_tokens").between(20, 200)
-        & (F.col("sw_ratio_e6") < 500_000)
-        & (F.col("rep_ratio_e6") > 300_000)
+    return out.withColumn(
+        "keep",
+        F.expr(
+            "CASE WHEN n_tokens BETWEEN 20 AND 200"
+            " AND sw_ratio_e6 < 500000 AND rep_ratio_e6 > 300000"
+            " THEN 1 ELSE 0 END"
+        ),
     )
-    return out.withColumn("keep", F.when(keep, 1).otherwise(0))
 
 
 # --------------------------------------------------------------------------
@@ -208,28 +222,29 @@ def _sql_hits(markers: tuple[str, ...]) -> str:
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
 
-    def hits(markers: tuple[str, ...]) -> F.Column:  # type: ignore[name-defined]
-        arr = F.array(*[F.lit(m) for m in markers])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    def hits(markers: tuple[str, ...]) -> str:
+        arr = "array(" + ", ".join(f"'{m}'" for m in markers) + ")"
+        return (
+            f"size(filter(split(text, ' '), t -> array_contains({arr}, t)))"
+        )
 
-    df = docs.select(
+    df = docs.selectExpr(
         "doc_id",
         "lang",
-        hits(_LANG_MARKERS["en"]).alias("en_hits"),
-        hits(_LANG_MARKERS["es"]).alias("es_hits"),
-        hits(_LANG_MARKERS["de"]).alias("de_hits"),
+        f"{hits(_LANG_MARKERS['en'])} AS en_hits",
+        f"{hits(_LANG_MARKERS['es'])} AS es_hits",
+        f"{hits(_LANG_MARKERS['de'])} AS de_hits",
     )
-    pred = (
-        F.when(
-            (F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") >= F.col("de_hits")),
-            F.lit("en"),
-        )
-        .when(F.col("es_hits") >= F.col("de_hits"), F.lit("es"))
-        .otherwise(F.lit("de"))
+    return df.selectExpr(
+        "doc_id",
+        "lang",
+        "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'"
+        " WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS pred_lang",
+        "en_hits",
+        "es_hits",
+        "de_hits",
     )
-    return df.select("doc_id", "lang", pred.alias("pred_lang"), "en_hits", "es_hits", "de_hits")
 
 
 # --------------------------------------------------------------------------
@@ -289,12 +304,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Corpus size as a broadcast 1-row aggregate — single Catalyst plan,
     # no driver action splitting the query into two jobs.
-    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    n_docs = docs.agg(F.expr("CAST(count(1) AS DOUBLE) AS n_docs"))
     tf = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
-        .filter(~F.array_contains(stopword_array(), F.col("word")))
+        docs.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+        .filter(f"NOT array_contains({ss_stopword_array()}, word)")
         .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.expr("count(1) AS tf"))
     )
     # pin the tf relation — same shared-subtree rationale as
     # hashed_tfidf below (df table + scored join both consume it).
@@ -307,19 +322,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass is the dominant cost and the post-agg (doc_id, word, tf)
     # relation is the smallest shared form — the pin stays.
     tf = tracked_cache(tf)
-    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
+    df_tbl = tf.groupBy("word").agg(F.expr("count(1) AS df"))
+    idf = "ln((n_docs + 1.0D) / (CAST(df AS DOUBLE) + 1.0D))"
     scored = (
         # word-dimension table is vocab-sized → broadcast to avoid
         # shuffling the big (doc, word) side on a skewed word key.
         tf.join(F.broadcast(df_tbl), "word")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("score_e6", micros(F.col("tf") * idf))
+        .withColumn("score_e6", F.expr(ss_micros(f"tf * {idf}")))
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("word"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
+        .filter("rk <= 5")
         .select("doc_id", "word", "tf", "df", "score_e6")
     )
 

@@ -299,46 +299,43 @@ def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce :func:`score_with_weights` exactly: same explode, same
     broadcast-left weight join, same aggregates and div/band/bias
     arithmetic."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 1
-    )
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 2 = 1")
     rows = docs.select(
         "doc_id", F.explode(_eval_rows_array()).alias("x")
     ).select(
         "doc_id", "x.b", "x.n_feats", "x.label", "x.fr_score_ppm", "x.fr_keep"
     )
     weights = trained_weight_rel(spark, sf_dir)
-    is_tok = F.col("b") < F.lit(QMB_DIM)
+    # one-parse agg/select text (r13): same expressions as the former
+    # Column towers, ~230 fewer py4j trips per consumer build
     scored = (
         rows.join(F.broadcast(weights), "b", "left")
         .groupBy("doc_id")
         .agg(
-            F.max("n_feats").cast("long").alias("n_feats"),
-            F.coalesce(F.sum(F.when(is_tok, F.col("wt"))), F.lit(0))
-            .cast("long")
-            .alias("sum_w_ppm"),
-            F.coalesce(F.sum(F.when(~is_tok, F.col("wt"))), F.lit(0))
-            .cast("long")
-            .alias("band_w_ppm"),
-            F.max("label").cast("long").alias("label"),
-            F.max("fr_score_ppm").cast("long").alias("fr_score_ppm"),
-            F.max("fr_keep").cast("long").alias("fr_keep"),
+            F.expr("CAST(max(n_feats) AS BIGINT) AS n_feats"),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN b < {QMB_DIM} THEN wt END),"
+                f" 0) AS BIGINT) AS sum_w_ppm"
+            ),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN NOT (b < {QMB_DIM}) THEN wt"
+                f" END), 0) AS BIGINT) AS band_w_ppm"
+            ),
+            F.expr("CAST(max(label) AS BIGINT) AS label"),
+            F.expr("CAST(max(fr_score_ppm) AS BIGINT) AS fr_score_ppm"),
+            F.expr("CAST(max(fr_keep) AS BIGINT) AS fr_keep"),
         )
     )
-    score_ppm = F.call_function(
-        "div", F.col("sum_w_ppm"), F.col("n_feats")
-    ) + F.col("band_w_ppm")
+    score_txt = "(sum_w_ppm div n_feats) + band_w_ppm"
     return tracked_cache(
-        scored.select(
+        scored.selectExpr(
             "doc_id",
             "n_feats",
             "sum_w_ppm",
             "band_w_ppm",
-            score_ppm.alias("score_ppm"),
-            F.when(score_ppm >= F.lit(0), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("keep"),
+            f"{score_txt} AS score_ppm",
+            f"CAST(CASE WHEN {score_txt} >= 0 THEN 1 ELSE 0 END"
+            " AS BIGINT) AS keep",
             "label",
             "fr_score_ppm",
             "fr_keep",
@@ -370,54 +367,51 @@ def trained_weight_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is ≤ D+220 rows and referenced twice (totals + weights),
     so it is tracked-cached: the explode scan runs exactly once.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 0
-    )
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 2 = 0")
     ex = docs.select(
         F.explode(_feature_rows(with_label=True)).alias("x")
     ).select("x.b", "x.label")
     grouped = tracked_cache(
         ex.groupBy("b").agg(
-            F.sum("label").cast("long").alias("pos"),
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("CAST(sum(label) AS BIGINT) AS pos"),
+            F.expr("CAST(count(1) AS BIGINT) AS n"),
         )
     )
-    is_tok = F.col("b") < F.lit(QMB_DIM)
+    # one-parse text (r13) — CASE/div forms identical to the former
+    # Column towers
+    tok = f"b < {QMB_DIM}"
     tot = grouped.agg(
-        F.coalesce(F.sum(F.when(is_tok, F.col("pos"))), F.lit(0))
-        .cast("long")
-        .alias("tot_pos"),
-        F.coalesce(
-            F.sum(F.when(is_tok, F.col("n") - F.col("pos"))), F.lit(0)
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN {tok} THEN pos END), 0)"
+            " AS BIGINT) AS tot_pos"
+        ),
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN {tok} THEN n - pos END), 0)"
+            " AS BIGINT) AS tot_neg"
+        ),
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN NOT ({tok}) THEN pos END), 0)"
+            " AS BIGINT) AS tot_pos_d"
+        ),
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN NOT ({tok}) THEN n END), 0)"
+            " AS BIGINT) AS tot_d"
+        ),
+    )
+
+    def share(c: str, t: str) -> str:
+        return (
+            f"CASE WHEN {t} > 0 THEN ({c}) * {E6} div {t}"
+            f" ELSE CAST(0 AS BIGINT) END"
         )
-        .cast("long")
-        .alias("tot_neg"),
-        F.coalesce(F.sum(F.when(~is_tok, F.col("pos"))), F.lit(0))
-        .cast("long")
-        .alias("tot_pos_d"),
-        F.coalesce(F.sum(F.when(~is_tok, F.col("n"))), F.lit(0))
-        .cast("long")
-        .alias("tot_d"),
-    )
-    share = lambda c, t: F.when(  # noqa: E731
-        F.col(t) > 0,
-        F.call_function("div", c * F.lit(E6), F.col(t)),
-    ).otherwise(F.lit(0).cast("long"))
-    tok_wt = share(F.col("pos"), "tot_pos") - share(
-        F.col("n") - F.col("pos"), "tot_neg"
-    )
-    band_wt = F.call_function(
-        "div", F.col("pos") * F.lit(E6), F.col("n")
-    ) - F.call_function(
-        "div", F.col("tot_pos_d") * F.lit(E6), F.col("tot_d")
-    )
+
+    tok_wt = f"{share('pos', 'tot_pos')} - {share('n - pos', 'tot_neg')}"
+    band_wt = f"(pos * {E6} div n) - (tot_pos_d * {E6} div tot_d)"
     return tracked_cache(
-        grouped.crossJoin(F.broadcast(tot)).select(
+        grouped.crossJoin(F.broadcast(tot)).selectExpr(
             "b",
-            F.when(is_tok, tok_wt)
-            .otherwise(band_wt)
-            .cast("long")
-            .alias("wt"),
+            f"CAST(CASE WHEN {tok} THEN {tok_wt} ELSE {band_wt} END"
+            " AS BIGINT) AS wt",
         )
     )
 
@@ -717,45 +711,36 @@ def quality_trained_vs_frozen_auc(
     scored = _eval_scored(spark, sf_dir)
 
     def auc_e6(score_col: str) -> DataFrame:
-        by_s = (
-            scored.groupBy(F.col(score_col).alias("score_ppm"))
-            .agg(
-                F.sum("label").cast("long").alias("n_pos"),
-                (F.count(F.lit(1)) - F.sum("label"))
-                .cast("long")
-                .alias("n_neg"),
-            )
+        # one-parse text glue (r13): same window/agg expressions
+        by_s = scored.groupBy(F.col(score_col).alias("score_ppm")).agg(
+            F.expr("CAST(sum(label) AS BIGINT) AS n_pos"),
+            F.expr("CAST(count(1) - sum(label) AS BIGINT) AS n_neg"),
         )
-        w = Window.orderBy("score_ppm").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        cum = by_s.select(
+        cum = by_s.selectExpr(
             "n_pos",
             "n_neg",
-            F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+            "coalesce(sum(n_neg) OVER (ORDER BY score_ppm ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below",
         )
-        p, n = F.sum("n_pos"), F.sum("n_neg")
-        num2 = F.sum(
-            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        auc_num = "CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE)"
+        auc_den = (
+            "(2.0D * CAST(sum(n_pos) AS DOUBLE)"
+            " * CAST(sum(n_neg) AS DOUBLE))"
         )
         return cum.agg(
-            p.cast("long").alias("n_pos"),
-            n.cast("long").alias("n_neg"),
-            F.when(
-                (p > 0) & (n > 0),
-                micros(
-                    num2.cast("double")
-                    / (F.lit(2.0) * p.cast("double") * n.cast("double"))
-                ),
-            )
-            .otherwise(F.lit(None).cast("long"))
-            .alias("auc_e6"),
+            F.expr("CAST(sum(n_pos) AS BIGINT) AS n_pos"),
+            F.expr("CAST(sum(n_neg) AS BIGINT) AS n_neg"),
+            F.expr(
+                f"CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN"
+                f" {ss_micros(f'{auc_num} / {auc_den}')}"
+                f" ELSE CAST(NULL AS BIGINT) END AS auc_e6"
+            ),
         )
 
-    t = auc_e6("score_ppm").select(
-        "n_pos", "n_neg", F.col("auc_e6").alias("auc_trained_e6")
+    t = auc_e6("score_ppm").selectExpr(
+        "n_pos", "n_neg", "auc_e6 AS auc_trained_e6"
     )
-    f_ = auc_e6("fr_score_ppm").select(F.col("auc_e6").alias("auc_frozen_e6"))
+    f_ = auc_e6("fr_score_ppm").selectExpr("auc_e6 AS auc_frozen_e6")
     return t.crossJoin(F.broadcast(f_))
 
 
@@ -808,15 +793,15 @@ def quality_head_disagreement(
     # because everything is already on one row.
     scored = _eval_scored(spark, sf_dir)
     return (
-        scored.filter(F.col("keep") != F.col("fr_keep"))
-        .select(
+        scored.filter("keep != fr_keep")
+        .selectExpr(
             "doc_id",
-            F.col("score_ppm").alias("trained_score_ppm"),
-            F.col("fr_score_ppm").alias("frozen_score_ppm"),
-            F.col("keep").alias("trained_keep"),
-            F.col("fr_keep").alias("frozen_keep"),
+            "score_ppm AS trained_score_ppm",
+            "fr_score_ppm AS frozen_score_ppm",
+            "keep AS trained_keep",
+            "fr_keep AS frozen_keep",
             "label",
         )
-        .orderBy(F.abs(F.col("trained_score_ppm")).desc(), F.asc("doc_id"))
+        .orderBy(F.expr("abs(trained_score_ppm)").desc(), F.asc("doc_id"))
         .limit(25)
     )

@@ -346,16 +346,92 @@ HEADLINE = (
 #: line, so 1400 keeps the whole line inside the parseable window.
 STDOUT_LINE_BUDGET = 1400
 
+#: SENTINEL comparison set (VERDICT r12 #2): the compact stdout line
+#: used to carry only the slowest-N window, which is structurally
+#: biased — improvements EXIT the window while regressions and
+#: contention spikes ENTER it, so round-over-round PERF was computed
+#: on a one-way-selected sample. These ~22 queries — one per operator
+#: family, spanning scan/join/window/graph/ANN/text/streaming — are
+#: ALWAYS included in the printed `queries` dict regardless of their
+#: time, giving the driver a stable cross-round comparison surface.
+#: NEVER rotate, rename, or remove entries; additions go at the end.
+SENTINELS = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_topk_orders_per_cust",
+    "events_tumbling_hourly",
+    "events_hdr_value_quantiles",
+    "events_bootstrap_ci_mean",
+    "tfidf_top_terms",
+    "doc_quality_model_score",
+    "minhash_lsh_candidates",
+    "jaccard_verified_pairs",
+    "simhash_hamming_pairs",
+    "dedup_cluster_reps",
+    "dedup_golden_records",
+    "dedup_triangle_counts",
+    "dedup_label_prop_communities",
+    "corpus_pagerank_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivfpq_topk",
+    "knn_label_noise",
+    "hard_negative_mining_grouped",
+    "quality_trained_vs_frozen_auc",
+    "customer_item_recs_topk",
+    "customer_rfm_segments",
+    "stream_near_dup_batch_twin",
+    "bpe_merge_induction",
+)
+
+
+def prev_common_geomean(timings: dict, repo_dir: str, sf) -> float | None:
+    """Geometric-mean speedup of this run vs the NEWEST committed
+    round-close record at the same scale factor (BENCH_LOCAL_r{N}.json
+    — full per-query dicts, test-gated complete), over ALL common
+    queries. Gives the driver an unbiased round-over-round number in
+    the stdout line itself instead of one re-derived from a biased
+    slowest-window sample. None when no comparable record exists.
+    Override the baseline with $SPARK_GRAFT_BENCH_PREV=path."""
+    import glob
+    import math
+    import re
+
+    path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if not path:
+        best = -1
+        for cand in glob.glob(os.path.join(repo_dir, "BENCH_LOCAL_r*.json")):
+            m = re.match(r"^BENCH_LOCAL_r(\d+)\.json$", os.path.basename(cand))
+            if m and int(m.group(1)) > best:
+                best, path = int(m.group(1)), cand
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with open(path, encoding="utf-8") as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if prev.get("sf") != sf:
+        return None
+    common = [
+        k
+        for k, v in prev.get("queries", {}).items()
+        if k in timings and v > 0 and timings[k] > 0
+    ]
+    if len(common) < 20:
+        return None
+    logsum = sum(math.log(prev["queries"][k] / timings[k]) for k in common)
+    return round(math.exp(logsum / len(common)), 3)
+
 
 def compact_stdout_line(payload: dict, timings: dict, record_name: str) -> str:
     """The driver-facing stdout line: the full payload if it fits the
     tail window, else the contract shape with `queries` trimmed to the
-    slowest entries that fit, plus `n_queries` (full count) and
+    SENTINEL set (always, stable cross-round) plus the slowest
+    remaining entries that fit, `n_queries` (full count) and
     `full_record` (the committed file carrying every number)."""
     line = json.dumps(payload)
     if len(line) <= STDOUT_LINE_BUDGET:
         return line
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     compact = dict(
         payload,
         queries={},
@@ -363,8 +439,12 @@ def compact_stdout_line(payload: dict, timings: dict, record_name: str) -> str:
         full_record=record_name,
     )
     compact.pop("spread", None)  # full spread lives in the OUT file
-    for name, sec in slowest.items():
-        trial = dict(compact, queries={**compact["queries"], name: sec})
+    ordered = [n for n in SENTINELS if n in timings] + sorted(
+        (n for n in timings if n not in SENTINELS),
+        key=lambda n: -timings[n],
+    )
+    for name in ordered:
+        trial = dict(compact, queries={**compact["queries"], name: timings[name]})
         if len(json.dumps(trial)) > STDOUT_LINE_BUDGET:
             break
         compact = trial
@@ -450,22 +530,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if spread:
         payload["reps"] = reps
         payload["spread"] = spread
+    # unbiased round-over-round signal in the line itself (r13): only
+    # at the main 32-core config — a scaling run's numbers are not
+    # comparable to the committed 32-core records
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if cpus == "32":
+        g = prev_common_geomean(timings, repo_dir, sf_val)
+        if g is not None:
+            payload["prev_common_geomean"] = g
     line = json.dumps(payload)
     # Persist the COMPLETE per-query record to a file (commit it as
-    # BENCH_LOCAL_r{N}.json at round close) ...
+    # BENCH_LOCAL_r{N}.json at round close). Default name is keyed by
+    # (sf, cpus) — VERDICT r12 #2: the driver's 8-core scaling run used
+    # to OVERWRITE the 32-core full record (r12's BENCH_LOCAL.json
+    # mtime matched the c8 run).
     out = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        os.path.join(repo_dir, f"BENCH_LOCAL_sf{sf}_c{cpus}.json"),
     )
     with open(out, "w", encoding="utf-8") as fh:
         fh.write(line + "\n")

@@ -85,10 +85,19 @@ def test_stdout_line_fits_driver_tail_window():
     assert parsed["n_queries"] == 300
     assert parsed["full_record"] == "BENCH_LOCAL.json"
     assert parsed["value"] == payload["value"]
-    # the trimmed sample is the SLOWEST queries — the ones worth eyes
+    # the trimmed sample is the SENTINEL set first (stable cross-round
+    # comparison surface, VERDICT r12 #2), then the slowest remainder
+    from bench import SENTINELS
+
     kept = set(parsed["queries"])
-    slowest = sorted(timings, key=lambda k: -timings[k])[: len(kept)]
-    assert kept == set(slowest)
+    sent_present = [n for n in SENTINELS if n in timings]
+    assert set(sent_present) <= kept or not sent_present
+    non_sent = kept - set(SENTINELS)
+    slowest = sorted(
+        (k for k in timings if k not in SENTINELS),
+        key=lambda k: -timings[k],
+    )[: len(non_sent)]
+    assert non_sent == set(slowest)
 
     # a small payload passes through verbatim, full dict included
     small_t = {"q1": 1.0, "q2": 2.0}

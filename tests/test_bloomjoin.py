@@ -26,7 +26,7 @@ def test_membership_all_inserted_keys_positive(spark):
     keys = spark.createDataFrame([(i * 37,) for i in range(50)], ["k"])
     bm = bloom_bitmap(keys, "k")
     probe = keys.crossJoin(F.broadcast(bm)).select(
-        bloom_might_contain(F.col("k"), F.col("bm")).alias("hit")
+        bloom_might_contain("k", "bm").alias("hit")
     )
     assert all(r.hit for r in probe.collect())
 
