@@ -108,25 +108,54 @@ def user_profile_batch(events: DataFrame) -> DataFrame:
     def fold_partition(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        frames = [b for b in batches if len(b)]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True)
-        pdf["cents"] = np.floor(
-            pdf["value"].to_numpy() * 100 + 0.5
-        ).astype("int64")
-        # astype(str) first: bit-identical to the per-key kernel's
-        # set-of-str semantics for any input frame
-        pdf["event_type"] = pdf["event_type"].astype(str)
-        agg = (
-            pdf.groupby("user_id", sort=False)
-            .agg(
-                n_events=("cents", "size"),
-                value_cents=("cents", "sum"),
-                n_types=("event_type", "nunique"),
+        # Incremental per-batch fold (r13, VERDICT r12 #6): count/sum
+        # partials merge by addition and the distinct-type count rides
+        # a running distinct (user, type) pair set — bounded by
+        # users-in-partition × |event type| vocabulary, never the raw
+        # partition (a hot user's rows no longer concentrate one
+        # whole-partition pandas frame in memory). Cents arithmetic is
+        # exact int64, so partial sums merge bit-identically to the
+        # one-pass form at any batch split.
+        stats = []
+        pairs = []
+        for b in batches:
+            if not len(b):
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(),
+                    "cents": np.floor(
+                        b["value"].to_numpy() * 100 + 0.5
+                    ).astype("int64"),
+                    # astype(str) first: bit-identical to the per-key
+                    # kernel's set-of-str semantics for any input frame
+                    "event_type": b["event_type"].astype(str).to_numpy(),
+                }
             )
+            stats.append(
+                pdf.groupby("user_id", sort=False)
+                .agg(n_events=("cents", "size"), value_cents=("cents", "sum"))
+                .reset_index()
+            )
+            pairs.append(
+                pdf[["user_id", "event_type"]].drop_duplicates()
+            )
+        if not stats:
+            return
+        st = (
+            pd.concat(stats, ignore_index=True)
+            .groupby("user_id", sort=False)[["n_events", "value_cents"]]
+            .sum()
             .reset_index()
         )
+        pr = (
+            pd.concat(pairs, ignore_index=True)
+            .drop_duplicates()
+            .groupby("user_id", sort=False)
+            .size()
+            .reset_index(name="n_types")
+        )
+        agg = st.merge(pr, on="user_id")
         agg["n_events"] = agg["n_events"].astype("int64")
         agg["value_cents"] = agg["value_cents"].astype("int64")
         agg["n_types"] = agg["n_types"].astype("int64")
