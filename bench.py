@@ -502,6 +502,11 @@ def main() -> None:
     # historical cost and stays comparable to earlier rounds; round-close
     # committed records (BENCH_LOCAL_r{N} / BENCH_SF1_r{N}) use REPS=3.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    # SPARK_GRAFT_BENCH_STAT=min (r13, VERDICT r12 #8): this host's
+    # contention windows inflate individual reps 2-6x; best-of-N floors
+    # are the noise-robust statistic for COMMITTED records. The driver
+    # default stays median so its own runs keep historical semantics.
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "median")
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -524,7 +529,9 @@ def main() -> None:
             release_caches()
             clear_itemset_cache()
         samples.sort()
-        timings[name] = samples[len(samples) // 2]  # median
+        timings[name] = (
+            samples[0] if stat == "min" else samples[len(samples) // 2]
+        )
         if reps > 1:
             spread[name] = [samples[0], samples[-1]]
 
@@ -542,6 +549,8 @@ def main() -> None:
     if spread:
         payload["reps"] = reps
         payload["spread"] = spread
+    if stat != "median":
+        payload["stat"] = stat  # committed min-records are self-describing
     # unbiased round-over-round signal in the line itself (r13): only
     # at the main 32-core config — a scaling run's numbers are not
     # comparable to the committed 32-core records
